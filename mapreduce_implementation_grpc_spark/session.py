@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+The reference hard-codes its "cluster" (1 master + 4 slaves on ports
+10000-10003, greeter_client.cc:401) and its parallelism (4 map tasks,
+1 reduce task, greeter_client.cc:362-368, :279-293). Here cluster
+shape is pure configuration: the same plans run on local[N] or a
+1000-executor cluster. Defaults are chosen for scale posture:
+
+- AQE on: runtime coalescing of shuffle partitions + skew-join
+  splitting (the reference's corpus has real skew -- 'flight' ~3% of
+  tokens -- and so does any 100 TB text corpus).
+- shuffle.partitions sized to cores locally; on a real cluster this
+  is overridden (or left to AQE's coalescing from a high initial).
+- Arrow enabled so any unavoidable pandas-UDF boundary is batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mapreduce-grpc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
