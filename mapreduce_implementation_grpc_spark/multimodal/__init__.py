@@ -1,0 +1,13 @@
+from .binary_ops import (
+    DECODED_FEATURE_SCHEMA,
+    decode_features,
+    fake_decode_batch,
+    with_binary_payload,
+)
+
+__all__ = [
+    "DECODED_FEATURE_SCHEMA",
+    "decode_features",
+    "fake_decode_batch",
+    "with_binary_payload",
+]

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (extension surface,
+SURVEY.md section 2b).
+
+- knn_brute_force: exact top-k cosine for a (small) query set.
+  The query side is broadcast -- the big side streams through one
+  map stage; the only shuffle is the per-query top-k, executed as
+  a window over rows already partitioned by query. At 100 TB the
+  corpus scan is embarrassingly parallel and the broadcast is k*dim
+  floats.
+- random_hyperplane_lsh / ann_lsh_topk: sign-random-projection LSH.
+  Planes come from a deterministic LCG (same literals embedded in
+  the DuckDB oracle, so even the ANN path is hash-checkable).
+  Candidates = bucket collisions only; the cross join never exists.
+- embedding_dup_pairs: exact near-duplicate vector pairs (cosine >=
+  threshold) -- brute force within LSH buckets for scale, or global
+  brute force for the oracle-checked variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_col
+
+DEFAULT_NUM_PLANES = 8
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2**31
+
+
+def lsh_planes(num_planes: int = DEFAULT_NUM_PLANES, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5): LCG on
+    the flat index. Reproducible in any engine (the oracle embeds the
+    same literals), no RNG state, no numpy."""
+    return [
+        [((LCG_A * (p * dim + d) + LCG_C) % LCG_M) / LCG_M - 0.5 for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def _bucket_col(vec, planes: list[list[float]]):
+    """LSH bucket id = integer of sign bits of plane dot products."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(w) for w in plane]), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def with_lsh_bucket(
+    emb: DataFrame, vec_col: str = "embedding", num_planes: int = DEFAULT_NUM_PLANES, dim: int = 64
+) -> DataFrame:
+    return emb.withColumn("bucket", _bucket_col(F.col(vec_col), lsh_planes(num_planes, dim)))
+
+
+def knn_brute_force(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: DataFrame[query_id, qvec]. Broadcast join (no shuffle of
+    the corpus); per-query top-k via rank over (rounded sim desc,
+    vec_id asc) -- rounding first makes the cut deterministic across
+    engines whose last-ulp sums differ."""
+    corpus = emb.select(F.col("vec_id"), F.col(vec_col).alias("vec"))
+    scored = F.broadcast(queries).crossJoin(corpus).filter(F.col("query_id") != F.col("vec_id"))
+    scored = scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_col("qvec", "vec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    num_planes: int = DEFAULT_NUM_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine within. Same output schema as
+    knn_brute_force (+bucket); recall < 1 by design -- the scale path
+    when the corpus is too large to scan per query batch."""
+    planes = lsh_planes(num_planes, dim)
+    corpus = with_lsh_bucket(emb, vec_col, num_planes, dim).select(
+        "vec_id", F.col(vec_col).alias("vec"), "bucket"
+    )
+    q = queries.withColumn("bucket", _bucket_col(F.col("qvec"), planes))
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "bucket",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col("qvec", "vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    min_cosine: float = 0.99,
+    use_lsh: bool = False,
+    num_planes: int = DEFAULT_NUM_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine.
+
+    use_lsh=False: full O(n^2) pair scan -- the oracle-checkable
+    ground truth, fine up to ~10^4 vectors per partition-side.
+    use_lsh=True: pairs only form inside an LSH bucket -- the 100 TB
+    path (near-dups at cosine>=0.99 collide on all planes with high
+    probability)."""
+    base = with_lsh_bucket(emb, vec_col, num_planes, dim) if use_lsh else emb
+    cols = ["vec_id", vec_col] + (["bucket"] if use_lsh else [])
+    a = base.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+    b = base.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    cond = F.col("a_vec_id") < F.col("b_vec_id")
+    if use_lsh:
+        join = a.join(b, (F.col("a_bucket") == F.col("b_bucket")) & cond)
+    else:
+        join = a.join(b, cond)
+    return (
+        join.select(
+            F.col("a_vec_id").alias("vec_a"),
+            F.col("b_vec_id").alias("vec_b"),
+            F.round(cosine_col(f"a_{vec_col}", f"b_{vec_col}"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

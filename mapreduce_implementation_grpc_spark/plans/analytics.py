@@ -1,0 +1,166 @@
+"""Composed relational analytics plans over the TPC-H-ish tables and
+the events stream table.
+
+The reference has NO joins, windows, sets, or date functions
+(SURVEY.md section 2a, 'what the reference does NOT have') -- this
+module is part of the mandated extension surface: the relational
+operator classes any analytics engine user needs, each expressed so
+Catalyst picks the scalable physical plan:
+
+- star joins: dimension sides broadcast (nation/region always;
+  customer at low SF via AQE) -- no shuffle of the fact table for
+  dimension lookups;
+- aggregations: partial agg map-side before the exchange;
+- money arithmetic summed as DECIMAL(18,x): exact, associative, and
+  therefore bit-identical across engines and partitionings (double
+  sums are neither);
+- windows: partitioned by a high-cardinality key (custkey/user_id),
+  never a global unpartitioned window;
+- top-k: orderBy+limit => TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+def _dec2dbl(col):
+    """Decimal -> double via the exact decimal string: both engines
+    correctly-round the parse, so the output double is bit-identical
+    (direct decimal->double casts differ by 1 ulp across engines)."""
+    return col.cast("string").cast("double")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate on the fact table.
+    Filter + column pruning push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # money math in DECIMAL end-to-end: casting a double *product* to
+    # decimal rounds a 6-decimal value at scale 4, and engines disagree
+    # on halfway cases -- so cast the 2-decimal inputs (safely far from
+    # any rounding boundary) and multiply exactly in decimal
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(8,4)")
+    disc_price = ep * (one - F.col("l_discount").cast("decimal(8,4)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(8,4)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec2dbl(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
+            _dec2dbl(F.sum(_dec(F.col("l_extendedprice")))).alias("sum_base_price"),
+            _dec2dbl(F.sum(disc_price)).alias("sum_disc_price"),
+            _dec2dbl(F.sum(charge)).alias("sum_charge"),
+            # avg computed as exact-decimal sum cast to double, divided by
+            # count: identical IEEE result in any engine (decimal-avg
+            # rounding rules are engine-specific; this form is not)
+            F.round(_dec2dbl(F.sum(_dec(F.col("l_quantity")))) / F.count("*"), 6).alias("avg_qty"),
+            F.round(_dec2dbl(F.sum(_dec(F.col("l_discount"), 4))) / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """TPC-H Q5 shape: fact table joined through a broadcast star of
+    dimensions; revenue summed as exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == region)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dec2dbl(F.sum(revenue)).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Revenue per customer + name lookup, deterministic top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        _dec2dbl(F.sum(_dec(F.col("o_totalprice")))).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"),
+                "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(k)
+    )
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFrame:
+    """Window: top-N orders per customer by totalprice (row_number
+    over a high-cardinality partition key -- shuffles once on
+    custkey, no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey"),
+                F.col("o_totalprice").alias("totalprice"), F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the batch twin of the streaming
+    tumbling window in streaming/): events per type per hour.
+    Bucket emitted as a formatted string so engines hash identically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), _dec2dbl(F.sum(_dec(F.col("value")))).alias("sum_value"))
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_seconds: int = 1800) -> DataFrame:
+    """Sessionization via lag: a session starts where the gap from
+    the previous event of the same user exceeds gap_seconds. Output:
+    per-user session count + event count. Scales as one shuffle on
+    user_id; state never leaves the executor (cf. streaming/ for the
+    incremental variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return (
+        ev.withColumn("session_start", starts)
+        .groupBy("user_id")
+        .agg(F.sum("session_start").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.$.k out of the JSON
+    payload column, aggregate by event_type. JVM-side JSON path --
+    no Python in the loop."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -4,13 +4,16 @@ equivalent DuckDB oracle SQL for the driver's correctness gate.
 Conventions (driver compares row-count + schema + order-insensitive
 value-hash, joining columns by NAME):
 - every computed column aliased identically in Spark and SQL;
-- floating-point aggregates rounded to 6 decimals on BOTH sides so
-  summation-order ulp differences cannot flip the hash;
-- every ordering used inside a query has a deterministic tie-break.
+- floating-point outputs rounded to 6 decimals on BOTH sides, with
+  identical expression trees, so IEEE results are bit-equal;
+- money aggregates summed as DECIMAL (exact, order-independent) and
+  cast to double only at the output boundary;
+- integer outputs standardized to BIGINT/long;
+- every ordering has a deterministic tie-break.
 
-Queries without an oracle entry (hash-based sketches whose hash
-function only exists in Spark) get the driver's rows-only check and
-are validated by metamorphic pytest properties instead.
+Queries without an oracle entry (MinHash/SimHash sketches built on
+Spark's xxhash64, which has no DuckDB twin) get the driver's
+rows-only check and are validated by metamorphic pytest properties.
 """
 
 from __future__ import annotations
@@ -20,10 +23,33 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.text_stats import (
+    LANG_MARKERS,
+    bpe_like_token_count_col,
+    doc_fingerprint_cols,
+    lang_score_cols,
+    quality_score_col,
+    text_stats_cols,
+)
+from .operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_near_dup_pairs,
+)
 from .operators.normalize import normalized_col
-from .operators.tokenize import tokenize, tokens_col
-from .operators.wordcount import word_count, word_count_rdd
+from .operators.similarity import (
+    ann_lsh_topk,
+    embedding_dup_pairs,
+    knn_brute_force,
+    lsh_planes,
+)
+from .operators.tokenize import tokenize
 from .operators.topk import top_k
+from .operators.wordcount import word_count, word_count_rdd
+from .plans import analytics
+from .multimodal.binary_ops import decode_features, with_binary_payload
 from .sources.catalog import load_table
 from .sources.text import corpus_from_documents, task_id_col
 
@@ -40,6 +66,24 @@ _SQL_WORDS = """
 
 _SQL_WORDCOUNT = f"""
   SELECT word, count(*) AS cnt FROM ({_SQL_WORDS}) WHERE word <> '' GROUP BY word
+"""
+
+# Per-doc token list, matching tokens_col(normalized_col(text)).
+_SQL_TOKS = """
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(trim(lower(
+           regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+           w -> w <> '') AS toks
+  FROM documents
+"""
+
+# 3-token shingle set per doc, matching operators.dedup._shingles.
+_SQL_SHINGLES = f"""
+  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         ELSE [] END AS shset
+  FROM ({_SQL_TOKS})
 """
 
 
@@ -73,13 +117,10 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_map_task_stats(spark: SparkSession, sf_dir: str, num_tasks: int = 4) -> DataFrame:
-    """O4 observable surface: the reference splits the corpus into 4
-    tasks and each mapper emits a per-task (word,count) file
-    (MapOutputTask<N>.txt, greeter_server.cc:81-86). Deterministic
-    task assignment doc_id % 4 stands in for the contiguous split
-    (order-invariant per SURVEY.md section 1); output = per-task
-    distinct words + token totals, i.e. the shape of the archived
-    intermediate outputs."""
+    """O4 observable surface: per-task (word,count) rollup mirroring
+    the reference's MapOutputTask<N>.txt intermediates
+    (greeter_server.cc:81-86), with deterministic doc_id%4 task
+    assignment standing in for the contiguous split."""
     docs = corpus_from_documents(spark, sf_dir)
     words = tokenize(
         docs.select(task_id_col(F.col("doc_id"), num_tasks).alias("task_id"),
@@ -93,7 +134,183 @@ def q_map_task_stats(spark: SparkSession, sf_dir: str, num_tasks: int = 4) -> Da
     )
 
 
-_FAITHFUL_ORACLES = {
+# ---------------------------------------------------------------------------
+# text analysis (extension surface, SURVEY.md section 2b)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *text_stats_cols("text"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_col("text").alias("quality"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", *lang_score_cols("text"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.tokenize import tokens_col
+
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(normalized_col("text"))).cast("long").alias("n_ws_tokens"),
+        bpe_like_token_count_col("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *doc_fingerprint_cols("text"))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_64(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_brute_force(emb, _query_vectors(spark, sf_dir), k=5)
+    return knn.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=5)
+    return ann.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), min_cosine=0.35)
+
+
+def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: pair search restricted to LSH buckets (recall<1)."""
+    return embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.35, use_lsh=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = with_binary_payload(docs)
+    return payload.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.content_sha256").alias("content_sha256"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched stub decode via mapInPandas (rows-only check:
+    the decode itself is the non-SQL-expressible part)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(with_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# relational analytics / events
+# ---------------------------------------------------------------------------
+
+q_pricing_summary = analytics.pricing_summary
+q_revenue_by_nation = analytics.revenue_by_nation
+q_top_customers = analytics.top_customers
+q_customer_order_ranks = analytics.customer_order_ranks
+q_events_hourly = analytics.events_hourly
+q_events_sessionize = analytics.events_sessionize
+q_events_json_stats = analytics.events_json_stats
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _lang_hits_sql() -> str:
+    hit_exprs = ",\n      ".join(
+        "CAST(len(list_filter(toks, t -> t IN ({vals}))) AS BIGINT) AS hits_{lang}".format(
+            vals=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in sorted(LANG_MARKERS)
+    )
+    langs = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {m} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+      WITH t AS ({_SQL_TOKS}),
+      h AS (SELECT doc_id, lang, {hit_exprs} FROM t)
+      SELECT doc_id, lang, {", ".join(f"hits_{lang}" for lang in langs)},
+             {pred} AS pred_lang
+      FROM h
+    """
+
+
+def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int = 5) -> str:
+    planes = lsh_planes(num_planes, dim)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(dvec, [{w}]) >= 0 THEN {p2} ELSE 0 END)".format(
+            w=", ".join(repr(x) for x in plane), p2=2**p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      b AS (SELECT vec_id, dvec, CAST({bucket_terms} AS BIGINT) AS bucket FROM v),
+      q AS (SELECT vec_id AS query_id, dvec AS qvec, bucket FROM b WHERE vec_id < {n_queries}),
+      s AS (SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qvec, e.dvec), 6) AS cosine
+            FROM q JOIN b e USING (bucket) WHERE e.vec_id <> q.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      SELECT query_id, bucket, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= {k}
+    """
+
+
+ORACLES: dict[str, str] = {
+    # faithful surface
     "wordcount": _SQL_WORDCOUNT,
     "wordcount_topn": f"SELECT * FROM ({_SQL_WORDCOUNT}) ORDER BY cnt DESC, word ASC LIMIT 100",
     "wordcount_rdd": _SQL_WORDCOUNT,
@@ -112,19 +329,224 @@ _FAITHFUL_ORACLES = {
       SELECT task_id, count(DISTINCT word) AS n_distinct_words, count(*) AS n_tokens
       FROM w WHERE word <> '' GROUP BY task_id
     """,
+    # text analysis
+    "text_stats": f"""
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        round(len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS distinct_ratio,
+        round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              / greatest(len(toks), 1), 6) AS avg_token_len,
+        round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+              / greatest(length(text), 1), 6) AS punct_ratio
+      FROM ({_SQL_TOKS})
+    """,
+    "quality_score": f"""
+      SELECT doc_id, round(
+        least(len(toks) / 50.0, 1.0) * 0.35
+        + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                 / greatest(length(text), 1)) * 0.25
+        + (len(list_distinct(toks)) / greatest(len(toks), 1)) * 0.2
+        + least(len(list_filter(toks, t -> t IN ('the','a','and','of','is'))) / 5.0, 1.0) * 0.2
+      , 6) AS quality
+      FROM ({_SQL_TOKS})
+    """,
+    "lang_id": _lang_hits_sql(),
+    "token_counts": f"""
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+        CAST(coalesce(list_sum(list_transform(toks,
+              t -> CAST(floor((length(t) + 3) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens
+      FROM ({_SQL_TOKS})
+    """,
+    "doc_fingerprint": f"""
+      SELECT doc_id,
+        md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))) AS fp_md5,
+        sha256(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))) AS fp_sha256,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, t -> CAST(ascii(t) * length(t) AS BIGINT))),
+          (acc, v) -> (acc * 31 + v) % 1000000007) AS fp_rolling
+      FROM ({_SQL_TOKS})
+    """,
+    # dedup
+    "dedup_exact": """
+      SELECT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))) AS fp_md5,
+             min(doc_id) AS keep_doc_id, count(*) AS n_dups
+      FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard": f"""
+      WITH sh AS ({_SQL_SHINGLES}),
+      e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+      rare AS (SELECT s FROM e GROUP BY s HAVING count(*) BETWEEN 2 AND 3),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM e a JOIN rare USING (s) JOIN e b USING (s)
+               WHERE a.doc_id < b.doc_id),
+      j AS (SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.shset, sb.shset))
+                         / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.doc_a
+            JOIN sh sb ON sb.doc_id = cand.doc_b)
+      SELECT * FROM j WHERE jaccard >= 0.05
+    """,
+    # similarity
+    "knn_cosine": """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+                 FROM embeddings WHERE vec_id < 10),
+      s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5
+    """,
+    "ann_lsh": _ann_lsh_sql(),
+    "embedding_dup_pairs": """
+      SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+      ) WHERE cosine >= 0.35
+    """,
+    # multimodal (meta only; decode is rows-only)
+    "multimodal_meta": """
+      SELECT doc_id, 'text' AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS content_sha256
+      FROM documents
+    """,
+    # relational analytics
+    "pricing_summary": """
+      SELECT l_returnflag, l_linestatus,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                 * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_qty,
+        round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+      SELECT n_name,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+    """,
+    "top_customers": """
+      SELECT c_custkey AS custkey, c_name AS name, revenue, n_orders FROM (
+        SELECT o_custkey,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey)
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY revenue DESC, custkey ASC LIMIT 10
+    """,
+    "customer_order_ranks": """
+      SELECT custkey, orderkey, totalprice, rn FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        FROM orders)
+      WHERE rn <= 3
+    """,
+    "events_hourly": """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+      WITH g AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS gap
+        FROM events)
+      SELECT user_id,
+             CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM g GROUP BY user_id
+    """,
+    "events_json_stats": """
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type
+    """,
 }
 
 
-# ---------------------------------------------------------------------------
-# registry assembly
-# ---------------------------------------------------------------------------
-
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # faithful surface
     "wordcount": q_wordcount,
     "wordcount_topn": q_wordcount_topn,
     "wordcount_rdd": q_wordcount_rdd,
     "corpus_stats": q_corpus_stats,
     "map_task_stats": q_map_task_stats,
+    # text analysis
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    # dedup
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_near_dup": q_minhash_near_dup,       # rows-only (xxhash64)
+    "simhash": q_simhash,                         # rows-only (xxhash64)
+    "simhash_pairs": q_simhash_pairs,             # rows-only (xxhash64)
+    # similarity
+    "knn_cosine": q_knn_cosine,
+    "ann_lsh": q_ann_lsh,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,  # rows-only (recall<1 scale path)
+    # multimodal
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,     # rows-only (mapInPandas stub)
+    # relational analytics
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "customer_order_ranks": q_customer_order_ranks,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "events_json_stats": q_events_json_stats,
 }
 
-ORACLES: dict[str, str] = dict(_FAITHFUL_ORACLES)
+# Headline set for bench.py: widest-coverage representatives, excluding
+# the deliberately-quadratic oracle variants and the Python-RDD path.
+BENCH_QUERIES = [
+    "wordcount",
+    "wordcount_topn",
+    "text_stats",
+    "quality_score",
+    "token_counts",
+    "dedup_exact",
+    "minhash_near_dup",
+    "simhash",
+    "knn_cosine",
+    "ann_lsh",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "customer_order_ranks",
+    "events_hourly",
+    "events_sessionize",
+    "events_json_stats",
+]

@@ -1,0 +1,11 @@
+from .pipelines import (
+    streaming_event_counts,
+    streaming_sessionize,
+    streaming_word_count,
+)
+
+__all__ = [
+    "streaming_event_counts",
+    "streaming_sessionize",
+    "streaming_word_count",
+]

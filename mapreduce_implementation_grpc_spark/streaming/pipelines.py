@@ -1,0 +1,84 @@
+"""Structured Streaming variants of the engine's core pipelines.
+
+The reference is batch-only (one fixed corpus, one job;
+greeter_client.cc:398-416), but a 100 TB training-data pipeline
+ingests continuously. These are the incremental twins of the batch
+plans -- same transformations, readStream/writeStream endpoints:
+
+- streaming_word_count: the reference query over an unbounded line
+  stream. Complete-mode aggregation state is per-word partial counts
+  (exactly the reference's O6 partial maps, kept alive in the state
+  store instead of text files).
+- streaming_event_counts: tumbling-window counts per event_type with
+  a watermark bounding state (late events beyond the watermark are
+  dropped deterministically).
+- streaming_sessionize: session windows per user via the built-in
+  session_window (gap-based), the incremental form of
+  plans.analytics.events_sessionize.
+
+All three return the *unstarted* streaming DataFrame; callers attach
+the sink (tests use format('memory'); production would use
+kafka/parquet with checkpointing). Streaming DataFrames cannot be
+collected, so these are pytest-verified (file-source fixtures ->
+processAllAvailable -> compare against the batch twin) rather than
+DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.normalize import normalized_col
+from ..operators.tokenize import tokens_col
+
+
+def streaming_word_count(lines: DataFrame, text_col: str = "line") -> DataFrame:
+    """Unbounded word count: same O2/O5/O6+O9 pipeline, incremental.
+    Use outputMode('complete') (or 'update') on the sink."""
+    words = lines.select(
+        F.explode(tokens_col(normalized_col(text_col))).alias("word")
+    )
+    return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event_type; watermark bounds state
+    size (and lateness) -- without it, 100 TB of stream state never
+    ages out."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: built-in gap-based session_window --
+    the incremental twin of the batch lag()-based sessionizer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,78 @@
+"""Dedup operators: metamorphic properties (exact dup => found) +
+oracle parity for the SQL-expressible variants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mapreduce_implementation_grpc_spark import registry
+from mapreduce_implementation_grpc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_near_dup_pairs,
+)
+from tests.oracle_utils import assert_matches_oracle
+
+DOC = "spark shuffles data between stages when a wide dependency appears in the plan"
+NEAR = "spark shuffles data between stages when a wide dependency shows in the plan"
+OTHER = "completely different words live here about cooking pasta with garlic butter"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=DOC),
+            Row(doc_id=2, text=DOC),          # exact dup of 1
+            Row(doc_id=3, text=NEAR),         # near dup of 1
+            Row(doc_id=4, text=OTHER),
+            Row(doc_id=5, text=DOC.upper()),  # dup after normalization
+        ]
+    )
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r.keep_doc_id: r.n_dups for r in exact_dedup(docs).collect()}
+    assert groups[1] == 3  # docs 1, 2, 5 share normalized content
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_finds_exact_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r for r in minhash_near_dup_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)].est_jaccard == 1.0
+    assert pairs[(1, 2)].jaccard == 1.0
+    assert (1, 5) in pairs  # normalization-equal
+    # near-dup should surface with high (not necessarily 1.0) jaccard
+    assert any(a == 1 and b == 3 for (a, b) in pairs)
+
+
+def test_minhash_no_false_disjoint_pair(docs):
+    pairs = minhash_near_dup_pairs(docs, min_est_jaccard=0.3).collect()
+    assert not any({r.doc_a, r.doc_b} == {1, 4} for r in pairs)
+
+
+def test_simhash_identical_docs_equal(docs):
+    fp = {r.doc_id: r.simhash for r in simhash_64(docs).collect()}
+    assert fp[1] == fp[2] == fp[5]
+    assert fp[1] != fp[4]
+
+
+def test_simhash_pairs_hamming(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs.get((1, 3), 99) <= 16  # near dup within hamming budget
+
+
+def test_ngram_jaccard_exact_dup_is_one(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, max_doc_freq=5).collect()}
+    assert pairs[(1, 2)] == 1.0
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "ngram_jaccard"])
+def test_oracle_parity(spark, sf_check, name):
+    assert_matches_oracle(
+        registry.QUERIES[name](spark, sf_check), registry.ORACLES[name], sf_check
+    )

@@ -1,0 +1,55 @@
+"""Multimodal binary-column plumbing: schema, Arrow-batched decode,
+and the explicit NotImplementedError stub for real codecs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mapreduce_implementation_grpc_spark import registry
+from mapreduce_implementation_grpc_spark.multimodal import (
+    decode_features,
+    fake_decode_batch,
+    with_binary_payload,
+)
+from tests.oracle_utils import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=1, text="abc"), Row(doc_id=2, text=""), Row(doc_id=3, text="hello world")]
+    )
+
+
+def test_payload_schema_and_bytes(docs):
+    p = with_binary_payload(docs)
+    assert dict(p.dtypes)["payload"] == "binary"
+    rows = {r.doc_id: r for r in p.collect()}
+    assert bytes(rows[1].payload) == b"abc"
+    assert rows[1].meta.n_bytes == 3 and rows[1].meta.modality == "text"
+    assert rows[2].meta.n_bytes == 0
+
+
+def test_decode_features_matches_local_computation(docs):
+    out = {r.doc_id: r for r in decode_features(with_binary_payload(docs)).collect()}
+    import pandas as pd
+
+    expect = fake_decode_batch(pd.Series([b"abc", b"", b"hello world"]))
+    assert out[1].feature == expect[0]
+    assert out[2].feature == expect[1]
+    assert out[3].feature == expect[2]
+    assert out[3].n_bytes == 11
+
+
+def test_real_codec_is_explicit_stub(docs):
+    with pytest.raises(NotImplementedError):
+        decode_features(with_binary_payload(docs), real_codec=True)
+
+
+def test_meta_oracle_parity(spark, sf_check):
+    assert_matches_oracle(
+        registry.QUERIES["multimodal_meta"](spark, sf_check),
+        registry.ORACLES["multimodal_meta"],
+        sf_check,
+    )

@@ -1,0 +1,64 @@
+"""Text-analysis operators: unit properties + oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_grpc_spark import registry
+from mapreduce_implementation_grpc_spark.functions.text_stats import (
+    bpe_like_token_count_col,
+    quality_score_col,
+    rolling_hash_col,
+)
+from tests.oracle_utils import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The quick brown fox!"),
+            Row(doc_id=2, text="a a a a a"),
+            Row(doc_id=3, text="!!!"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+
+
+def test_quality_bounds(docs):
+    rows = docs.select(quality_score_col("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_bpe_count_vs_ws(docs):
+    # each token contributes >= 1 BPE unit, so bpe >= ws count
+    rows = docs.select(
+        F.size(
+            F.filter(F.split(F.trim(F.lower(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))), r"\s+"),
+                     lambda t: t != F.lit(""))
+        ).alias("ws"),
+        bpe_like_token_count_col("text").alias("bpe"),
+    ).collect()
+    for r in rows:
+        assert r.bpe >= max(r.ws, 0)
+
+
+def test_rolling_hash_order_sensitive(spark):
+    a = spark.createDataFrame([Row(text="alpha beta gamma")])
+    b = spark.createDataFrame([Row(text="gamma beta alpha")])
+    ha = a.select(rolling_hash_col("text").alias("h")).collect()[0].h
+    hb = b.select(rolling_hash_col("text").alias("h")).collect()[0].h
+    assert ha != hb  # order matters, unlike a bag-of-words hash
+    ha2 = a.select(rolling_hash_col("text").alias("h")).collect()[0].h
+    assert ha == ha2  # deterministic
+
+
+@pytest.mark.parametrize(
+    "name", ["text_stats", "quality_score", "lang_id", "token_counts", "doc_fingerprint"]
+)
+def test_oracle_parity(spark, sf_check, name):
+    assert_matches_oracle(
+        registry.QUERIES[name](spark, sf_check), registry.ORACLES[name], sf_check
+    )
