@@ -1,6 +1,6 @@
 from .normalize import normalize_text, normalized_col
 from .tokenize import tokenize, tokens_col
-from .wordcount import word_count, word_count_rdd, word_count_sql
+from .wordcount import word_count, word_count_rdd, word_count_salted, word_count_sql
 from .topk import top_k
 
 __all__ = [
@@ -10,6 +10,7 @@ __all__ = [
     "tokens_col",
     "word_count",
     "word_count_rdd",
+    "word_count_salted",
     "word_count_sql",
     "top_k",
 ]

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_col
+from ..functions.vectors import dot_col, l2_norm_col
 
 DEFAULT_NUM_PLANES = 8
 LCG_A = 1103515245
@@ -69,13 +69,18 @@ def knn_brute_force(
     queries: DataFrame[query_id, qvec]. Broadcast join (no shuffle of
     the corpus); per-query top-k via rank over (rounded sim desc,
     vec_id asc) -- rounding first makes the cut deterministic across
-    engines whose last-ulp sums differ."""
-    corpus = emb.select(F.col("vec_id"), F.col(vec_col).alias("vec"))
-    scored = F.broadcast(queries).crossJoin(corpus).filter(F.col("query_id") != F.col("vec_id"))
+    engines whose last-ulp sums differ. Norms are projected BEFORE the
+    join (once per row, not once per pair); only the dot product is
+    per-pair work."""
+    corpus = emb.select(
+        F.col("vec_id"), F.col(vec_col).alias("vec"), l2_norm_col(vec_col).alias("vnorm")
+    )
+    q = queries.select("query_id", "qvec", l2_norm_col("qvec").alias("qnorm"))
+    scored = F.broadcast(q).crossJoin(corpus).filter(F.col("query_id") != F.col("vec_id"))
     scored = scored.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_col("qvec", "vec"), 6).alias("cosine"),
+        F.round(dot_col("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -99,9 +104,11 @@ def ann_lsh_topk(
     when the corpus is too large to scan per query batch."""
     planes = lsh_planes(num_planes, dim)
     corpus = with_lsh_bucket(emb, vec_col, num_planes, dim).select(
-        "vec_id", F.col(vec_col).alias("vec"), "bucket"
+        "vec_id", F.col(vec_col).alias("vec"), "bucket", l2_norm_col(vec_col).alias("vnorm")
     )
-    q = queries.withColumn("bucket", _bucket_col(F.col("qvec"), planes))
+    q = queries.withColumn("bucket", _bucket_col(F.col("qvec"), planes)).withColumn(
+        "qnorm", l2_norm_col("qvec")
+    )
     scored = (
         F.broadcast(q)
         .join(corpus, "bucket")
@@ -110,7 +117,7 @@ def ann_lsh_topk(
             "query_id",
             "bucket",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col("qvec", "vec"), 6).alias("cosine"),
+            F.round(dot_col("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -137,7 +144,8 @@ def embedding_dup_pairs(
     path (near-dups at cosine>=0.99 collide on all planes with high
     probability)."""
     base = with_lsh_bucket(emb, vec_col, num_planes, dim) if use_lsh else emb
-    cols = ["vec_id", vec_col] + (["bucket"] if use_lsh else [])
+    base = base.withColumn("nrm", l2_norm_col(vec_col))  # once per row, pre-join
+    cols = ["vec_id", vec_col, "nrm"] + (["bucket"] if use_lsh else [])
     a = base.select(*[F.col(c).alias(f"a_{c}") for c in cols])
     b = base.select(*[F.col(c).alias(f"b_{c}") for c in cols])
     cond = F.col("a_vec_id") < F.col("b_vec_id")
@@ -149,7 +157,9 @@ def embedding_dup_pairs(
         join.select(
             F.col("a_vec_id").alias("vec_a"),
             F.col("b_vec_id").alias("vec_b"),
-            F.round(cosine_col(f"a_{vec_col}", f"b_{vec_col}"), 6).alias("cosine"),
+            F.round(
+                dot_col(f"a_{vec_col}", f"b_{vec_col}") / (F.col("a_nrm") * F.col("b_nrm")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )

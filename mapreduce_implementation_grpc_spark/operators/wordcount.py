@@ -58,6 +58,27 @@ def word_count_sql(spark: SparkSession, corpus: DataFrame, text_col: str = "line
     )
 
 
+def word_count_salted(corpus: DataFrame, text_col: str = "line", salt_buckets: int = 16) -> DataFrame:
+    """Skew-resilient two-stage aggregation: groupBy(word, salt) then
+    groupBy(word).
+
+    The reference corpus has a real heavy hitter ('flight' ~3% of all
+    tokens, SURVEY.md F1) and at 100 TB a hot key can overwhelm the
+    single reducer that owns it. Salting splits each key across
+    `salt_buckets` reducers in stage 1; stage 2 merges the per-salt
+    partials (cheap: salt_buckets rows per distinct word). With AQE's
+    skew handling this is usually unnecessary for joins, but
+    aggregation skew on a hot GROUP BY key is still the user's problem
+    -- this operator is the pattern. Result identical to word_count.
+    """
+    words = tokenize(corpus.select(normalized_col(text_col).alias("norm")), "norm")
+    salted = words.withColumn(
+        "salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("word", "salt").agg(F.count("*").alias("c"))
+    return partial.groupBy("word").agg(F.sum("c").alias("cnt"))
+
+
 def word_count_rdd(corpus: DataFrame, text_col: str = "line") -> DataFrame:
     """RDD lineage: textFile-like -> flatMap(split) -> map((w,1)) ->
     reduceByKey(add). Normalization is done JVM-side first so Python

@@ -152,6 +152,104 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_seconds: int = 1800)
     )
 
 
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (event_type, day): subtotals per type, per
+    (type, day), and a grand total -- one pass, one shuffle (Spark
+    expands grouping sets map-side). The reference has no grouping
+    sets at all (SURVEY.md 2a)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return (
+        ev.select(F.col("event_type"), day, F.col("value"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n_events"), _dec2dbl(F.sum(_dec(F.col("value")))).alias("sum_value"))
+    )
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference): customers ordering
+    in consecutive years 1995 AND 1996 but NOT in 1997, via
+    INTERSECT/EXCEPT -- planned as semi/anti joins over pre-aggregated
+    keys, no row explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def in_year(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+        )
+
+    return (
+        in_year(1995).intersect(in_year(1996)).subtract(in_year(1997))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent from the reference): exact
+    count(DISTINCT user_id) per event_type. Spark plans this as a
+    two-phase expand + aggregation; see approx_distinct_users for the
+    sketch-based form that avoids the distinct shuffle entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts: one pass, fixed-size sketch per
+    group, no distinct expansion -- the 100 TB path for cardinality.
+    No oracle (sketch internals are engine-specific); pytest asserts
+    relative error vs the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order histogram: date_trunc bucketing + decimal money
+    aggregation, the canonical reporting scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec2dbl(F.sum(_dec(F.col("o_totalprice")))).alias("revenue"),
+            F.round(
+                _dec2dbl(F.sum(_dec(F.col("o_totalprice")))) / F.count("*"), 6
+            ).alias("avg_order_value"),
+        )
+    )
+
+
+def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of-style lookup inside one stream: for every event, the
+    timestamp of that user's most recent *earlier* 'error' event --
+    a conditional running max window (the general as-of-join shape
+    when the probe and build sides share a partition key). One
+    shuffle on user_id, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_err = F.max(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format(last_err, "yyyy-MM-dd HH:mm:ss").alias("last_error_ts"),
+    )
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.$.k out of the JSON
     payload column, aggregate by event_type. JVM-side JSON path --

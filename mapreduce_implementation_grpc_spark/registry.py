@@ -47,7 +47,8 @@ from .operators.similarity import (
 )
 from .operators.tokenize import tokenize
 from .operators.topk import top_k
-from .operators.wordcount import word_count, word_count_rdd
+from .functions.tfidf import tfidf_top_terms
+from .operators.wordcount import word_count, word_count_rdd, word_count_salted
 from .plans import analytics
 from .multimodal.binary_ops import decode_features, with_binary_payload
 from .sources.catalog import load_table
@@ -104,6 +105,15 @@ def q_wordcount_topn(spark: SparkSession, sf_dir: str, n: int = 100) -> DataFram
 def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE 'RDD API' surface: flatMap -> map -> reduceByKey."""
     return word_count_rdd(corpus_from_documents(spark, sf_dir))
+
+
+def q_wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path: two-stage salted aggregation, identical result."""
+    return word_count_salted(corpus_from_documents(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +264,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 q_pricing_summary = analytics.pricing_summary
+q_events_rollup = analytics.events_rollup
+q_repeat_customers = analytics.repeat_customers
+q_distinct_users = analytics.distinct_users_daily
+q_approx_distinct_users = analytics.approx_distinct_users
+q_orders_monthly = analytics.orders_monthly
+q_events_asof_error = analytics.events_asof_last_error
 q_revenue_by_nation = analytics.revenue_by_nation
 q_top_customers = analytics.top_customers
 q_customer_order_ranks = analytics.customer_order_ranks
@@ -417,6 +433,60 @@ ORACLES: dict[str, str] = {
              sha256(text) AS content_sha256
       FROM documents
     """,
+    # salted wordcount + tf-idf
+    "wordcount_salted": _SQL_WORDCOUNT,
+    "tfidf_top_terms": f"""
+      WITH w AS (SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+')) AS word
+             FROM documents) WHERE word <> ''),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      idf AS (SELECT word, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM dfq, n),
+      s AS (SELECT doc_id, tf.word AS word, tf, round(tf * idf, 6) AS score
+            FROM tf JOIN idf USING (word))
+      SELECT doc_id, word, tf, score, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, word ASC) AS rn FROM s)
+      WHERE rn <= 3
+    """,
+    # grouping sets / set ops / distinct / date histograms / as-of
+    "events_rollup": """
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM events GROUP BY ROLLUP(event_type, day)
+    """,
+    "repeat_customers": """
+      SELECT o_custkey AS custkey FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    """,
+    "distinct_users": """
+      SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      FROM events GROUP BY event_type
+    """,
+    "orders_monthly": """
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+             round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                   / count(*), 6) AS avg_order_value
+      FROM orders GROUP BY 1
+    """,
+    "events_asof_error": """
+      SELECT event_id, user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             strftime(max(CASE WHEN event_type = 'error' THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      '%Y-%m-%d %H:%M:%S') AS last_error_ts
+      FROM events
+    """,
     # relational analytics
     "pricing_summary": """
       SELECT l_returnflag, l_linestatus,
@@ -497,6 +567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordcount": q_wordcount,
     "wordcount_topn": q_wordcount_topn,
     "wordcount_rdd": q_wordcount_rdd,
+    "wordcount_salted": q_wordcount_salted,
     "corpus_stats": q_corpus_stats,
     "map_task_stats": q_map_task_stats,
     # text analysis
@@ -505,6 +576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_top_terms": q_tfidf_top_terms,
     # dedup
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -527,6 +599,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_json_stats": q_events_json_stats,
+    "events_rollup": q_events_rollup,
+    "repeat_customers": q_repeat_customers,
+    "distinct_users": q_distinct_users,
+    "approx_distinct_users": q_approx_distinct_users,  # rows-only (HLL sketch)
+    "orders_monthly": q_orders_monthly,
+    "events_asof_error": q_events_asof_error,
 }
 
 # Headline set for bench.py: widest-coverage representatives, excluding
@@ -534,6 +612,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 BENCH_QUERIES = [
     "wordcount",
     "wordcount_topn",
+    "wordcount_salted",
+    "tfidf_top_terms",
+    "events_rollup",
+    "distinct_users",
+    "orders_monthly",
+    "events_asof_error",
     "text_stats",
     "quality_score",
     "token_counts",
