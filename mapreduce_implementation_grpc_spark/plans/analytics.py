@@ -250,6 +250,58 @@ def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type. The
+    pivot values are declared explicitly -- with them, Spark skips the
+    extra distinct-values job and plans a single aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate: per-customer running revenue in
+    order-date order. The running sum is decimal (exact at every
+    prefix) and string-routed to double per row, so engines agree on
+    every partial, not just the final total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        _dec2dbl(F.sum(_dec(F.col("o_totalprice"))).over(w)).alias("running_revenue"),
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, emitted flat as (label, pos,
+    centroid): posexplode -> groupBy(label, pos) -> avg. The flat
+    shape is the scalable one -- element-wise means need no array
+    reassembly shuffle, and downstream consumers (e.g. IVF-style
+    coarse quantization) join on (label, pos) directly. Rows-only
+    check: float summation order is partition-dependent, so no
+    cross-engine hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        flat.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.$.k out of the JSON
     payload column, aggregate by event_type. JVM-side JSON path --

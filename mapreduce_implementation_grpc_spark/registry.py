@@ -270,6 +270,9 @@ q_distinct_users = analytics.distinct_users_daily
 q_approx_distinct_users = analytics.approx_distinct_users
 q_orders_monthly = analytics.orders_monthly
 q_events_asof_error = analytics.events_asof_last_error
+q_events_pivot = analytics.events_pivot_daily
+q_orders_running_total = analytics.orders_running_total
+q_label_centroids = analytics.label_centroids
 q_revenue_by_nation = analytics.revenue_by_nation
 q_top_customers = analytics.top_customers
 q_customer_order_ranks = analytics.customer_order_ranks
@@ -478,6 +481,23 @@ ORACLES: dict[str, str] = {
                    / count(*), 6) AS avg_order_value
       FROM orders GROUP BY 1
     """,
+    "events_pivot": """
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY 1
+    """,
+    "orders_running_total": """
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+                  AS DOUBLE) AS running_revenue
+      FROM orders
+    """,
     "events_asof_error": """
       SELECT event_id, user_id, event_type,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -605,6 +625,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (HLL sketch)
     "orders_monthly": q_orders_monthly,
     "events_asof_error": q_events_asof_error,
+    "events_pivot": q_events_pivot,
+    "orders_running_total": q_orders_running_total,
+    "label_centroids": q_label_centroids,  # rows-only (float sum order)
 }
 
 # Headline set for bench.py: widest-coverage representatives, excluding
@@ -618,6 +641,8 @@ BENCH_QUERIES = [
     "distinct_users",
     "orders_monthly",
     "events_asof_error",
+    "events_pivot",
+    "orders_running_total",
     "text_stats",
     "quality_score",
     "token_counts",

@@ -1,0 +1,60 @@
+"""Faithful I/O surface: O1 text scan, O10 overwrite sinks, and the
+reference's "<word> <count>" output format (greeter_server.cc:115-121,
+MapOutputTask format)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_grpc_spark.operators import word_count
+from mapreduce_implementation_grpc_spark.sources import read_text_corpus, with_task_id
+from mapreduce_implementation_grpc_spark.sources.sinks import (
+    write_parquet,
+    write_word_counts_text,
+)
+
+
+def test_text_scan_wordcount_roundtrip(spark, tmp_path):
+    """O1: newline-delimited text -> word_count == same corpus via
+    in-memory DataFrame (scan path is semantics-free)."""
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "part1.txt").write_text("Hello world!\nhello AGAIN\n")
+    (src / "part2.txt").write_text("world world\n")
+    corpus = read_text_corpus(spark, str(src), min_partitions=4)
+    got = {r.word: r.cnt for r in word_count(corpus).collect()}
+    assert got == {"hello": 2, "world": 3, "again": 1}
+
+
+def test_word_counts_text_sink_reference_format(spark, tmp_path):
+    """O10: output lines are exactly '<word> <count>', overwrite mode
+    works, and a second write replaces the first."""
+    out = str(tmp_path / "wc_out")
+    df = spark.createDataFrame([("alpha", 3), ("beta", 1)], ["word", "cnt"])
+    write_word_counts_text(df, out)
+    lines = set(spark.read.text(out).toPandas()["value"])
+    assert lines == {"alpha 3", "beta 1"}
+    write_word_counts_text(df.filter(F.col("word") == "alpha"), out)
+    lines2 = set(spark.read.text(out).toPandas()["value"])
+    assert lines2 == {"alpha 3"}  # -f overwrite semantics
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    out = str(tmp_path / "pq_out")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], ["id", "grp", "v"]
+    )
+    write_parquet(df, out, partition_by=["grp"])
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning: reading one partition touches only its files
+    pruned = back.filter(F.col("grp") == "a")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(grp" in plan
+
+
+def test_task_id_mirrors_reference_split(spark):
+    df = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    got = {r.doc_id: r.task_id for r in with_task_id(df).collect()}
+    assert got == {i: i % 4 for i in range(8)}
