@@ -237,6 +237,65 @@ def minhash_near_dup_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_est_jaccard: float = 0.3,
+    max_iter: int = 6,
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash
+    pair graph via iterative min-label propagation. Output:
+    (doc_id, cluster) where cluster = smallest doc_id reachable --
+    the canonical representative a dedup pipeline keeps.
+
+    Iterative-algorithm shape for Spark: each round is one join +
+    aggregation; localCheckpoint() truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1. Near-dup components have
+    tiny diameters in practice, so the loop exits early via an
+    inexpensive changed-count check. Not SQL-expressible in one
+    query -- validated by metamorphic tests (chained near-dups merge
+    into one cluster) and the driver's rows-only check."""
+    pairs = minhash_near_dup_pairs(docs, text_col, min_est_jaccard=min_est_jaccard).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("nlabel")),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nlabel").alias("minn"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                labels.doc_id,
+                F.least(F.col("label"), F.coalesce(F.col("minn"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster"))
+
+
 def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens: bit i of the fingerprint is the
     sign of sum over tokens of (+1 if bit i of xxhash64(token) else

@@ -302,6 +302,31 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str, since: str = "2000-01-01") -> DataFrame:
+    """Anti join: customers with no orders since a cutoff (lapsed
+    customers). Planned as a hash anti join; the date filter pushes
+    into the orders scan so the build side only carries recent keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit(since))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+    )
+
+
+def brands_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join + aggregation: parts that actually shipped, counted
+    per brand. Semi join keeps the probe side narrow (no row
+    multiplication from the many-lineitem side)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.$.k out of the JSON
     payload column, aggregate by event_type. JVM-side JSON path --

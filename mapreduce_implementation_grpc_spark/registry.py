@@ -32,6 +32,7 @@ from .functions.text_stats import (
     text_stats_cols,
 )
 from .operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -195,6 +196,11 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components over the near-dup graph."""
+    return dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_64(load_table(spark, sf_dir, "documents"))
 
@@ -271,6 +277,8 @@ q_approx_distinct_users = analytics.approx_distinct_users
 q_orders_monthly = analytics.orders_monthly
 q_events_asof_error = analytics.events_asof_last_error
 q_events_pivot = analytics.events_pivot_daily
+q_customers_without_orders = analytics.customers_without_orders
+q_brands_shipped = analytics.brands_shipped
 q_orders_running_total = analytics.orders_running_total
 q_label_centroids = analytics.label_centroids
 q_revenue_by_nation = analytics.revenue_by_nation
@@ -490,6 +498,17 @@ ORACLES: dict[str, str] = {
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY 1
     """,
+    "customers_without_orders": """
+      SELECT c_custkey AS custkey, c_name AS name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    "brands_shipped": """
+      SELECT p_brand, count(*) AS n_parts FROM part
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      GROUP BY p_brand
+    """,
     "orders_running_total": """
       SELECT o_custkey AS custkey, o_orderkey AS orderkey,
              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -601,6 +620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,       # rows-only (xxhash64)
+    "dedup_clusters": q_dedup_clusters,           # rows-only (iterative)
     "simhash": q_simhash,                         # rows-only (xxhash64)
     "simhash_pairs": q_simhash_pairs,             # rows-only (xxhash64)
     # similarity
@@ -627,6 +647,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_error": q_events_asof_error,
     "events_pivot": q_events_pivot,
     "orders_running_total": q_orders_running_total,
+    "customers_without_orders": q_customers_without_orders,
+    "brands_shipped": q_brands_shipped,
     "label_centroids": q_label_centroids,  # rows-only (float sum order)
 }
 

@@ -1,11 +1,13 @@
 from .pipelines import (
     streaming_event_counts,
     streaming_sessionize,
+    streaming_user_totals_stateful,
     streaming_word_count,
 )
 
 __all__ = [
     "streaming_event_counts",
     "streaming_sessionize",
+    "streaming_user_totals_stateful",
     "streaming_word_count",
 ]

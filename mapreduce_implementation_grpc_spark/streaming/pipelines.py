@@ -33,6 +33,50 @@ from ..operators.normalize import normalized_col
 from ..operators.tokenize import tokens_col
 
 
+def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value total across ALL microbatches --
+    state the built-in aggregations can't shape arbitrarily (this is
+    the hook for custom sketches, decayed counters, session models).
+
+    State is one row per user_id (bounded by user cardinality, not
+    stream length); each microbatch updates only the groups it
+    touches. Output mode 'update'."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_word_count(lines: DataFrame, text_col: str = "line") -> DataFrame:
     """Unbounded word count: same O2/O5/O6+O9 pipeline, incremental.
     Use outputMode('complete') (or 'update') on the sink."""

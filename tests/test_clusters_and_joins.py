@@ -1,0 +1,48 @@
+"""Iterative dedup clustering (metamorphic) + semi/anti join parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mapreduce_implementation_grpc_spark import registry
+from mapreduce_implementation_grpc_spark.operators.dedup import dedup_clusters
+from tests.oracle_utils import assert_matches_oracle
+
+BASE = "spark shuffles data between stages when a wide dependency appears in the final plan"
+
+
+@pytest.fixture(scope="module")
+def chained_docs(spark):
+    # A~B (1 word changed), B~C (1 more word changed); A and C differ
+    # by 2 words; D is unrelated. Transitive closure must merge A,B,C.
+    a = BASE
+    b = BASE.replace("appears", "shows")
+    c = b.replace("wide", "broad")
+    d = "entirely unrelated cooking text about pasta garlic butter and fresh basil leaves tonight"
+    return spark.createDataFrame(
+        [Row(doc_id=10, text=a), Row(doc_id=20, text=b), Row(doc_id=30, text=c), Row(doc_id=40, text=d)]
+    )
+
+
+def test_chained_near_dups_merge_into_one_cluster(chained_docs):
+    clusters = {r.doc_id: r.cluster for r in dedup_clusters(chained_docs).collect()}
+    # D never near-dups anything, so it has no edges and no cluster row
+    assert 40 not in clusters
+    assert clusters[10] == clusters[20] == clusters[30] == 10  # min id wins
+
+
+def test_cluster_ids_are_member_min(spark, sf_check):
+    rows = registry.QUERIES["dedup_clusters"](spark, sf_check).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+
+
+@pytest.mark.parametrize("name", ["customers_without_orders", "brands_shipped"])
+def test_join_oracle_parity(spark, sf_check, name):
+    assert_matches_oracle(
+        registry.QUERIES[name](spark, sf_check), registry.ORACLES[name], sf_check
+    )
