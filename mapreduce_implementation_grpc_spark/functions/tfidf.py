@@ -26,19 +26,24 @@ from ..operators.tokenize import tokenize
 
 
 def tfidf_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """DataFrame[doc_id, word, tf, score] for every (doc, term)."""
+    """DataFrame[doc_id, word, tf, score] for every (doc, term).
+
+    df(t) is a count()-over-Window(word) on the tf result rather than
+    a groupBy+self-join: a join-based df branch re-scans and
+    re-tokenizes the whole corpus (column pruning rewrites the count
+    to a distinct, so the shuffle is not reusable) -- the window form
+    is one scan and one fewer shuffle. The count-only window needs no
+    ordering, so even a hot word's partition is a single streaming
+    pass."""
     words = tokenize(
         docs.select("doc_id", normalized_col(text_col).alias("norm")), "norm", keep=["doc_id"]
     )
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    df_t = tf.groupBy("word").agg(F.count("*").alias("df"))
-    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
-        "word",
-        (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias("idf"),
-    )
-    return tf.join(F.broadcast(idf), "word").select(
-        "doc_id", "word", "tf", F.round(F.col("tf") * F.col("idf"), 6).alias("score")
+    df_t = F.count("*").over(Window.partitionBy("word"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (df_t + F.lit(1.0))) + F.lit(1.0)
+    return tf.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id", "word", "tf", F.round(F.col("tf") * idf, 6).alias("score")
     )
 
 

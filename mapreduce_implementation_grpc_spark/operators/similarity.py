@@ -128,6 +128,74 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(emb: DataFrame, vec_col: str = "embedding", by: str = "label") -> DataFrame:
+    """Coarse-quantizer centroids: element-wise mean per partition key
+    (the `label` column stands in for k-means cell ids -- at 100 TB
+    the cells come from a sampled k-means; the serving plan below is
+    identical either way). Two-stage: posexplode -> (key,pos) means ->
+    reassemble ordered arrays. Centroid count = #cells: tiny,
+    broadcastable."""
+    flat = emb.select(F.col(by).alias("cell"), F.posexplode(vec_col).alias("pos", "v"))
+    means = flat.groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    return (
+        means.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    by: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: route each query to its n_probe nearest
+    centroids, scan only those cells' inverted lists, exact cosine
+    within. The corpus is touched once per probed cell (a broadcast
+    semi-filter on `cell`), never cross-joined; recall is tuned by
+    n_probe. Complements ann_lsh_topk: IVF wins when vectors cluster,
+    LSH when they don't."""
+    cents = ivf_centroids(emb, vec_col, by)
+    q = queries.select("query_id", "qvec", l2_norm_col("qvec").alias("qnorm"))
+    # assign queries to cells: queries x centroids is (|Q| x #cells) -- tiny
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qvec", "qnorm", "cell",
+            (dot_col("qvec", "cvec") / (F.col("qnorm") * l2_norm_col("cvec"))).alias("csim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= n_probe).select(
+        "query_id", "qvec", "qnorm", "cell"
+    )
+    corpus = emb.select(
+        F.col("vec_id"), F.col(by).alias("cell"), F.col(vec_col).alias("vec"),
+        l2_norm_col(vec_col).alias("vnorm"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot_col("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",

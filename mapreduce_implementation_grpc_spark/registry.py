@@ -41,6 +41,7 @@ from .operators.dedup import (
 )
 from .operators.normalize import normalized_col
 from .operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     embedding_dup_pairs,
     knn_brute_force,
@@ -230,6 +231,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     ann = ann_lsh_topk(emb, _query_vectors(spark, sf_dir), k=5)
     return ann.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (rows-only: float centroid means)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=5)
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,                         # rows-only (float centroids)
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,  # rows-only (recall<1 scale path)
     # multimodal

@@ -70,3 +70,44 @@ def test_oracle_parity(spark, sf_check, name):
     assert_matches_oracle(
         registry.QUERIES[name](spark, sf_check), registry.ORACLES[name], sf_check
     )
+
+
+def test_ann_ivf_structure(spark, sf_check):
+    from mapreduce_implementation_grpc_spark import registry
+
+    ivf = registry.QUERIES["ann_ivf"](spark, sf_check).collect()
+    assert len(ivf) > 0
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) <= 5
+        assert len({r.cell for r in rows}) <= 2  # n_probe bound
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != qid for r in rows)
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(spark):
+    """With n_probe = #cells, IVF must return exactly the brute-force
+    top-k (same data path, no pruning)."""
+    from pyspark.sql import Row
+    from mapreduce_implementation_grpc_spark.operators.similarity import ann_ivf_topk
+
+    rows = [
+        Row(vec_id=0, label=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, label=0, embedding=[0.9, 0.1, 0.0, 0.0]),
+        Row(vec_id=2, label=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, label=1, embedding=[0.1, 0.9, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    brute = knn_brute_force(emb, q, k=3).collect()
+    ivf = ann_ivf_topk(emb, q, k=3, n_probe=2).collect()
+    assert [(r.neighbor_id, r.cosine) for r in ivf] == [
+        (r.neighbor_id, r.cosine) for r in brute
+    ]

@@ -1,0 +1,105 @@
+"""Scale-up probe: replicate the sf0.1 corpus in memory (crossJoin
+with a literal range -- no files written) and measure how the core
+operators scale with input size on local[N].
+
+Purpose: evidence that operator cost is linear in rows (aggregation,
+text analysis) or candidate-bounded (MinHash LSH), i.e. that the
+plans would survive a 100x scale-up given proportional executors.
+
+Usage: python tools/scaling_probe.py [multipliers...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_grpc_spark.operators.dedup import minhash_near_dup_pairs
+from mapreduce_implementation_grpc_spark.operators.wordcount import word_count
+from mapreduce_implementation_grpc_spark.functions.text_stats import text_stats_cols
+from mapreduce_implementation_grpc_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(docs, mult: int):
+    """mult copies with distinct doc_ids (copy c shifts ids by c*10^9)."""
+    copies = docs.crossJoin(F.broadcast(
+        docs.sparkSession.range(mult).select(F.col("id").alias("copy"))
+    ))
+    return copies.select(
+        (F.col("doc_id") + F.col("copy") * F.lit(1_000_000_000)).alias("doc_id"),
+        "text",
+    ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch window spark "
+    "order data column join small line customer query a the big stream filter "
+    "sort group vector dup"
+).split()
+
+
+def synth_corpus(spark, n_docs: int, tokens_per_doc: int = 60):
+    """n_docs distinct pseudo-random docs over the test vocabulary,
+    generated Spark-side (hash-indexed vocab picks; no driver data).
+    Pairwise jaccard is low, so near-dup pair output stays tiny and
+    the probe measures the LSH pipeline itself, not true-dup recall."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(tokens_per_doc)),
+                lambda i: F.element_at(
+                    vocab, (F.pmod(F.xxhash64(F.col("id"), i), F.lit(len(VOCAB))) + 1).cast("int")
+                ),
+            ),
+        ).alias("text"),
+    ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+
+
+def run_suite(docs) -> dict:
+    n = docs.count()
+    t0 = time.perf_counter()
+    word_count(docs, "text").count()
+    t_wc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    docs.select("doc_id", *text_stats_cols("text")).count()
+    t_stats = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pairs = minhash_near_dup_pairs(docs).count()
+    t_minhash = time.perf_counter() - t0
+    return {
+        "docs": n,
+        "wordcount_s": round(t_wc, 2),
+        "text_stats_s": round(t_stats, 2),
+        "minhash_s": round(t_minhash, 2),
+        "minhash_pairs": n_pairs,
+    }
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "synth"
+    sizes = [int(m) for m in sys.argv[2:]] or ([5000, 50000, 250000] if mode == "synth" else [1, 10, 50])
+    spark = get_spark(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    base.count()  # warm
+
+    for s in sizes:
+        docs = synth_corpus(spark, s) if mode == "synth" else replicate(base, s)
+        out = {"mode": mode, "size": s, **run_suite(docs)}
+        print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
