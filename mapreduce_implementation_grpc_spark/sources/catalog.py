@@ -38,6 +38,12 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; filters/projections placed on the result are
     pushed into the parquet scan by Catalyst."""
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark 4
+        # rejects outright; set the legacy int64 fallback at runtime so
+        # the engine also works under SparkSessions it did not build
+        # (e.g. the external verify driver's)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as int64 nanos under
     # spark.sql.legacy.parquet.nanosAsLong; convert with exact integer
