@@ -73,6 +73,93 @@ def fake_decode_batch(payloads: pd.Series) -> list[list[float]]:
     return out
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", StringType()),  # BinaryType in a real pipeline
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(payload_df: DataFrame, every_k: int = 4, frame_bytes: int = 16,
+                  real_codec: bool = False) -> DataFrame:
+    """Frame sampling for video-like payloads: emit every k-th
+    fixed-size chunk of the payload as a 'frame' row (1 input row ->
+    N output rows -- the mapInPandas shape a real ffmpeg-based
+    sampler uses; here the chunker is the deterministic stand-in).
+    Row explosion happens executor-side per Arrow batch; nothing is
+    widened before the scan."""
+    if real_codec:
+        raise NotImplementedError(
+            "video codecs are not installed in this environment; "
+            "replace the chunker with an ffmpeg/pyav frame iterator"
+        )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw) if raw is not None else b""
+                chunks = [b[i:i + frame_bytes] for i in range(0, len(b), frame_bytes)]
+                for idx, chunk in enumerate(chunks[::every_k]):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(chunk.hex())
+                    out["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return payload_df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("thumb", StringType()),  # BinaryType in a real pipeline
+    ]
+)
+
+
+def resize_images(payload_df: DataFrame, width: int = 8, height: int = 8,
+                  real_codec: bool = False) -> DataFrame:
+    """Image resize for image-like payloads. The deterministic
+    stand-in 'resizes' by striding the byte stream down to
+    width*height samples; a real pipeline drops PIL/opencv into the
+    same per-batch slot -- schema, batching, and partition behavior
+    are identical."""
+    if real_codec:
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; "
+            "replace the strider with PIL.Image.resize"
+        )
+
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for raw in pdf["payload"]:
+                b = bytes(raw) if raw is not None else b""
+                if len(b) == 0:
+                    thumbs.append("")
+                    continue
+                step = max(1, len(b) // target)
+                thumbs.append(b[::step][:target].hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return payload_df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def decode_features(payload_df: DataFrame, real_codec: bool = False) -> DataFrame:
     """Arrow-batched decode: binary payload -> fixed-width feature
     vector via mapInPandas (one Python crossing per ~10k-row batch).

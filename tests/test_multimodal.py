@@ -53,3 +53,35 @@ def test_meta_oracle_parity(spark, sf_check):
         registry.ORACLES["multimodal_meta"],
         sf_check,
     )
+
+
+def test_sample_frames_chunking(spark):
+    from mapreduce_implementation_grpc_spark.multimodal import sample_frames
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x" * 100)])
+    frames = sample_frames(with_binary_payload(docs), every_k=2, frame_bytes=16).collect()
+    # 100 bytes -> 7 chunks of <=16 -> every 2nd -> 4 frames
+    assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
+    assert frames[0].n_bytes == 16
+    assert frames[0].frame == ("78" * 16)  # 'x' == 0x78
+
+
+def test_resize_images_fixed_output(spark):
+    from mapreduce_implementation_grpc_spark.multimodal import resize_images
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="abcdefgh" * 32), Row(doc_id=2, text="")])
+    out = {r.doc_id: r for r in resize_images(with_binary_payload(docs), 4, 4).collect()}
+    assert len(out[1].thumb) == 2 * 16  # 16 sampled bytes, hex-encoded
+    assert out[2].thumb == ""
+    assert out[1].width == 4 and out[1].height == 4
+
+
+def test_media_stubs_raise_for_real_codec(spark):
+    from mapreduce_implementation_grpc_spark.multimodal import resize_images, sample_frames
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="abc")])
+    p = with_binary_payload(docs)
+    with pytest.raises(NotImplementedError):
+        sample_frames(p, real_codec=True)
+    with pytest.raises(NotImplementedError):
+        resize_images(p, real_codec=True)

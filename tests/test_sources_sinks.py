@@ -58,3 +58,27 @@ def test_task_id_mirrors_reference_split(spark):
     df = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
     got = {r.doc_id: r.task_id for r in with_task_id(df).collect()}
     assert got == {i: i % 4 for i in range(8)}
+
+
+def test_csv_and_jsonl_sources(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mapreduce_implementation_grpc_spark.sources.text import (
+        read_csv_table,
+        read_jsonl_table,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "a.csv").write_text("id,name\n1,alpha\n2,beta\n")
+    got = sorted(map(tuple, read_csv_table(spark, str(csv_dir), schema).collect()))
+    assert got == [(1, "alpha"), (2, "beta")]
+
+    jl_dir = tmp_path / "jl"
+    jl_dir.mkdir()
+    (jl_dir / "a.jsonl").write_text('{"id": 3, "name": "gamma"}\n{"id": 4, "name": null}\n')
+    got2 = sorted(map(tuple, read_jsonl_table(spark, str(jl_dir), schema).collect()))
+    assert got2 == [(3, "gamma"), (4, None)]
