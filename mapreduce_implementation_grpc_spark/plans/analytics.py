@@ -302,6 +302,38 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event_type (linear interpolation --
+    matches DuckDB quantile_cont bit-for-bit). Exact percentile sorts
+    each group; the approx_percentile sketch is the 100 TB path when
+    a bounded-memory one-pass answer suffices."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: for each event, how many of the same
+    user's events fall in the trailing hour (inclusive). Range frames
+    over epoch seconds -- the time-decayed-feature shape (rate
+    limiting, burst detection) computed in one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_hour"),
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str, since: str = "2000-01-01") -> DataFrame:
     """Anti join: customers with no orders since a cutoff (lapsed
     customers). Planned as a hash anti join; the date filter pushes

@@ -286,6 +286,8 @@ q_events_asof_error = analytics.events_asof_last_error
 q_events_pivot = analytics.events_pivot_daily
 q_customers_without_orders = analytics.customers_without_orders
 q_brands_shipped = analytics.brands_shipped
+q_events_quantiles = analytics.events_value_quantiles
+q_events_trailing_hour = analytics.events_trailing_hour
 q_orders_running_total = analytics.orders_running_total
 q_label_centroids = analytics.label_centroids
 q_revenue_by_nation = analytics.revenue_by_nation
@@ -505,6 +507,21 @@ ORACLES: dict[str, str] = {
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY 1
     """,
+    "events_quantiles": """
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             round(quantile_cont(value, 0.99), 6) AS p99,
+             count(*) AS n_events
+      FROM events GROUP BY event_type
+    """,
+    "events_trailing_hour": """
+      SELECT event_id, user_id,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing_hour
+      FROM events
+    """,
     "customers_without_orders": """
       SELECT c_custkey AS custkey, c_name AS name FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -657,6 +674,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_running_total": q_orders_running_total,
     "customers_without_orders": q_customers_without_orders,
     "brands_shipped": q_brands_shipped,
+    "events_quantiles": q_events_quantiles,
+    "events_trailing_hour": q_events_trailing_hour,
     "label_centroids": q_label_centroids,  # rows-only (float sum order)
 }
 

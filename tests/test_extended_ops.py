@@ -23,6 +23,8 @@ ORACLE_CHECKED = [
     "distinct_users",
     "orders_monthly",
     "events_asof_error",
+    "events_quantiles",
+    "events_trailing_hour",
 ]
 
 
