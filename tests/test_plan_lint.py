@@ -1,0 +1,57 @@
+"""Plan lint: systematic physical-plan assertions over EVERY registry
+query -- the 100 TB posture encoded as tests.
+
+Rules:
+- no un-broadcast CartesianProduct (a broadcast nested-loop join over
+  a tiny query set is fine; a shuffled cartesian product is never);
+- no coalesce(1) / single-partition exchange (the reference's
+  single-reducer bug must not reappear);
+- every parquet scan of a wide table is column-pruned (reads fewer
+  columns than the table has when the query needs fewer).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mapreduce_implementation_grpc_spark import registry
+
+WIDE_TABLES = {"lineitem": 11, "orders": 6, "events": 6, "documents": 5}
+
+
+def _plan(spark, sf_check, name: str) -> str:
+    return (
+        registry.QUERIES[name](spark, sf_check)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_no_shuffled_cartesian_and_no_single_partition(spark, sf_check, name):
+    plan = _plan(spark, sf_check, name)
+    assert "CartesianProduct" not in plan, f"{name}: shuffled cartesian product"
+    assert "Coalesce 1" not in plan, f"{name}: coalesce(1) over data"
+    if "Exchange SinglePartition" in plan:
+        # a single-partition exchange is only acceptable as the k-row
+        # merge of already-reduced partials: a global aggregate with a
+        # map-side partial phase. Anything else re-creates the
+        # reference's single-reducer bug (O15).
+        assert re.search(r"partial_(count|sum|min|max|avg)", plan), (
+            f"{name}: SinglePartition exchange without map-side partial agg"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_parquet_scans_are_column_pruned(spark, sf_check, name):
+    plan = _plan(spark, sf_check, name)
+    for scan in re.finditer(r"FileScan parquet \[(.*?)\].*?/(\w+)\.parquet", plan):
+        cols = [c for c in scan.group(1).split(",") if c.strip()]
+        table = scan.group(2)
+        if table in WIDE_TABLES:
+            assert len(cols) <= WIDE_TABLES[table], (
+                f"{name}: scan of {table} reads {len(cols)} columns: {scan.group(1)}"
+            )
