@@ -50,7 +50,13 @@ from .operators.similarity import (
 from .operators.tokenize import tokenize
 from .operators.topk import top_k
 from .functions.tfidf import tfidf_top_terms
-from .operators.wordcount import word_count, word_count_rdd, word_count_salted
+from .operators.wordcount import (
+    word_count,
+    word_count_rdd,
+    word_count_salted,
+    word_count_sql,
+)
+from .sources.catalog import register_views
 from .plans import analytics
 from .multimodal.binary_ops import decode_features, with_binary_payload
 from .sources.catalog import load_table
@@ -107,6 +113,34 @@ def q_wordcount_topn(spark: SparkSession, sf_dir: str, n: int = 100) -> DataFram
 def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE 'RDD API' surface: flatMap -> map -> reduceByKey."""
     return word_count_rdd(corpus_from_documents(spark, sf_dir))
+
+
+def q_wordcount_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same plan through the SQL front end (Catalyst output identical
+    to the DataFrame form -- the engine is API-agnostic)."""
+    return word_count_sql(spark, corpus_from_documents(spark, sf_dir))
+
+
+def q_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary via spark.sql over registered catalog views --
+    a user can drive this engine with nothing but SQL strings."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS STRING) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                        * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS STRING) AS DOUBLE) AS sum_charge,
+          round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / count(*), 6) AS avg_qty,
+          round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / count(*), 6) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 def q_wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,6 +489,7 @@ ORACLES: dict[str, str] = {
     """,
     # salted wordcount + tf-idf
     "wordcount_salted": _SQL_WORDCOUNT,
+    "wordcount_sql": _SQL_WORDCOUNT,
     "tfidf_top_terms": f"""
       WITH w AS (SELECT doc_id, word FROM (
              SELECT doc_id, unnest(string_split_regex(trim(lower(
@@ -625,12 +660,18 @@ ORACLES: dict[str, str] = {
 }
 
 
+# the SQL-front-end twin shares the DataFrame variant's oracle
+ORACLES["pricing_summary_sql"] = ORACLES["pricing_summary"]
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
     "wordcount": q_wordcount,
     "wordcount_topn": q_wordcount_topn,
     "wordcount_rdd": q_wordcount_rdd,
+    "wordcount_sql": q_wordcount_sql,
     "wordcount_salted": q_wordcount_salted,
+    "pricing_summary_sql": q_pricing_summary_sql,
     "corpus_stats": q_corpus_stats,
     "map_task_stats": q_map_task_stats,
     # text analysis
