@@ -1,3 +1,3 @@
-from . import analytics
+from . import analytics, pipeline
 
-__all__ = ["analytics"]
+__all__ = ["analytics", "pipeline"]

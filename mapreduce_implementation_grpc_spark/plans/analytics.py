@@ -359,6 +359,46 @@ def brands_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per event_type, least-squares slope
+    of hourly event counts (numpy inside, one Arrow batch per group).
+    The grouped-map shape is the hook for any per-group model fit;
+    the group here is low-cardinality so each fit sees a small
+    pre-aggregated frame, not raw events."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n"))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n_hours", LongType()),
+            StructField("slope_per_hour", DoubleType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour")
+        x = np.arange(len(pdf), dtype=np.float64)
+        y = pdf["n"].to_numpy(dtype=np.float64)
+        slope = float(np.polyfit(x, y, 1)[0]) if len(pdf) > 1 else 0.0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(pdf)],
+                "slope_per_hour": [round(slope, 6)],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(fit, out_schema)
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.$.k out of the JSON
     payload column, aggregate by event_type. JVM-side JSON path --

@@ -1,0 +1,66 @@
+"""End-to-end training-data curation pipeline: the composed job this
+engine exists for.
+
+    documents
+      -> exact dedup        (md5 fingerprint, keep min doc_id)
+      -> near-dup removal   (MinHash clusters, keep cluster canonical)
+      -> quality filter     (composite score threshold)
+      -> annotate           (token counts, fingerprint, language)
+      -> partitioned parquet sink (by lang)
+
+Every stage is one of the engine's tested operators; the composition
+itself adds no new semantics -- which is the point: curation at
+100 TB is exactly these five shuffles, nothing more. Returns the
+curated DataFrame; `run_curation` also writes the partitioned sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_stats import (
+    bpe_like_token_count_col,
+    quality_score_col,
+)
+from ..operators.dedup import dedup_clusters, exact_dedup
+from ..operators.normalize import normalized_col
+from ..sources.catalog import load_table
+
+
+def curate_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. exact dedup: keep the canonical (min doc_id) of each
+    #    identical-content group
+    keep_exact = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    docs1 = docs.join(keep_exact, "doc_id", "left_semi")
+
+    # 2. near-dup removal: within each MinHash cluster keep only the
+    #    cluster id doc (= min member); docs without near-dups pass
+    clusters = dedup_clusters(docs1)
+    drop_near = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    docs2 = docs1.join(drop_near, "doc_id", "left_anti")
+
+    # 3+4. quality gate + annotations in one projection pass
+    return docs2.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        quality_score_col("text").alias("quality"),
+        bpe_like_token_count_col("text").alias("n_bpe_tokens"),
+        F.md5(normalized_col("text")).alias("fingerprint"),
+    ).filter(F.col("quality") >= min_quality)
+
+
+def run_curation(
+    spark: SparkSession, sf_dir: str, out_dir: str, min_quality: float = 0.5
+) -> DataFrame:
+    curated = curate_documents(spark, sf_dir, min_quality)
+    curated.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    return spark.read.parquet(out_dir)

@@ -58,6 +58,7 @@ from .operators.wordcount import (
 )
 from .sources.catalog import register_views
 from .plans import analytics
+from .plans.pipeline import curate_documents
 from .multimodal.binary_ops import decode_features, with_binary_payload
 from .sources.catalog import load_table
 from .sources.text import corpus_from_documents, task_id_col
@@ -322,6 +323,13 @@ q_customers_without_orders = analytics.customers_without_orders
 q_brands_shipped = analytics.brands_shipped
 q_events_quantiles = analytics.events_value_quantiles
 q_events_trailing_hour = analytics.events_trailing_hour
+q_events_type_trend = analytics.events_type_trend
+
+
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (rows-only: depends on the
+    MinHash cluster step)."""
+    return curate_documents(spark, sf_dir)
 q_orders_running_total = analytics.orders_running_total
 q_label_centroids = analytics.label_centroids
 q_revenue_by_nation = analytics.revenue_by_nation
@@ -717,6 +725,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brands_shipped": q_brands_shipped,
     "events_quantiles": q_events_quantiles,
     "events_trailing_hour": q_events_trailing_hour,
+    "events_type_trend": q_events_type_trend,     # rows-only (numpy fit)
+    "curate_documents": q_curate_documents,       # rows-only (minhash stage)
     "label_centroids": q_label_centroids,  # rows-only (float sum order)
 }
 
