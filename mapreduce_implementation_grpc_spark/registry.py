@@ -220,6 +220,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deduplication
 # ---------------------------------------------------------------------------
 
+def q_documents_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~1/8 of docs): the
+    reproducible train/test-split primitive -- membership depends only
+    on content, never on partitioning, ordering, or RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(normalized_col("text")), 1, 1)
+    return docs.filter(bucket.isin("0", "1")).select("doc_id", "lang", "source")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -445,6 +454,11 @@ ORACLES: dict[str, str] = {
             list_transform(toks, t -> CAST(ascii(t) * length(t) AS BIGINT))),
           (acc, v) -> (acc * 31 + v) % 1000000007) AS fp_rolling
       FROM ({_SQL_TOKS})
+    """,
+    "documents_sample": """
+      SELECT doc_id, lang, source FROM documents
+      WHERE substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 1)
+            IN ('0', '1')
     """,
     # dedup
     "dedup_exact": """
@@ -690,6 +704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     # dedup
+    "documents_sample": q_documents_sample,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,       # rows-only (xxhash64)

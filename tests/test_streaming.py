@@ -112,3 +112,31 @@ def test_streaming_sessionize(spark, tmp_path, event_rows):
     assert len(by_user[1]) == 2  # two sessions for user 1
     assert sum(r.n_events for r in by_user[1]) == 3
     assert len(by_user[2]) == 1 and by_user[2][0].n_events == 1
+
+
+def test_foreachbatch_streaming_etl(spark, tmp_path):
+    """Streaming ETL: each microbatch word-counted and appended to a
+    parquet sink via foreachBatch; final table equals the batch
+    word count of everything ingested."""
+    src = tmp_path / "fb_lines"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha beta alpha\n")
+    (src / "b.txt").write_text("beta gamma\n")
+    out = str(tmp_path / "fb_out")
+
+    stream = spark.readStream.schema(LINES_SCHEMA).text(str(src)).withColumnRenamed("value", "line")
+    from mapreduce_implementation_grpc_spark.operators import word_count
+
+    def sink(batch_df, batch_id):
+        word_count(batch_df).withColumn("batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    merged = {
+        r.word: r.total
+        for r in spark.read.parquet(out).groupBy("word").agg(F.sum("cnt").alias("total")).collect()
+    }
+    assert merged == {"alpha": 2, "beta": 2, "gamma": 1}
