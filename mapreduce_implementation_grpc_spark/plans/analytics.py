@@ -250,6 +250,72 @@ def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: multi-predicate scan-aggregate; all three range
+    predicates push into the parquet scan, result is one row. The
+    discount*price product is exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dec2dbl(F.sum(rev)).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables, join,
+    aggregate, top-k. Filters sit below the joins (pushed to scans);
+    top-k is TakeOrdered with full tie-breaks."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-06-30"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-06-30"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(_dec2dbl(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey"))
+        .limit(k)
+    )
+
+
+def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 150.0) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to the
+    order/customer dimensions. The heavy groupBy runs on the narrow
+    (orderkey, quantity) projection; only qualifying keys join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec2dbl(F.sum(_dec(F.col("l_quantity")))).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("c_name").alias("customer"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -333,6 +333,9 @@ q_brands_shipped = analytics.brands_shipped
 q_events_quantiles = analytics.events_value_quantiles
 q_events_trailing_hour = analytics.events_trailing_hour
 q_events_type_trend = analytics.events_type_trend
+q_revenue_forecast = analytics.revenue_forecast
+q_shipping_priority = analytics.shipping_priority
+q_large_orders = analytics.large_orders
 
 
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +567,42 @@ ORACLES: dict[str, str] = {
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY 1
     """,
+    "revenue_forecast": """
+      SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.04 AND 0.06
+        AND l_quantity < 24
+    """,
+    "shipping_priority": """
+      SELECT l_orderkey AS orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_orderpriority AS priority,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, orderdate ASC, orderkey ASC LIMIT 10
+    """,
+    "large_orders": """
+      SELECT l_orderkey AS orderkey, c_name AS customer,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_totalprice AS totalprice, total_qty
+      FROM (SELECT l_orderkey,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey)
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE total_qty > 150.0
+    """,
     "events_quantiles": """
       SELECT event_type,
              round(quantile_cont(value, 0.5), 6) AS p50,
@@ -742,6 +781,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trailing_hour": q_events_trailing_hour,
     "events_type_trend": q_events_type_trend,     # rows-only (numpy fit)
     "curate_documents": q_curate_documents,       # rows-only (minhash stage)
+    "revenue_forecast": q_revenue_forecast,
+    "shipping_priority": q_shipping_priority,
+    "large_orders": q_large_orders,
     "label_centroids": q_label_centroids,  # rows-only (float sum order)
 }
 
@@ -768,6 +810,8 @@ BENCH_QUERIES = [
     "ann_lsh",
     "pricing_summary",
     "revenue_by_nation",
+    "revenue_forecast",
+    "shipping_priority",
     "top_customers",
     "customer_order_ranks",
     "events_hourly",

@@ -25,6 +25,9 @@ ORACLE_CHECKED = [
     "events_asof_error",
     "events_quantiles",
     "events_trailing_hour",
+    "revenue_forecast",
+    "shipping_priority",
+    "large_orders",
 ]
 
 
