@@ -251,7 +251,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=16)
+    """Hamming <= 8 of 64 bits: close fingerprints only (16+ admits
+    vocabulary-level noise on this small-vocab corpus)."""
+    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
 
 
 # ---------------------------------------------------------------------------
