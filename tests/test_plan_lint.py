@@ -20,6 +20,13 @@ from mapreduce_implementation_grpc_spark import registry
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "events": 6, "documents": 5}
 
+# dedup_clusters / curate_documents localCheckpoint eagerly during
+# DataFrame *construction* (iterative algorithm), so "building the
+# plan" would run the whole job twice here; their component operators
+# are already linted via minhash_near_dup and the dedup queries.
+EAGER_ITERATIVE = {"dedup_clusters", "curate_documents"}
+LINTABLE = sorted(set(registry.QUERIES) - EAGER_ITERATIVE)
+
 
 def _plan(spark, sf_check, name: str) -> str:
     return (
@@ -30,7 +37,7 @@ def _plan(spark, sf_check, name: str) -> str:
     )
 
 
-@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+@pytest.mark.parametrize("name", LINTABLE)
 def test_no_shuffled_cartesian_and_no_single_partition(spark, sf_check, name):
     plan = _plan(spark, sf_check, name)
     assert "CartesianProduct" not in plan, f"{name}: shuffled cartesian product"
@@ -45,7 +52,7 @@ def test_no_shuffled_cartesian_and_no_single_partition(spark, sf_check, name):
         )
 
 
-@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+@pytest.mark.parametrize("name", LINTABLE)
 def test_parquet_scans_are_column_pruned(spark, sf_check, name):
     plan = _plan(spark, sf_check, name)
     for scan in re.finditer(r"FileScan parquet \[(.*?)\].*?/(\w+)\.parquet", plan):
