@@ -279,6 +279,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means cell assignment (rows-only)."""
+    from .operators.kmeans import kmeans_cells
+
+    return kmeans_cells(load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN (rows-only: float centroid means)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -756,6 +763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,                         # rows-only (float centroids)
+    "kmeans_cells": q_kmeans_cells,               # rows-only (iterative)
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,  # rows-only (recall<1 scale path)
     # multimodal

@@ -1,4 +1,5 @@
 from .pipelines import (
+    streaming_dedup,
     streaming_event_counts,
     streaming_sessionize,
     streaming_user_totals_stateful,
@@ -6,6 +7,7 @@ from .pipelines import (
 )
 
 __all__ = [
+    "streaming_dedup",
     "streaming_event_counts",
     "streaming_sessionize",
     "streaming_user_totals_stateful",

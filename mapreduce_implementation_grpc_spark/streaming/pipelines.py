@@ -77,6 +77,26 @@ def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content
+    fingerprint wins, duplicates in later microbatches are dropped.
+
+    dropDuplicates on (fingerprint) with a watermark bounds the state
+    store: fingerprints older than the watermark are evicted, so
+    state is O(docs per watermark window), not O(stream length) --
+    the standard ingestion-dedup contract (exact within the horizon,
+    best-effort beyond)."""
+    from ..operators.normalize import normalized_col as _norm
+
+    fp = docs.withColumn("fingerprint", F.md5(_norm(text_col)))
+    return fp.withWatermark(ts_col, watermark).dropDuplicates(["fingerprint"])
+
+
 def streaming_word_count(lines: DataFrame, text_col: str = "line") -> DataFrame:
     """Unbounded word count: same O2/O5/O6+O9 pipeline, incremental.
     Use outputMode('complete') (or 'update') on the sink."""
