@@ -292,6 +292,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=5)
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over LEARNED cells: Lloyd's k-means assigns the
+    inverted lists, then the same probe/serve plan as ann_ivf -- the
+    full no-natural-partition-key recipe (rows-only)."""
+    from .operators.kmeans import kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(emb, k=8, n_iter=3).select("vec_id", "cell")
+    emb_cells = emb.join(cells, "vec_id")
+    return ann_ivf_topk(emb_cells, _query_vectors(spark, sf_dir), k=5, by="cell")
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), min_cosine=0.35)
 
@@ -764,6 +776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,                         # rows-only (float centroids)
     "kmeans_cells": q_kmeans_cells,               # rows-only (iterative)
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,           # rows-only (iterative)
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,  # rows-only (recall<1 scale path)
     # multimodal
