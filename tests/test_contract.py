@@ -1,0 +1,70 @@
+"""Driver-contract protection: __spark_entry__ shape and bench.py
+output format are what the external harness parses -- breaking either
+silently zeroes a whole round."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import DataFrame
+
+import __spark_entry__ as entrymod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    assert isinstance(df, DataFrame)
+    assert df.count() >= 0
+    assert [f.name for f in df.schema.fields] == ["word", "cnt"]
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert qs and all(callable(f) for f in qs.values())
+    assert set(os_) <= set(qs), "oracle without a query"
+    # no oracle may be empty/whitespace
+    assert all(sql.strip() for sql in os_.values())
+
+
+def test_every_query_returns_lazy_dataframe(spark, sf_smoke):
+    # construction must not throw for any registered query (eager
+    # iterative ones may run jobs, but must still hand back a DF)
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_smoke)
+        assert isinstance(df, DataFrame), name
+        assert len(df.columns) > 0, name
+
+
+@pytest.mark.slow
+def test_bench_emits_single_json_line(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"bench must print exactly one line, got {lines}"
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec" and payload["metric"]
+    assert isinstance(payload["value"], (int, float))
+    assert payload["queries"] and all(
+        isinstance(v, (int, float)) for v in payload["queries"].values()
+    )
+    assert payload["sf"] == 0.001
