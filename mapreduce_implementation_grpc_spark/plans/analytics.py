@@ -465,6 +465,29 @@ def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.groupBy("event_type").applyInPandas(fit, out_schema)
 
 
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: of users who signed up, how many purchased strictly
+    after their first signup, by signup day. One aggregation pass
+    computes both milestone timestamps per user (conditional min/max
+    -- no self-join), then a day-level rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    funnel = per_user.filter(F.col("first_signup").isNotNull()).select(
+        F.date_format(F.date_trunc("day", "first_signup"), "yyyy-MM-dd").alias("signup_day"),
+        F.when(
+            F.col("last_purchase") > F.col("first_signup"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("converted"),
+    )
+    return funnel.groupBy("signup_day").agg(
+        F.count("*").alias("n_signups"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") / F.count("*"), 6).alias("conversion_rate"),
+    )
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.$.k out of the JSON
     payload column, aggregate by event_type. JVM-side JSON path --

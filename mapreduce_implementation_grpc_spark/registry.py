@@ -355,6 +355,7 @@ q_events_quantiles = analytics.events_value_quantiles
 q_events_trailing_hour = analytics.events_trailing_hour
 q_events_type_trend = analytics.events_type_trend
 q_revenue_forecast = analytics.revenue_forecast
+q_signup_funnel = analytics.signup_purchase_funnel
 q_shipping_priority = analytics.shipping_priority
 q_large_orders = analytics.large_orders
 
@@ -588,6 +589,19 @@ ORACLES: dict[str, str] = {
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY 1
     """,
+    "signup_funnel": """
+      WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+               max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        FROM events GROUP BY user_id)
+      SELECT strftime(date_trunc('day', first_signup), '%Y-%m-%d') AS signup_day,
+             count(*) AS n_signups,
+             CAST(sum(CASE WHEN last_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+             round(sum(CASE WHEN last_purchase > first_signup THEN 1 ELSE 0 END) / count(*), 6) AS conversion_rate
+      FROM per_user WHERE first_signup IS NOT NULL
+      GROUP BY 1
+    """,
     "revenue_forecast": """
       SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                            * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
@@ -805,6 +819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_trend": q_events_type_trend,     # rows-only (numpy fit)
     "curate_documents": q_curate_documents,       # rows-only (minhash stage)
     "revenue_forecast": q_revenue_forecast,
+    "signup_funnel": q_signup_funnel,
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
     "label_centroids": q_label_centroids,  # rows-only (float sum order)
