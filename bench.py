@@ -3,8 +3,11 @@
 ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
-Timing = full plan execution to a driver-side count over the result
-(foreach-noop shape; results are NOT collected to the driver).
+Timing = full plan execution into the `noop` sink: every output
+column of every row is computed and shipped to the writer, so
+Catalyst cannot column-prune projections or window expressions the
+way a bare count() would allow. Results are NOT collected to the
+driver.
 """
 
 from __future__ import annotations
@@ -27,12 +30,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = getattr(registry, "BENCH_QUERIES", list(registry.QUERIES))
 
 
+def _run(df) -> None:
+    """Fully evaluate the plan (all columns, all rows) without
+    collecting: the noop sink consumes every row executor-side."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so timings measure the plans
-    registry.QUERIES["wordcount"](spark, SF_DIR).count()
+    _run(registry.QUERIES["wordcount"](spark, SF_DIR))
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
@@ -41,7 +50,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            _run(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

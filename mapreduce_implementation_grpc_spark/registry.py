@@ -331,10 +331,23 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched stub decode via mapInPandas (rows-only check:
-    the decode itself is the non-SQL-expressible part)."""
+    """Arrow-batched stub decode via mapInPandas, projected to scalar
+    feature columns for the gate: the deterministic fake decode is
+    plain byte arithmetic, so each feature component gets its own
+    double column (f_len, f_first, f_last, f_sum_mod) AND a DuckDB
+    oracle recomputing the same bytes from hex(encode(text)).
+    `decode_features` itself still returns array<double>."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_features(with_binary_payload(docs))
+    feat = decode_features(with_binary_payload(docs))
+    return feat.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.col("feature")[0].alias("f_len"),
+        F.col("feature")[1].alias("f_first"),
+        F.col("feature")[2].alias("f_last"),
+        F.col("feature")[3].alias("f_sum_mod"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -527,7 +540,26 @@ ORACLES: dict[str, str] = {
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
       ) WHERE cosine >= 0.35
     """,
-    # multimodal (meta only; decode is rows-only)
+    # multimodal: meta, plus the deterministic fake decode recomputed
+    # from the UTF-8 bytes (hex -> per-byte ints) entirely in SQL
+    "multimodal_decode": """
+      WITH h AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               lower(hex(encode(text))) AS hx
+        FROM documents),
+      b AS (
+        SELECT doc_id, nb,
+               list_transform(range(1, nb + 1),
+                 i -> (strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) AS bytes
+        FROM h)
+      SELECT doc_id, 'text' AS modality, CAST(nb AS BIGINT) AS n_bytes,
+             CAST(nb AS DOUBLE) AS f_len,
+             CAST(CASE WHEN nb > 0 THEN bytes[1] ELSE 0 END AS DOUBLE) AS f_first,
+             CAST(CASE WHEN nb > 0 THEN bytes[nb] ELSE 0 END AS DOUBLE) AS f_last,
+             CAST(coalesce(list_sum(bytes), 0) % 997 AS DOUBLE) AS f_sum_mod
+      FROM b
+    """,
     "multimodal_meta": """
       SELECT doc_id, 'text' AS modality,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -795,7 +827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,  # rows-only (recall<1 scale path)
     # multimodal
     "multimodal_meta": q_multimodal_meta,
-    "multimodal_decode": q_multimodal_decode,     # rows-only (mapInPandas stub)
+    "multimodal_decode": q_multimodal_decode,
     # relational analytics
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,

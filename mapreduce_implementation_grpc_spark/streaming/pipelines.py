@@ -84,17 +84,20 @@ def streaming_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact dedup: first occurrence of each content
-    fingerprint wins, duplicates in later microbatches are dropped.
+    fingerprint wins, duplicates arriving within the watermark
+    horizon are dropped.
 
-    dropDuplicates on (fingerprint) with a watermark bounds the state
-    store: fingerprints older than the watermark are evicted, so
-    state is O(docs per watermark window), not O(stream length) --
-    the standard ingestion-dedup contract (exact within the horizon,
-    best-effort beyond)."""
+    dropDuplicatesWithinWatermark is the operator that actually
+    EVICTS state: each fingerprint's entry expires once the watermark
+    passes its event time, so the state store is O(docs per watermark
+    window), not O(stream length). (Plain dropDuplicates on a subset
+    that excludes the event-time column never evicts -- state grows
+    with the stream -- which is why it is not used here.) Contract:
+    exact dedup within the horizon, best-effort beyond it."""
     from ..operators.normalize import normalized_col as _norm
 
     fp = docs.withColumn("fingerprint", F.md5(_norm(text_col)))
-    return fp.withWatermark(ts_col, watermark).dropDuplicates(["fingerprint"])
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fingerprint"])
 
 
 def streaming_word_count(lines: DataFrame, text_col: str = "line") -> DataFrame:
