@@ -319,31 +319,51 @@ def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+def hamming_banded_pairs(
+    fp: DataFrame, max_hamming: int = 3, fp_col: str = "simhash"
 ) -> DataFrame:
-    """Hamming-banded SimHash pairs: 4 bands of 16 bits; any pair
-    within Hamming distance <=3 of a 64-bit fingerprint must agree on
-    at least one band (pigeonhole), so the band-equality join has
-    full recall at distance<=3 with no cross join."""
-    fp = simhash_64(docs, text_col)
+    """All pairs within Hamming distance <= max_hamming of a 64-bit
+    fingerprint column, via band-equality join (never a cross join).
+
+    Banding is DERIVED from the threshold: the 64 bits are split into
+    `max_hamming + 1` contiguous blocks (widths as equal as possible),
+    so any pair differing in <= max_hamming bits must agree exactly on
+    at least one block (pigeonhole) -- FULL recall at the requested
+    distance, by construction. This is the Manku-et-al. block-split
+    recipe (WWW'07 near-duplicate detection).
+
+    Scale tradeoff, explicit: more bands -> narrower bands -> larger
+    band buckets (a w-bit band has 2^w values, so expected bucket size
+    is n/2^w for uniform fingerprints). At 9 bands the narrowest block
+    is 7 bits; for corpora where n/128 candidate rows per bucket is
+    too hot, the standard escalations are a wider fingerprint (128-bit
+    simhash keeps blocks >= 14 bits at d <= 8) or requiring agreement
+    on a PAIR of blocks (d <= (bands/2) - 1 recall, quadratically
+    smaller buckets). AQE skew-join splitting handles stragglers
+    either way.
+
+    Takes the fingerprint DataFrame directly so tests can inject
+    synthetic fingerprints with known pairwise distances."""
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     banded = fp.select(
         "doc_id",
-        "simhash",
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col(fp_col), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    ).select("doc_id", fp_col, "band.band_id", "band.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -355,8 +375,18 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with guaranteed recall: fingerprint via
+    simhash_64, pairing via hamming_banded_pairs, whose band count
+    adapts to max_hamming so the pigeonhole guarantee always covers
+    the requested threshold."""
+    return hamming_banded_pairs(simhash_64(docs, text_col), max_hamming)

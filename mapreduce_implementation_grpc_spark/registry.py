@@ -252,7 +252,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming <= 8 of 64 bits: close fingerprints only (16+ admits
-    vocabulary-level noise on this small-vocab corpus)."""
+    vocabulary-level noise on this small-vocab corpus). Recall is
+    FULL at this threshold: the banding adapts to max_hamming
+    (9 blocks for d<=8, pigeonhole)."""
     return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import Row
 from mapreduce_implementation_grpc_spark import registry
 from mapreduce_implementation_grpc_spark.operators.dedup import (
     exact_dedup,
+    hamming_banded_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_64,
@@ -64,6 +65,38 @@ def test_simhash_pairs_hamming(docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup_pairs(docs, max_hamming=16).collect()}
     assert pairs[(1, 2)] == 0
     assert pairs.get((1, 3), 99) <= 16  # near dup within hamming budget
+
+
+def test_hamming_banding_full_recall(spark):
+    """Pigeonhole recall guarantee: banded pairs == brute-force pairs
+    at the requested threshold, including a planted Hamming-6 pair
+    whose differing bits are spread over bits 0/8/16/24/32/48 -- a
+    pair the old fixed 4x16-bit banding missed (it differs in all
+    four 16-bit quarters)."""
+    base = 0x0123456789ABCDEF
+    spread6 = base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16) ^ (1 << 24) ^ (1 << 32) ^ (1 << 48)
+    fps = {
+        0: base,
+        1: spread6,              # Hamming 6 from base, across all quarters
+        2: base ^ 0b111,         # Hamming 3, one band
+        3: base ^ ((1 << 63) | (1 << 62)),  # Hamming 2, top band (sign bits)
+        4: 0x7EDCBA9876543210,   # far away
+        5: base,                 # exact dup
+    }
+    # two's-complement into signed 64-bit longs, as simhash_64 emits
+    rows = [Row(doc_id=i, simhash=v - (1 << 64) if v >= 1 << 63 else v)
+            for i, v in fps.items()]
+    fp_df = spark.createDataFrame(rows)
+
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in hamming_banded_pairs(fp_df, max_hamming=8).collect()}
+    expect = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 8
+    }
+    assert got == expect
+    assert got[(0, 1)] == 6  # the planted cross-band pair is found
 
 
 def test_ngram_jaccard_exact_dup_is_one(docs):

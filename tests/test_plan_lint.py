@@ -62,3 +62,28 @@ def test_parquet_scans_are_column_pruned(spark, sf_check, name):
             assert len(cols) <= WIDE_TABLES[table], (
                 f"{name}: scan of {table} reads {len(cols)} columns: {scan.group(1)}"
             )
+
+
+def test_kmeans_assign_is_shuffle_free(spark, sf_check):
+    """The Lloyd assign step must be a narrow map expression: no
+    Exchange anywhere in its plan (the crossJoin + Window argmin
+    shape would shuffle n*k rows per iteration -- the one plan that
+    would not survive 100 TB of embeddings)."""
+    from mapreduce_implementation_grpc_spark.operators.kmeans import (
+        _assign,
+        _centroids_from,
+        _collect_centroids,
+    )
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_check, "embeddings")
+    seeded = emb.selectExpr("vec_id", "embedding", "vec_id % 4 AS cell")
+    cent_rows = _collect_centroids(_centroids_from(seeded, "embedding"))
+    plan = (
+        _assign(emb, cent_rows, "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, f"assign stage shuffles:\n{plan[:2000]}"
+    assert "Window" not in plan and "CartesianProduct" not in plan
