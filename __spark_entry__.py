@@ -7,6 +7,15 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Implementation lives in ``mapreduce_implementation_grpc_spark``;
 this module is a thin adapter over its registry.
+
+Eager-query note: most queries build a lazy DataFrame (no Spark jobs
+until the driver acts on it; enforced by
+tests/test_contract.py::test_lazy_queries_build_cheaply). The
+iterative algorithms -- ``dedup_clusters``, ``dedup_clusters_jaccard``,
+``curate_documents``, ``kmeans_cells``, ``ann_ivf_kmeans`` -- run
+their training/propagation rounds at DataFrame-CONSTRUCTION time
+(inherent to iteration: each round's result feeds the next plan);
+the returned DataFrame is then cheap to act on.
 """
 
 from __future__ import annotations

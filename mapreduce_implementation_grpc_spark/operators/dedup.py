@@ -237,27 +237,18 @@ def minhash_near_dup_pairs(
     )
 
 
-def dedup_clusters(
-    docs: DataFrame,
-    text_col: str = "text",
-    min_est_jaccard: float = 0.3,
-    max_iter: int = 6,
-) -> DataFrame:
-    """Near-duplicate clusters: connected components over the MinHash
-    pair graph via iterative min-label propagation. Output:
-    (doc_id, cluster) where cluster = smallest doc_id reachable --
-    the canonical representative a dedup pipeline keeps.
+def label_propagation(pairs: DataFrame, max_iter: int = 6) -> DataFrame:
+    """Connected components over an undirected pair graph via
+    iterative min-label propagation: DataFrame[doc_id, cluster] where
+    cluster = smallest doc_id reachable (the canonical representative
+    a dedup pipeline keeps). Only nodes appearing in some edge are
+    emitted.
 
     Iterative-algorithm shape for Spark: each round is one join +
     aggregation; localCheckpoint() truncates the growing lineage so
     round N doesn't replay rounds 1..N-1. Near-dup components have
     tiny diameters in practice, so the loop exits early via an
-    inexpensive changed-count check. Not SQL-expressible in one
-    query -- validated by metamorphic tests (chained near-dups merge
-    into one cluster) and the driver's rows-only check."""
-    pairs = minhash_near_dup_pairs(docs, text_col, min_est_jaccard=min_est_jaccard).select(
-        "doc_a", "doc_b"
-    )
+    inexpensive changed-count check."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -294,6 +285,24 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_est_jaccard: float = 0.3,
+    max_iter: int = 6,
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash
+    pair graph. Not SQL-expressible cross-engine (MinHash is
+    xxhash64-based) -- validated by metamorphic tests (chained
+    near-dups merge into one cluster) and the driver's rows-only
+    check. The ngram-Jaccard variant (registry `dedup_clusters_jaccard`)
+    is the oracle-checked twin of the same propagation loop."""
+    pairs = minhash_near_dup_pairs(docs, text_col, min_est_jaccard=min_est_jaccard).select(
+        "doc_a", "doc_b"
+    )
+    return label_propagation(pairs, max_iter)
 
 
 def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -134,9 +134,17 @@ def ivf_centroids(emb: DataFrame, vec_col: str = "embedding", by: str = "label")
     the cells come from a sampled k-means; the serving plan below is
     identical either way). Two-stage: posexplode -> (key,pos) means ->
     reassemble ordered arrays. Centroid count = #cells: tiny,
-    broadcastable."""
+    broadcastable.
+
+    Means are exact decimal sums / count (order-independent, so the
+    whole IVF serve plan is reproducible cross-engine and the driver
+    can hash-check it; a double-fold avg would vary with partition
+    splits)."""
     flat = emb.select(F.col(by).alias("cell"), F.posexplode(vec_col).alias("pos", "v"))
-    means = flat.groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    dsum = F.sum(F.col("v").cast("double").cast("decimal(27,12)"))
+    means = flat.groupBy("cell", "pos").agg(
+        (dsum.cast("string").cast("double") / F.count("*")).alias("c")
+    )
     return (
         means.groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))

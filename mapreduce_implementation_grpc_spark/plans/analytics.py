@@ -354,17 +354,23 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, emitted flat as (label, pos,
-    centroid): posexplode -> groupBy(label, pos) -> avg. The flat
+    centroid): posexplode -> groupBy(label, pos) -> mean. The flat
     shape is the scalable one -- element-wise means need no array
     reassembly shuffle, and downstream consumers (e.g. IVF-style
-    coarse quantization) join on (label, pos) directly. Rows-only
-    check: float summation order is partition-dependent, so no
-    cross-engine hash."""
+    coarse quantization) join on (label, pos) directly.
+
+    The mean is computed as an EXACT decimal sum divided by the
+    count: decimal addition is associative-commutative, so the result
+    is independent of partitioning/summation order -- which makes it
+    oracle-checkable (DuckDB computes the identical decimal sum),
+    where a double-fold avg() would drift by ulps per partition
+    split."""
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    dsum = F.sum(F.col("v").cast("double").cast("decimal(27,12)"))
     return (
-        flat.groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        flat.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(dsum.cast("string").cast("double") / F.count("*"), 6).alias("centroid"))
     )
 
 

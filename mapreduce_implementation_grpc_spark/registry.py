@@ -34,6 +34,7 @@ from .functions.text_stats import (
 from .operators.dedup import (
     dedup_clusters,
     exact_dedup,
+    label_propagation,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_64,
@@ -61,7 +62,7 @@ from .plans import analytics
 from .plans.pipeline import curate_documents
 from .multimodal.binary_ops import decode_features, with_binary_payload
 from .sources.catalog import load_table
-from .sources.text import corpus_from_documents, task_id_col
+from .sources.text import corpus_from_documents, read_text_corpus, task_id_col
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments for oracles (DuckDB dialect)
@@ -109,6 +110,25 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wordcount_topn(spark: SparkSession, sf_dir: str, n: int = 100) -> DataFrame:
     """O11: top-N report with deterministic tie-break."""
     return top_k(q_wordcount(spark, sf_dir), n)
+
+
+# checked-in newline-delimited fixture (airline-tweet flavored, like
+# the reference's corpus); absolute path so the oracle SQL can read
+# the identical bytes
+_CORPUS_TXT = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))),
+    "tests", "fixtures", "corpus.txt",
+)
+
+
+def q_wordcount_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 exercised end-to-end from a real text FILE, the way the
+    reference reads /Assignment5/input.txt (greeter_client.cc:298-314):
+    spark.read.text -> normalize -> tokenize -> count. The file-scan
+    path (byte-range splits per executor, never a master-side string)
+    rather than the parquet documents table the other wordcounts use.
+    sf_dir is ignored: the source is the checked-in fixture corpus."""
+    return word_count(read_text_corpus(spark, _CORPUS_TXT))
 
 
 def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +266,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT ngram-Jaccard pair graph:
+    the same iterative min-label propagation as dedup_clusters, but
+    with SQL-reproducible edges -- so the whole iterative algorithm
+    is oracle-checked (DuckDB recursive CTE computes the identical
+    transitive min-label closure). EAGER: propagation rounds run at
+    DataFrame-construction time."""
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    return label_propagation(pairs, max_iter=20)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_64(load_table(spark, sf_dir, "documents"))
 
@@ -289,7 +322,9 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN (rows-only: float centroid means)."""
+    """IVF coarse-quantized ANN. Oracle-checked end-to-end: centroids
+    are exact decimal-sum means, so DuckDB reproduces the identical
+    probe routing and serve ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=5)
 
@@ -311,7 +346,9 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: pair search restricted to LSH buckets (recall<1)."""
+    """Scale path: pair search restricted to LSH buckets (recall<1,
+    but deterministic -- the LCG planes are embedded in the oracle, so
+    even the approximate path hash-checks)."""
     return embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), min_cosine=0.35, use_lsh=True
     )
@@ -414,14 +451,21 @@ def _lang_hits_sql() -> str:
     """
 
 
-def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int = 5) -> str:
+def _bucket_terms_sql(num_planes: int = 8, dim: int = 64) -> str:
+    """The deterministic-LCG LSH bucket id as a SQL expression over a
+    DOUBLE[] column named dvec -- the exact twin of
+    operators.similarity._bucket_col."""
     planes = lsh_planes(num_planes, dim)
-    bucket_terms = " + ".join(
+    return " + ".join(
         "(CASE WHEN list_dot_product(dvec, [{w}]) >= 0 THEN {p2} ELSE 0 END)".format(
             w=", ".join(repr(x) for x in plane), p2=2**p
         )
         for p, plane in enumerate(planes)
     )
+
+
+def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int = 5) -> str:
+    bucket_terms = _bucket_terms_sql(num_planes, dim)
     return f"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
       b AS (SELECT vec_id, dvec, CAST({bucket_terms} AS BIGINT) AS bucket FROM v),
@@ -439,6 +483,16 @@ def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int
 ORACLES: dict[str, str] = {
     # faithful surface
     "wordcount": _SQL_WORDCOUNT,
+    "wordcount_textfile": f"""
+      WITH lines AS (
+        SELECT unnest(string_split(content, chr(10))) AS line
+        FROM read_text('{_CORPUS_TXT}')),
+      words AS (
+        SELECT unnest(string_split_regex(trim(lower(
+                 regexp_replace(line, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+')) AS word
+        FROM lines)
+      SELECT word, count(*) AS cnt FROM words WHERE word <> '' GROUP BY word
+    """,
     "wordcount_topn": f"SELECT * FROM ({_SQL_WORDCOUNT}) ORDER BY cnt DESC, word ASC LIMIT 100",
     "wordcount_rdd": _SQL_WORDCOUNT,
     "corpus_stats": f"""
@@ -534,6 +588,80 @@ ORACLES: dict[str, str] = {
       FROM r WHERE rank <= 5
     """,
     "ann_lsh": _ann_lsh_sql(),
+    # IVF ANN: centroids are exact decimal-sum means, so the full
+    # probe/serve plan is reproducible in SQL
+    "ann_ivf": """
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      i AS (SELECT label, dvec, unnest(range(1, len(dvec) + 1)) AS idx FROM v),
+      m AS (SELECT label AS cell, idx,
+                   CAST(CAST(sum(CAST(dvec[idx] AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE)
+                   / count(*) AS c
+            FROM i GROUP BY label, idx),
+      cents AS (SELECT cell, list(c ORDER BY idx ASC) AS cvec FROM m GROUP BY cell),
+      q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < 10),
+      qc AS (SELECT q.query_id, q.qvec, c.cell,
+                    list_cosine_similarity(q.qvec, c.cvec) AS csim
+             FROM q CROSS JOIN cents c),
+      probes AS (SELECT query_id, qvec, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY csim DESC, cell ASC) AS pr FROM qc) WHERE pr <= 2),
+      s AS (SELECT p.query_id, p.cell, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(p.qvec, e.dvec), 6) AS cosine
+            FROM probes p JOIN v e ON e.label = p.cell
+            WHERE e.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      SELECT query_id, cell, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5
+    """,
+    # LSH-bucketed dup pairs: buckets are the deterministic LCG
+    # planes, so the recall<1 scale path is still exactly-checkable
+    "embedding_dup_pairs_lsh": f"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      b AS (SELECT vec_id, dvec, CAST({_bucket_terms_sql()} AS BIGINT) AS bucket FROM v),
+      p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.dvec, c.dvec), 6) AS cosine
+            FROM b a JOIN b c USING (bucket)
+            WHERE a.vec_id < c.vec_id)
+      SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35
+    """,
+    "label_centroids": """
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      i AS (SELECT label, dvec, unnest(range(1, len(dvec) + 1)) AS idx FROM e),
+      f AS (SELECT label, CAST(idx - 1 AS BIGINT) AS pos, dvec[idx] AS v FROM i)
+      SELECT label, pos,
+             round(CAST(CAST(sum(CAST(v AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE)
+                   / count(*), 6) AS centroid
+      FROM f GROUP BY label, pos
+    """,
+    # connected components over the SQL-reproducible ngram-Jaccard
+    # edges: recursive CTE = transitive min-label closure
+    "dedup_clusters_jaccard": f"""
+      WITH RECURSIVE base AS (
+        WITH sh AS ({_SQL_SHINGLES}),
+        e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+        rare AS (SELECT s FROM e GROUP BY s HAVING count(*) BETWEEN 2 AND 3),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM e a JOIN rare USING (s) JOIN e b USING (s)
+                 WHERE a.doc_id < b.doc_id),
+        j AS (SELECT doc_a, doc_b,
+                     round(len(list_intersect(sa.shset, sb.shset))
+                           / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS jaccard
+              FROM cand
+              JOIN sh sa ON sa.doc_id = cand.doc_a
+              JOIN sh sb ON sb.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.05
+      ),
+      ee AS (SELECT doc_a, doc_b FROM base
+             UNION ALL
+             SELECT doc_b AS doc_a, doc_a AS doc_b FROM base),
+      cc AS (
+        SELECT doc_a AS doc_id, doc_a AS label FROM ee
+        UNION
+        SELECT ee.doc_a AS doc_id, cc.label FROM ee JOIN cc ON cc.doc_id = ee.doc_b
+      )
+      SELECT doc_id, min(label) AS cluster FROM cc GROUP BY doc_id
+    """,
     "embedding_dup_pairs": """
       SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -780,6 +908,19 @@ ORACLES: dict[str, str] = {
              count(*) AS n_events
       FROM g GROUP BY user_id
     """,
+    # grouped-map least-squares slope == closed-form regr_slope over
+    # the same (hour-rank, count) points; verified bit-stable at 6dp
+    "events_type_trend": """
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      x AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY hour) - 1 AS DOUBLE) AS x
+            FROM h)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             round(regr_slope(y, x), 6) AS slope_per_hour
+      FROM x GROUP BY event_type
+    """,
     "events_json_stats": """
       SELECT event_type, count(*) AS n_events,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -797,6 +938,7 @@ ORACLES["pricing_summary_sql"] = ORACLES["pricing_summary"]
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
     "wordcount": q_wordcount,
+    "wordcount_textfile": q_wordcount_textfile,
     "wordcount_topn": q_wordcount_topn,
     "wordcount_rdd": q_wordcount_rdd,
     "wordcount_sql": q_wordcount_sql,
@@ -816,17 +958,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,       # rows-only (xxhash64)
-    "dedup_clusters": q_dedup_clusters,           # rows-only (iterative)
+    "dedup_clusters": q_dedup_clusters,           # rows-only (minhash edges)
+    "dedup_clusters_jaccard": q_dedup_clusters_jaccard,
     "simhash": q_simhash,                         # rows-only (xxhash64)
     "simhash_pairs": q_simhash_pairs,             # rows-only (xxhash64)
     # similarity
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,                         # rows-only (float centroids)
+    "ann_ivf": q_ann_ivf,
     "kmeans_cells": q_kmeans_cells,               # rows-only (iterative)
     "ann_ivf_kmeans": q_ann_ivf_kmeans,           # rows-only (iterative)
     "embedding_dup_pairs": q_embedding_dup_pairs,
-    "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,  # rows-only (recall<1 scale path)
+    "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     # multimodal
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -850,13 +993,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brands_shipped": q_brands_shipped,
     "events_quantiles": q_events_quantiles,
     "events_trailing_hour": q_events_trailing_hour,
-    "events_type_trend": q_events_type_trend,     # rows-only (numpy fit)
+    "events_type_trend": q_events_type_trend,
     "curate_documents": q_curate_documents,       # rows-only (minhash stage)
     "revenue_forecast": q_revenue_forecast,
     "signup_funnel": q_signup_funnel,
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
-    "label_centroids": q_label_centroids,  # rows-only (float sum order)
+    "label_centroids": q_label_centroids,
 }
 
 # Headline set for bench.py: widest-coverage representatives, excluding

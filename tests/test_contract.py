@@ -42,6 +42,32 @@ def test_every_query_returns_lazy_dataframe(spark, sf_smoke):
         assert len(df.columns) > 0, name
 
 
+def test_lazy_queries_build_cheaply(spark, sf_smoke):
+    """The driver's pattern is 'build the DataFrame, then act on it'.
+    Every non-eager registry query must construct its plan cheaply --
+    no hidden data-crunching jobs at build time (parquet footer/schema
+    reads are allowed; they are metadata, not data). The
+    documented-eager iterative queries are the exception and are
+    listed explicitly (see __spark_entry__ docstring)."""
+    import time
+
+    from mapreduce_implementation_grpc_spark import registry
+
+    EAGER = {
+        # iterative algorithms: training / propagation rounds are jobs
+        # by nature, and kmeans seeds / centroid rows live driver-side
+        "dedup_clusters", "dedup_clusters_jaccard", "curate_documents",
+        "kmeans_cells", "ann_ivf_kmeans",
+    }
+    for name, fn in registry.QUERIES.items():
+        if name in EAGER:
+            continue
+        t0 = time.monotonic()
+        fn(spark, sf_smoke)  # build only -- no action
+        elapsed = time.monotonic() - t0
+        assert elapsed < 5.0, f"{name}: build took {elapsed:.1f}s -- hidden eager work"
+
+
 @pytest.mark.slow
 def test_bench_emits_single_json_line(tmp_path):
     env = dict(

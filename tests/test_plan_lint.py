@@ -24,7 +24,13 @@ WIDE_TABLES = {"lineitem": 11, "orders": 6, "events": 6, "documents": 5}
 # DataFrame *construction* (iterative algorithm), so "building the
 # plan" would run the whole job twice here; their component operators
 # are already linted via minhash_near_dup and the dedup queries.
-EAGER_ITERATIVE = {"dedup_clusters", "curate_documents", "kmeans_cells", "ann_ivf_kmeans"}
+EAGER_ITERATIVE = {
+    "dedup_clusters",
+    "dedup_clusters_jaccard",
+    "curate_documents",
+    "kmeans_cells",
+    "ann_ivf_kmeans",
+}
 LINTABLE = sorted(set(registry.QUERIES) - EAGER_ITERATIVE)
 
 
