@@ -237,6 +237,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data shaping (chunking / packing / vocab)
+# ---------------------------------------------------------------------------
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (32-token windows, stride 24)."""
+    from .operators.chunking import doc_chunks
+
+    return doc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard sequential sequence packing into 256-token blocks."""
+    from .operators.chunking import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams (all occurrences, not per-doc distinct):
+    the n-gram LM statistics pass, sharing the shingle machinery."""
+    from .operators.dedup import shingle_rows
+
+    grams = shingle_rows(load_table(spark, sf_dir, "documents"), k=2)
+    return (
+        grams.groupBy(F.col("sh").alias("gram"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(100)
+    )
+
+
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: words with count >= 5, ranked into
+    contiguous ids by (cnt desc, word asc). The global window runs
+    over the POST-AGGREGATION table (vocab size, not corpus size) --
+    the single-partition rank of a small aggregate, same shape as
+    top-N."""
+    from pyspark.sql import Window
+
+    wc = word_count(corpus_from_documents(spark, sf_dir)).filter(F.col("cnt") >= 5)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return wc.select(
+        "word", "cnt", F.row_number().over(w).cast("long").alias("vocab_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
 
@@ -548,6 +595,55 @@ ORACLES: dict[str, str] = {
             list_transform(toks, t -> CAST(ascii(t) * length(t) AS BIGINT))),
           (acc, v) -> (acc * 31 + v) % 1000000007) AS fp_rolling
       FROM ({_SQL_TOKS})
+    """,
+    # training-data shaping
+    "doc_chunks": f"""
+      WITH t AS ({_SQL_TOKS}),
+      nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+      s AS (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 1, 0) + 2, 24)) AS start1
+            FROM nz),
+      c AS (SELECT doc_id,
+                   CAST((start1 - 1) // 24 AS BIGINT) AS chunk_id,
+                   list_slice(toks, start1, start1 + 31) AS chunk
+            FROM s)
+      SELECT doc_id, chunk_id,
+             CAST(len(chunk) AS BIGINT) AS n_tokens,
+             array_to_string(chunk, ' ') AS chunk_text
+      FROM c
+    """,
+    "pack_sequences": """
+      WITH n AS (
+        SELECT doc_id, source,
+               CAST(coalesce(list_sum(list_transform(
+                 list_filter(string_split_regex(trim(lower(
+                   regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+                   w -> w <> ''),
+                 t -> CAST(floor((length(t) + 3) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens
+        FROM documents),
+      p AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        FROM n)
+      SELECT doc_id, source, n_tokens,
+             CAST(prefix // 256 AS BIGINT) AS bin_id,
+             CAST(prefix % 256 AS BIGINT) AS offset
+      FROM p
+    """,
+    "ngram_counts": f"""
+      WITH t AS ({_SQL_TOKS}),
+      g AS (SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM t)
+      SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+      ORDER BY cnt DESC, gram ASC LIMIT 100
+    """,
+    "vocab_ids": f"""
+      SELECT word, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS vocab_id
+      FROM ({_SQL_WORDCOUNT}) WHERE cnt >= 5
     """,
     "documents_sample": """
       SELECT doc_id, lang, source FROM documents
@@ -953,6 +1049,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
+    # training-data shaping
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "ngram_counts": q_ngram_counts,
+    "vocab_ids": q_vocab_ids,
     # dedup
     "documents_sample": q_documents_sample,
     "dedup_exact": q_dedup_exact,
