@@ -459,6 +459,38 @@ q_shipping_priority = analytics.shipping_priority
 q_large_orders = analytics.large_orders
 
 
+def q_events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature attach: each event joined (as-of) to the
+    per-user stats of the latest fully COMPLETED hour before it --
+    the leakage-free feature-store join, via the union+window asof
+    operator (one shuffle, no range-join pair blow-up)."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").alias("feat_n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("string").cast("double"), 6
+        ).alias("feat_value"),
+    )
+    right = hourly.select(
+        "user_id",
+        (F.col("hour") + F.expr("INTERVAL 1 HOUR")).alias("fts"),
+        "feat_n",
+        "feat_value",
+    )
+    left = ev.select("user_id", "ts", "event_id", "event_type")
+    joined = asof_join(left, right, by="user_id", left_ts="ts", right_ts="fts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "feat_n",
+        "feat_value",
+    )
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (rows-only: depends on the
     MinHash cluster step)."""
@@ -930,6 +962,20 @@ ORACLES: dict[str, str] = {
                   AS DOUBLE) AS running_revenue
       FROM orders
     """,
+    # two-table point-in-time join: DuckDB's native ASOF JOIN is the
+    # oracle for the union+window implementation
+    "events_asof_features": """
+      WITH h AS (
+        SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS fts,
+               count(*) AS feat_n,
+               round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 6) AS feat_value
+        FROM events GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, e.event_type,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             h.feat_n, h.feat_value
+      FROM events e ASOF LEFT JOIN h
+        ON e.user_id = h.user_id AND e.ts >= h.fts
+    """,
     "events_asof_error": """
       SELECT event_id, user_id, event_type,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -1088,6 +1134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (HLL sketch)
     "orders_monthly": q_orders_monthly,
     "events_asof_error": q_events_asof_error,
+    "events_asof_features": q_events_asof_features,
     "events_pivot": q_events_pivot,
     "orders_running_total": q_orders_running_total,
     "customers_without_orders": q_customers_without_orders,

@@ -1,0 +1,74 @@
+"""As-of join operator: crafted point-in-time semantics + oracle
+parity for the feature-attach query."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from mapreduce_implementation_grpc_spark import registry
+from mapreduce_implementation_grpc_spark.operators.asof import asof_join
+from tests.oracle_utils import assert_matches_oracle
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(9, 30), event_id=100),   # before any snapshot
+            Row(user_id=1, ts=_ts(10, 0), event_id=101),   # == snapshot ts: inclusive
+            Row(user_id=1, ts=_ts(11, 45), event_id=102),  # after two snapshots
+            Row(user_id=2, ts=_ts(12, 0), event_id=200),   # other key
+            Row(user_id=3, ts=_ts(12, 0), event_id=300),   # key with no snapshots
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, fts=_ts(10, 0), a=10, b="x"),
+            Row(user_id=1, fts=_ts(11, 0), a=20, b="y"),
+            Row(user_id=2, fts=_ts(11, 59), a=99, b="z"),
+        ]
+    )
+    return left, right
+
+
+def test_asof_join_point_in_time(asof_frames):
+    left, right = asof_frames
+    out = {
+        r.event_id: (r.a, r.b)
+        for r in asof_join(left, right, by="user_id", left_ts="ts", right_ts="fts").collect()
+    }
+    assert out[100] == (None, None)     # nothing at-or-before 9:30
+    assert out[101] == (10, "x")        # boundary ts==fts matches (inclusive)
+    assert out[102] == (20, "y")        # newest of the two earlier snapshots
+    assert out[200] == (99, "z")
+    assert out[300] == (None, None)     # key absent from right
+
+
+def test_asof_join_snapshot_is_atomic(asof_frames):
+    # (a, b) must always come from the SAME right row
+    left, right = asof_frames
+    rows = asof_join(left, right, by="user_id", left_ts="ts", right_ts="fts").collect()
+    valid = {(None, None), (10, "x"), (20, "y"), (99, "z")}
+    assert all((r.a, r.b) in valid for r in rows)
+
+
+def test_asof_join_preserves_left_rowcount(spark, sf_check):
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    n_events = load_table(spark, sf_check, "events").count()
+    assert registry.QUERIES["events_asof_features"](spark, sf_check).count() == n_events
+
+
+def test_oracle_parity(spark, sf_check):
+    assert_matches_oracle(
+        registry.QUERIES["events_asof_features"](spark, sf_check),
+        registry.ORACLES["events_asof_features"],
+        sf_check,
+    )
