@@ -42,6 +42,26 @@ def test_every_query_returns_lazy_dataframe(spark, sf_smoke):
         assert len(df.columns) > 0, name
 
 
+def test_all_query_outputs_are_scalar_columns(spark, sf_smoke):
+    """The driver's canonicalizer pandas-sorts every output column;
+    array/map/struct columns crash it (unhashable type -- the one red
+    row of round 1). Every registry query must emit scalar columns
+    only; project arrays to element columns or formatted strings."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from mapreduce_implementation_grpc_spark import registry
+
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, sf_smoke)
+        offenders += [
+            (name, f.name, str(f.dataType))
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+    assert not offenders, f"non-scalar gate outputs: {offenders}"
+
+
 def test_lazy_queries_build_cheaply(spark, sf_smoke):
     """The driver's pattern is 'build the DataFrame, then act on it'.
     Every non-eager registry query must construct its plan cheaply --
