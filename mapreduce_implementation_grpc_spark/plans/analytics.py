@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.normalize import normalized_col
 from ..sources.catalog import load_table
 
 
@@ -289,6 +290,55 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
         .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey"))
         .limit(k)
     )
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets -- per
+    (type, day), per type, per day, grand total -- in ONE pass/one
+    shuffle (Spark expands grouping sets map-side; a UNION of four
+    aggregations would scan four times). Complements events_rollup,
+    which only produces the hierarchy's prefixes."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return (
+        ev.select(F.col("event_type"), day, F.col("value"))
+        .cube("event_type", "day")
+        .agg(F.count("*").alias("n_events"), _dec2dbl(F.sum(_dec(F.col("value")))).alias("sum_value"))
+    )
+
+
+def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile boundaries of order value: each decile's row
+    count and min/max price -- the distribution-summary shape for
+    curriculum bucketing / data balancing. The global ntile runs over
+    orders ONCE (single sort); the per-decile rollup is a tiny
+    aggregation on top."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    tiled = orders.select(
+        F.col("o_totalprice"), F.ntile(10).over(w).alias("decile")
+    )
+    return tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: even-numbered sources keep
+    a ~1/8 content-hash slice, odd-numbered keep ~1/4 -- the
+    per-domain mixture-weighting primitive of corpus curation.
+    Membership depends only on (content, stratum), never on
+    partitioning or RNG state, so samples are reproducible and
+    refreshable incrementally."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(normalized_col("text")), 1, 1)
+    src_num = F.regexp_replace(F.col("source"), "[^0-9]", "").cast("long")
+    keep = F.when(src_num % 2 == 0, bucket.isin("0", "1")).otherwise(
+        bucket.isin("0", "1", "2", "3")
+    )
+    return docs.filter(keep).select("doc_id", "lang", "source")
 
 
 def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 150.0) -> DataFrame:

@@ -454,6 +454,9 @@ q_events_quantiles = analytics.events_value_quantiles
 q_events_trailing_hour = analytics.events_trailing_hour
 q_events_type_trend = analytics.events_type_trend
 q_revenue_forecast = analytics.revenue_forecast
+q_events_cube = analytics.events_cube
+q_orders_price_deciles = analytics.orders_price_deciles
+q_stratified_sample = analytics.stratified_sample
 q_signup_funnel = analytics.signup_purchase_funnel
 q_shipping_priority = analytics.shipping_priority
 q_large_orders = analytics.large_orders
@@ -850,6 +853,28 @@ ORACLES: dict[str, str] = {
              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY ROLLUP(event_type, day)
     """,
+    "events_cube": """
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM events GROUP BY CUBE(event_type, day)
+    """,
+    "orders_price_deciles": """
+      WITH t AS (SELECT o_totalprice,
+                        ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+                 FROM orders)
+      SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      FROM t GROUP BY decile
+    """,
+    "stratified_sample": """
+      SELECT doc_id, lang, source FROM documents
+      WHERE CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 = 0
+            THEN substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 1)
+                 IN ('0', '1')
+            ELSE substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 1)
+                 IN ('0', '1', '2', '3') END
+    """,
     "repeat_customers": """
       SELECT o_custkey AS custkey FROM (
         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
@@ -1129,6 +1154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_json_stats": q_events_json_stats,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "orders_price_deciles": q_orders_price_deciles,
+    "stratified_sample": q_stratified_sample,
     "repeat_customers": q_repeat_customers,
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (HLL sketch)

@@ -2,6 +2,7 @@ from .pipelines import (
     streaming_dedup,
     streaming_event_counts,
     streaming_sessionize,
+    streaming_signup_purchase_join,
     streaming_user_totals_stateful,
     streaming_word_count,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_event_counts",
     "streaming_sessionize",
+    "streaming_signup_purchase_join",
     "streaming_user_totals_stateful",
     "streaming_word_count",
 ]

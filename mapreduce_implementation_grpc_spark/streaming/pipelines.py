@@ -100,6 +100,44 @@ def streaming_dedup(
     return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fingerprint"])
 
 
+def streaming_signup_purchase_join(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's signup(s) in the preceding `horizon` -- the incremental
+    twin of the batch signup->purchase funnel.
+
+    Both sides carry a watermark AND the join condition bounds the
+    event-time distance, so Spark can evict buffered rows once the
+    watermark passes signup_ts + horizon: join state is O(events per
+    horizon window), never O(stream length). (An unbounded-time
+    stream-stream join would buffer forever -- Spark rejects it in
+    append mode for exactly that reason.)"""
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        signups,
+        (purchases["user_id"] == signups["user_id"])
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        purchases["user_id"].alias("user_id"),
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_s"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_s"),
+        "value",
+    )
+
+
 def streaming_word_count(lines: DataFrame, text_col: str = "line") -> DataFrame:
     """Unbounded word count: same O2/O5/O6+O9 pipeline, incremental.
     Use outputMode('complete') (or 'update') on the sink."""

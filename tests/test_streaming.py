@@ -140,3 +140,53 @@ def test_foreachbatch_streaming_etl(spark, tmp_path):
         for r in spark.read.parquet(out).groupBy("word").agg(F.sum("cnt").alias("total")).collect()
     }
     assert merged == {"alpha": 2, "beta": 2, "gamma": 1}
+
+
+def test_streaming_signup_purchase_join_cross_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks: purchases match
+    signups from EARLIER microbatches (buffered join state), matches
+    outside the 1h horizon are dropped, and purchases with no signup
+    never emit."""
+    from pyspark.sql.types import DoubleType
+
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_signup_purchase_join,
+    )
+
+    schema = StructType(
+        EVENTS_SCHEMA.fields + [StructField("value", DoubleType())]
+    )
+    src = str(tmp_path / "joinev")
+    os.makedirs(src, exist_ok=True)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for eid, ts, uid, etype, val in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid,
+                     "event_type": etype, "value": val}) + "\n")
+
+    write("b1.json", [
+        (1, "2024-01-01 10:00:00", 1, "signup", 0.0),
+        (2, "2024-01-01 10:30:00", 1, "purchase", 9.99),   # in-batch match
+        (3, "2024-01-01 10:15:00", 2, "purchase", 5.00),   # no signup -> drop
+        (4, "2024-01-01 10:50:00", 3, "signup", 0.0),
+    ])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    out = streaming_signup_purchase_join(stream)
+    q = out.writeStream.format("memory").queryName("sp_join").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        write("b2.json", [
+            (5, "2024-01-01 11:10:00", 3, "purchase", 3.50),  # cross-batch match
+            (6, "2024-01-01 12:00:00", 1, "purchase", 1.00),  # outside 1h horizon
+        ])
+        q.processAllAvailable()
+        got = {(r.user_id, r.purchase_s) for r in
+               spark.sql("SELECT * FROM sp_join").collect()}
+        assert (1, "2024-01-01 10:30:00") in got
+        assert (3, "2024-01-01 11:10:00") in got      # state crossed batches
+        assert not any(u == 2 for u, _ in got)        # unmatched purchase
+        assert (1, "2024-01-01 12:00:00") not in got  # horizon enforced
+    finally:
+        q.stop()
