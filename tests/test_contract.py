@@ -114,3 +114,14 @@ def test_bench_emits_single_json_line(tmp_path):
         isinstance(v, (int, float)) for v in payload["queries"].values()
     )
     assert payload["sf"] == 0.001
+
+
+def test_cli_list_names_every_query(capsys):
+    from mapreduce_implementation_grpc_spark import registry
+    from mapreduce_implementation_grpc_spark.__main__ import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    for name in registry.QUERIES:
+        assert name in out
+    assert main(["definitely_not_a_query"]) == 2
