@@ -60,7 +60,12 @@ from .operators.wordcount import (
 from .sources.catalog import register_views
 from .plans import analytics
 from .plans.pipeline import curate_documents
-from .multimodal.binary_ops import decode_features, with_binary_payload
+from .multimodal.binary_ops import (
+    decode_features,
+    resize_images,
+    sample_frames,
+    with_binary_payload,
+)
 from .sources.catalog import load_table
 from .sources.text import corpus_from_documents, read_text_corpus, task_id_col
 
@@ -434,6 +439,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature")[2].alias("f_last"),
         F.col("feature")[3].alias("f_sum_mod"),
     )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th 16-byte chunk) via mapInPandas --
+    the video-frame-sampler shape with the deterministic stand-in
+    chunker; fully oracle-checked byte-for-byte from hex(encode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs))
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize shape: stride the byte stream to an 8x8 'thumb'
+    via mapInPandas; oracle recomputes the strided hex pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(with_binary_payload(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -821,6 +841,32 @@ ORACLES: dict[str, str] = {
              CAST(coalesce(list_sum(bytes), 0) % 997 AS DOUBLE) AS f_sum_mod
       FROM b
     """,
+    "multimodal_frames": """
+      WITH h AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               lower(hex(encode(text))) AS hx
+        FROM documents),
+      f AS (SELECT doc_id, nb, hx,
+                   unnest(range(0, ((nb + 15) // 16 + 3) // 4)) AS j
+            FROM h WHERE nb > 0)
+      SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+             substr(hx, 2 * j * 64 + 1, 2 * least(16, nb - j * 64)) AS frame,
+             CAST(least(16, nb - j * 64) AS BIGINT) AS n_bytes
+      FROM f
+    """,
+    "multimodal_resize": """
+      WITH h AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               lower(hex(encode(text))) AS hx
+        FROM documents),
+      s AS (SELECT doc_id, nb, hx, greatest(nb // 64, 1) AS step FROM h)
+      SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+             CASE WHEN nb = 0 THEN '' ELSE
+               array_to_string(list_transform(
+                 range(0, least(64, (nb + step - 1) // step)),
+                 k -> substr(hx, 2 * k * step + 1, 2)), '') END AS thumb
+      FROM s
+    """,
     "multimodal_meta": """
       SELECT doc_id, 'text' AS modality,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1145,6 +1191,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
     # relational analytics
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
