@@ -1,0 +1,254 @@
+"""Training-data curation operators (extension surface, SURVEY.md
+section 2b): benchmark decontamination, repetition-based quality
+filters (Gopher-style), PII redaction, and mixture-balanced
+sampling.
+
+The reference engine (greeter_server.cc / greeter_client.cc) has no
+curation surface at all -- its one job is word count -- so these are
+part of the LLM-pipeline extension mandated by BASELINE.json, built
+as pure declarative DataFrame plans:
+
+- every per-document metric is a JVM Column expression or a
+  window/groupBy over an exploded token stream (whole-stage codegen,
+  no Python);
+- the only corpus-wide joins are either broadcast (eval n-gram set,
+  per-group counts) or keyed on doc_id, which every post-explode
+  aggregate already hash-partitions on;
+- sampling membership is a deterministic function of content, never
+  of partitioning or RNG state, so results are reproducible and
+  DuckDB-oracle-checkable.
+
+100 TB posture, per operator:
+- decontaminate: the eval/benchmark side is tiny (~1e5 docs) next to
+  the corpus; its distinct n-gram set is broadcast, so the corpus
+  side is a map-side hash join -- no corpus shuffle. Only matching
+  (doc_id, ngram) rows -- a vanishing fraction -- reach the final
+  per-doc aggregation.
+- repetition_stats: three aggregations all keyed on doc_id; after the
+  first explode the data is hash-partitioned by doc_id and AQE
+  coalesces the tiny post-agg sides of the joins.
+- pii_redact: zero shuffles -- a chain of regexp_replace column
+  expressions evaluated in one codegen'd projection per row.
+- mixture_sample: per-group counts are a tiny aggregate broadcast
+  back; the keep/drop decision is then a per-row expression, so the
+  corpus is filtered in place with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows
+from .normalize import normalized_col
+from .tokenize import tokens_col
+
+DECONTAM_NGRAM_K = 6
+
+# (name, java+RE2-safe pattern, replacement) -- applied IN ORDER, each
+# on the output of the previous replace; the oracle mirrors the same
+# order so overlapping matches resolve identically in both engines.
+# Patterns avoid lookarounds/backrefs so Java regex and DuckDB's RE2
+# accept the same language.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = DECONTAM_NGRAM_K,
+) -> DataFrame:
+    """Benchmark decontamination: for each training doc, the number
+    of distinct k-token n-grams it shares with the eval corpus.
+
+    Docs that appear here at all are contaminated; callers anti-join
+    the result against the corpus to drop them. k=6 follows the
+    published 8-13-gram practice scaled to this corpus's short docs.
+
+    Plan: the eval n-gram set is broadcast (benchmarks are ~1e5 docs
+    vs a 100 TB corpus), making the join map-side; distinct-counting
+    happens AFTER the join so only matched rows -- not the corpus's
+    full shingle set -- are ever shuffled."""
+    train_sh = shingle_rows(train_docs, text_col, k)
+    eval_sh = shingle_rows(eval_docs, text_col, k).select("sh").distinct()
+    hits = train_sh.join(F.broadcast(eval_sh), "sh")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("sh").alias("n_shared_ngrams")
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics per document:
+
+    - n_tokens
+    - top_token_frac: occurrences of the most frequent token / n_tokens
+    - top_bigram_frac: occurrences of the most frequent bigram /
+      (n_tokens - 1)
+    - max_run_len: longest run of one token repeated consecutively
+
+    High values of any of these mark boilerplate / degenerate text
+    (the Gopher rules drop docs with top-2-gram fraction > 0.18).
+    Every aggregate is keyed on doc_id, which the explode's downstream
+    groupBys already hash-partition on."""
+    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    toks = base.select(
+        "doc_id",
+        F.posexplode(tokens_col(normalized_col("__text"))).alias("pos", "tok"),
+    )
+
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_tok"))
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.lead("tok").over(w).alias("tok2"),
+        F.lag("tok").over(w).alias("prev"),
+    )
+    bigram_stats = (
+        nxt.filter(F.col("tok2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "tok2").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"))
+    )
+
+    # gaps-and-islands: a new run starts wherever tok != lag(tok)
+    run_id = F.sum(
+        F.when(F.col("prev").isNull() | (F.col("prev") != F.col("tok")), 1).otherwise(0)
+    ).over(w)
+    run_stats = (
+        nxt.select("doc_id", "pos", "tok", run_id.alias("run_id"))
+        .groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_run_len"))
+    )
+
+    out = (
+        base.select("doc_id")
+        .join(tok_stats, "doc_id", "left")
+        .join(bigram_stats, "doc_id", "left")
+        .join(run_stats, "doc_id", "left")
+    )
+    n = F.coalesce(F.col("n_tokens"), F.lit(0))
+    return out.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.coalesce(F.col("top_tok"), F.lit(0)) / F.greatest(n, F.lit(1)), 6
+        ).alias("top_token_frac"),
+        F.round(
+            F.coalesce(F.col("top_bg"), F.lit(0)) / F.greatest(n - 1, F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+        F.coalesce(F.col("max_run_len"), F.lit(0)).cast("long").alias("max_run_len"),
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: replace emails / IPv4s / SSN-shaped / phone-
+    shaped substrings with typed placeholder tokens, counting each.
+
+    Counts are taken on the progressively-redacted string in pattern
+    order, so an overlapping match is attributed to exactly one type
+    in both engines. Pure column expressions -- one codegen'd
+    projection, zero shuffles, linear scan at any scale."""
+    cur = F.col(text_col)
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        count_cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(
+        "doc_id",
+        *count_cols,
+        cur.alias("redacted"),
+        F.length(cur).cast("long").alias("redacted_len"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Mixture-balanced deterministic sampling: down-sample every
+    group to (approximately) the size of the smallest group, so the
+    kept corpus is balanced across `group_col` (the data-mixing
+    primitive for training-set composition).
+
+    Membership is a pure function of content -- u = first 8 hex chars
+    of md5(normalized text) scaled to [0,1), kept iff u < min_n/n_g --
+    so the sample is reproducible under any partitioning and exactly
+    mirrored by the DuckDB oracle. The per-group counts are a tiny
+    aggregate joined back by broadcast; the corpus itself is filtered
+    in place with no shuffle."""
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    min_n = counts.agg(F.min("n_g").alias("min_n"))
+    u = (
+        F.conv(F.substring(F.md5(normalized_col(text_col)), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(min_n))
+        .filter(u < F.col("min_n") / F.col("n_g"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def shard_manifest(
+    docs: DataFrame, n_shards: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic output-shard manifest: assign each doc to
+    shard = doc_id // ceil((max_id+1)/n_shards) and report per-shard
+    doc/token totals and doc_id bounds -- the bookkeeping a sharded
+    training-data export writes next to its files.
+
+    Shard width derives from a 1-row max aggregate broadcast back, so
+    assignment is a per-row expression; the only shuffle is the final
+    n_shards-row aggregation."""
+    bounds = docs.agg(F.max("doc_id").alias("max_id"))
+    width = F.ceil((F.col("max_id") + 1) / F.lit(n_shards))
+    shard = F.floor(F.col("doc_id") / width).cast("long")
+    n_toks = F.size(tokens_col(normalized_col(text_col)))
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(shard.alias("shard_id"), "doc_id", n_toks.alias("n_toks"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int = 8
+) -> None:
+    """Write the corpus as n_shards range-partitioned, internally
+    doc_id-sorted parquet files -- the layout downstream training
+    loaders want (contiguous id ranges, sorted within file, parquet
+    min/max footer stats enabling range pruning on read)."""
+    (
+        docs.repartitionByRange(n_shards, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -40,6 +40,14 @@ from .operators.dedup import (
     simhash_64,
     simhash_near_dup_pairs,
 )
+from .operators.curation import (
+    PII_PATTERNS,
+    decontaminate,
+    mixture_sample,
+    pii_redact,
+    repetition_stats,
+    shard_manifest,
+)
 from .operators.normalize import normalized_col
 from .operators.similarity import (
     ann_ivf_topk,
@@ -286,6 +294,48 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.select(
         "word", "cnt", F.row_number().over(w).cast("long").alias("vocab_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation / filtering (decontamination, quality, PII, mixing)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 20 != 0)
+    sharing any 6-gram with the held-out eval slice (doc_id % 20 == 0),
+    with the distinct shared-n-gram count. Eval n-gram set broadcast;
+    corpus side never shuffles before the match."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(train_docs, eval_docs)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (top-token / top-bigram
+    fraction, longest same-token run) per document."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: typed placeholder substitution with
+    per-type counts. The synthetic corpus is PII-free, so this is an
+    identity pass here (counts 0) -- the crafted-fixture tests in
+    tests/test_curation.py exercise the actual redaction; the oracle
+    proves both engines run the identical regex pipeline."""
+    return pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-balanced sampling: down-sample each language to the
+    smallest language's size via deterministic content hashing."""
+    return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard manifest for a sharded training-data export:
+    per-shard doc/token totals and doc_id bounds."""
+    return shard_manifest(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -699,6 +749,67 @@ ORACLES: dict[str, str] = {
       SELECT word, cnt,
              CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS vocab_id
       FROM ({_SQL_WORDCOUNT}) WHERE cnt >= 5
+    """,
+    # curation / filtering
+    "decontaminate": f"""
+      WITH toks AS ({_SQL_TOKS}),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(toks) - 4),
+                 i -> array_to_string(list_slice(toks, i, i + 5), ' ')))) AS sh
+        FROM toks WHERE len(toks) >= 6),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0)
+      SELECT tr.doc_id, count(*) AS n_shared_ngrams
+      FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id
+    """,
+    "repetition_stats": f"""
+      WITH toks AS ({_SQL_TOKS}),
+      t AS (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM toks WHERE len(toks) > 0),
+      tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      ts AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok FROM tc GROUP BY 1),
+      bgc AS (SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id,
+                       tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM t) WHERE g IS NOT NULL GROUP BY 1, 2),
+      bs AS (SELECT doc_id, max(c) AS top_bg FROM bgc GROUP BY 1),
+      runs AS (SELECT doc_id, run_id, count(*) AS run_len FROM (
+                 SELECT doc_id, pos,
+                        sum(CASE WHEN prev IS NULL OR prev <> tok THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+                 FROM (SELECT doc_id, pos, tok,
+                              lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                       FROM t)) GROUP BY 1, 2),
+      rs AS (SELECT doc_id, max(run_len) AS max_run_len FROM runs GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+             round(coalesce(ts.top_tok, 0) / greatest(coalesce(ts.n_tokens, 0), 1), 6)
+               AS top_token_frac,
+             round(coalesce(bs.top_bg, 0) / greatest(coalesce(ts.n_tokens, 0) - 1, 1), 6)
+               AS top_bigram_frac,
+             CAST(coalesce(rs.max_run_len, 0) AS BIGINT) AS max_run_len
+      FROM documents d
+      LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id) LEFT JOIN rs USING (doc_id)
+    """,
+    "mixture_sample": """
+      WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+      m AS (SELECT min(n_g) AS min_n FROM c)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN c USING (lang), m
+      WHERE CAST(concat('0x', substr(md5(trim(lower(
+              regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < min_n / n_g
+    """,
+    "shard_manifest": f"""
+      WITH t AS (SELECT doc_id, len(toks) AS n_toks FROM ({_SQL_TOKS})),
+      b AS (SELECT max(doc_id) AS max_id FROM documents)
+      SELECT CAST(floor(doc_id / ceil((max_id + 1) / 8.0)) AS BIGINT) AS shard_id,
+             count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM t, b GROUP BY 1
     """,
     "documents_sample": """
       SELECT doc_id, lang, source FROM documents
@@ -1148,6 +1259,29 @@ ORACLES: dict[str, str] = {
 ORACLES["pricing_summary_sql"] = ORACLES["pricing_summary"]
 
 
+def _pii_oracle_sql() -> str:
+    """Generate the pii_redact oracle FROM PII_PATTERNS so the SQL
+    can never drift from the Spark pipeline: same patterns, same
+    order, counts taken on the progressively-redacted string."""
+    ctes = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT * EXCLUDE (t{i - 1}),\n"
+            f"  CAST(len(regexp_extract_all(t{i - 1}, '{p}')) AS BIGINT) AS n_{name},\n"
+            f"  regexp_replace(t{i - 1}, '{p}', '{repl}', 'g') AS t{i} FROM s{i - 1})"
+        )
+    last = f"t{len(PII_PATTERNS)}"
+    counts = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, {counts}, {last} AS redacted, "
+        f"CAST(length({last}) AS BIGINT) AS redacted_len FROM s{len(PII_PATTERNS)}"
+    )
+
+
+ORACLES["pii_redact"] = _pii_oracle_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
     "wordcount": q_wordcount,
@@ -1171,6 +1305,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "ngram_counts": q_ngram_counts,
     "vocab_ids": q_vocab_ids,
+    # curation / filtering
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
+    "mixture_sample": q_mixture_sample,
+    "shard_manifest": q_shard_manifest,
     # dedup
     "documents_sample": q_documents_sample,
     "dedup_exact": q_dedup_exact,
@@ -1242,6 +1382,10 @@ BENCH_QUERIES = [
     "text_stats",
     "quality_score",
     "token_counts",
+    "decontaminate",
+    "repetition_stats",
+    "pii_redact",
+    "mixture_sample",
     "dedup_exact",
     "minhash_near_dup",
     "simhash",
