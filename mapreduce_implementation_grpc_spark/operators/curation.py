@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import shingle_rows
+from .dedup import shingle_rows_flat
 from .normalize import normalized_col
 from .tokenize import tokens_col
 
@@ -72,11 +72,13 @@ def decontaminate(
     published 8-13-gram practice scaled to this corpus's short docs.
 
     Plan: the eval n-gram set is broadcast (benchmarks are ~1e5 docs
-    vs a 100 TB corpus), making the join map-side; distinct-counting
-    happens AFTER the join so only matched rows -- not the corpus's
-    full shingle set -- are ever shuffled."""
-    train_sh = shingle_rows(train_docs, text_col, k)
-    eval_sh = shingle_rows(eval_docs, text_col, k).select("sh").distinct()
+    vs a 100 TB corpus), making the join map-side; the corpus side
+    uses the shuffle-FREE flat shingle builder (no window, no
+    Exchange), so distinct-counting AFTER the join is the only
+    corpus-side shuffle -- and it sees matched rows only, a vanishing
+    fraction."""
+    train_sh = shingle_rows_flat(train_docs, text_col, k)
+    eval_sh = shingle_rows_flat(eval_docs, text_col, k).select("sh").distinct()
     hits = train_sh.join(F.broadcast(eval_sh), "sh")
     return hits.groupBy("doc_id").agg(
         F.count_distinct("sh").alias("n_shared_ngrams")

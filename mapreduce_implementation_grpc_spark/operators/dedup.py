@@ -61,6 +61,31 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", k: int = DEFAULT_SHING
     return sh.filter(F.col("sh").isNotNull())
 
 
+def shingle_rows_flat(docs: DataFrame, text_col: str = "text", k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """DataFrame[doc_id, sh] of k-token shingles built WITHOUT any
+    shuffle: the token array is materialized once per row behind an
+    explode(array(...)) Generate barrier (so CollapseProject cannot
+    inline the tokenize pipeline into the per-shingle lambda -- the
+    measured 50x pitfall), then shingle assembly is a flat
+    slice+concat per index over the bound array attribute.
+
+    Use this variant when the consumer does NOT need the output
+    hash-partitioned by doc_id (e.g. a broadcast-join probe or a
+    groupBy on the shingle itself); `shingle_rows` keeps the
+    window-based form whose Exchange is reused by per-doc
+    aggregations downstream."""
+    toksed = docs.select(
+        "doc_id",
+        F.explode(F.array(tokens_col(normalized_col(text_col)))).alias("toks"),
+    )
+    n = F.size("toks")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh_arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i, k)))
+    return toksed.select("doc_id", F.explode(sh_arr).alias("sh"))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by md5 of normalized text: one row per
     distinct content, keeping the smallest doc_id as canonical.

@@ -269,10 +269,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus bigrams (all occurrences, not per-doc distinct):
-    the n-gram LM statistics pass, sharing the shingle machinery."""
-    from .operators.dedup import shingle_rows
+    the n-gram LM statistics pass. Uses the shuffle-free flat shingle
+    builder -- the aggregation keys on the gram itself, so the
+    window variant's doc_id Exchange would be pure overhead."""
+    from .operators.dedup import shingle_rows_flat
 
-    grams = shingle_rows(load_table(spark, sf_dir, "documents"), k=2)
+    grams = shingle_rows_flat(load_table(spark, sf_dir, "documents"), k=2)
     return (
         grams.groupBy(F.col("sh").alias("gram"))
         .agg(F.count("*").alias("cnt"))

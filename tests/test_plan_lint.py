@@ -93,3 +93,20 @@ def test_kmeans_assign_is_shuffle_free(spark, sf_check):
     )
     assert "Exchange" not in plan, f"assign stage shuffles:\n{plan[:2000]}"
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_corpus_side_is_map_only(spark, sf_check):
+    """Decontamination must probe the broadcast eval n-gram set
+    without shuffling the corpus first: no Window anywhere, exactly
+    one BroadcastHashJoin, and no Exchange between the corpus scan
+    and the join (the only hash Exchanges sit above the join --
+    matched rows -- or under the tiny eval-distinct side)."""
+    plan = _plan(spark, sf_check, "decontaminate")
+    assert "Window" not in plan, "flat shingle path regressed to window form"
+    assert plan.count("BroadcastHashJoin") == 1
+    # walk the BHJ's build-free (streamed) side: the text between the
+    # join node and its BroadcastExchange child must hold no Exchange
+    join_to_bcast = plan[plan.index("BroadcastHashJoin"): plan.index("BroadcastExchange")]
+    assert "Exchange hashpartitioning" not in join_to_bcast, (
+        "corpus side shuffles before the broadcast probe"
+    )
