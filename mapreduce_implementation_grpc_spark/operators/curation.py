@@ -160,14 +160,10 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """PII redaction: replace emails / IPv4s / SSN-shaped / phone-
-    shaped substrings with typed placeholder tokens, counting each.
-
-    Counts are taken on the progressively-redacted string in pattern
-    order, so an overlapping match is attributed to exactly one type
-    in both engines. Pure column expressions -- one codegen'd
-    projection, zero shuffles, linear scan at any scale."""
+def pii_cols(text_col: str = "text"):
+    """(count_cols, redacted_col) column expressions for the PII
+    pass -- shared by the batch operator and the streaming curation
+    pipeline (same expressions, incremental execution)."""
     cur = F.col(text_col)
     count_cols = []
     for name, pat, repl in PII_PATTERNS:
@@ -177,11 +173,23 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .alias(f"n_{name}")
         )
         cur = F.regexp_replace(cur, pat, repl)
+    return count_cols, cur
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: replace emails / IPv4s / SSN-shaped / phone-
+    shaped substrings with typed placeholder tokens, counting each.
+
+    Counts are taken on the progressively-redacted string in pattern
+    order, so an overlapping match is attributed to exactly one type
+    in both engines. Pure column expressions -- one codegen'd
+    projection, zero shuffles, linear scan at any scale."""
+    count_cols, redacted = pii_cols(text_col)
     return docs.select(
         "doc_id",
         *count_cols,
-        cur.alias("redacted"),
-        F.length(cur).cast("long").alias("redacted_len"),
+        redacted.alias("redacted"),
+        F.length(redacted).cast("long").alias("redacted_len"),
     )
 
 

@@ -1,4 +1,6 @@
 from .pipelines import (
+    parquet_upsert_sink,
+    streaming_curate,
     streaming_dedup,
     streaming_event_counts,
     streaming_sessionize,
@@ -8,6 +10,8 @@ from .pipelines import (
 )
 
 __all__ = [
+    "parquet_upsert_sink",
+    "streaming_curate",
     "streaming_dedup",
     "streaming_event_counts",
     "streaming_sessionize",

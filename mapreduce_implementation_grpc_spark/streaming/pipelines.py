@@ -187,3 +187,61 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """Incremental twin of the batch curation pipeline: within-
+    watermark exact dedup -> quality gate -> PII redaction, over an
+    unbounded document stream.
+
+    Everything except the dedup is a stateless per-row projection
+    (the same column expressions the batch operators use), so the
+    only streaming state is the fingerprint store, evicted by the
+    watermark -- O(docs per horizon), not O(stream length)."""
+    from ..functions.text_stats import quality_score_col
+    from ..operators.curation import pii_cols
+
+    fp = docs.withColumn("fingerprint", F.md5(normalized_col(text_col)))
+    deduped = fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+    gated = deduped.withColumn("quality", quality_score_col(text_col)).filter(
+        F.col("quality") >= min_quality
+    )
+    count_cols, redacted = pii_cols(text_col)
+    return gated.select(
+        "doc_id", ts_col, "quality", *count_cols, redacted.alias("redacted")
+    )
+
+
+def parquet_upsert_sink(spark, path: str, key_cols: list[str]):
+    """foreachBatch sink factory: idempotent keyed upsert into a
+    parquet table -- new rows replace same-key rows, so replayed
+    microbatches (at-least-once delivery) converge instead of
+    duplicating.
+
+    This is the merge pattern a lakehouse table format (Delta /
+    Iceberg MERGE INTO) runs transactionally; plain parquet has no
+    atomic swap, so the demo rewrites via an anti-join union --
+    correct single-writer semantics, and the exact shape to swap for
+    `MERGE INTO` when a table format is available. Each batch's work
+    is O(table + batch); state lives in the table, not the stream."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(key_cols).localCheckpoint()
+        try:
+            cur = spark.read.parquet(path).localCheckpoint()
+        except Exception:
+            cur = None
+        merged = batch if cur is None else cur.join(
+            batch.select(*key_cols), key_cols, "left_anti"
+        ).unionByName(batch)
+        merged.write.mode("overwrite").parquet(path)
+
+    return sink

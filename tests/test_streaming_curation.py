@@ -1,0 +1,116 @@
+"""Streaming curation pipeline + keyed upsert sink: file-source
+fixtures driven to completion, compared against batch twins."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mapreduce_implementation_grpc_spark.streaming import (
+    parquet_upsert_sink,
+    streaming_curate,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+    ]
+)
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then runs far away "
+    "of the hills is where sound comes from and many other words too"
+)
+
+
+def _write_docs(path, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "docs.json"), "w") as f:
+        for doc_id, ts, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n")
+
+
+def test_streaming_curate_dedups_gates_and_redacts(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    _write_docs(
+        src,
+        [
+            (1, "2024-01-01 10:00:00", GOOD),
+            (2, "2024-01-01 10:01:00", GOOD),          # exact dup of 1
+            (3, "2024-01-01 10:02:00", "???!!!###"),    # quality 0.0
+            (4, "2024-01-01 10:03:00", GOOD + " mail me a@b.io or 1.2.3.4"),
+        ],
+    )
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(src)
+    q = (
+        streaming_curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM curated_stream").collect()}
+    # dup dropped (one of 1/2 survives), low-quality 3 dropped, 4 redacted
+    assert 3 not in rows
+    assert len({1, 2} & set(rows)) == 1
+    assert rows[4].n_email == 1 and rows[4].n_ip == 1
+    assert "<EMAIL>" in rows[4].redacted and "<IP>" in rows[4].redacted
+    assert all(r.quality >= 0.3 for r in rows.values())
+
+
+def test_parquet_upsert_sink_converges_on_replay(spark, tmp_path):
+    """Keyed upsert: replaying the same batch is a no-op; a newer
+    batch's row replaces the old row for the same key."""
+    out = str(tmp_path / "table")
+    sink = parquet_upsert_sink(spark, out, ["user_id"])
+
+    b1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "user_id long, total double")
+    b2 = spark.createDataFrame([(2, 25.0), (3, 30.0)], "user_id long, total double")
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # at-least-once replay
+    got = {r.user_id: r.total for r in spark.read.parquet(out).collect()}
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+
+
+def test_upsert_sink_end_to_end_stream(spark, tmp_path):
+    """Stream aggregate -> foreachBatch upsert: final table equals
+    the batch groupBy over the same input."""
+    src = str(tmp_path / "docs")
+    _write_docs(
+        src,
+        [
+            (1, "2024-01-01 10:00:00", "a b c"),
+            (2, "2024-01-01 10:01:00", "d e"),
+            (3, "2024-01-01 11:30:00", "f"),
+        ],
+    )
+    out = str(tmp_path / "counts")
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(parquet_upsert_sink(spark, out, ["hour"]))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.hour: r.n_docs for r in spark.read.parquet(out).collect()}
+    assert got == {"2024-01-01 10": 2, "2024-01-01 11": 1}
