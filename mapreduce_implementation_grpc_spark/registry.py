@@ -56,6 +56,7 @@ from .operators.similarity import (
     knn_brute_force,
     lsh_planes,
 )
+from .operators.quantization import quantize_embeddings
 from .operators.tokenize import tokenize
 from .operators.topk import top_k
 from .functions.tfidf import tfidf_top_terms
@@ -458,6 +459,23 @@ def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus, projected to
+    gate-hashable scalars: code checksum/extrema (exact integers) +
+    reconstruction mse at 6 decimals."""
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("code_sum"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+        "mse",
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -840,6 +858,32 @@ ORACLES: dict[str, str] = {
       SELECT * FROM j WHERE jaccard >= 0.05
     """,
     # similarity
+    "embedding_quantize": """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      f AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+      st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1),
+      arr AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM st),
+      c AS (SELECT vec_id, v, mins, maxs,
+              list_transform(range(1, len(v) + 1), i ->
+                CASE WHEN maxs[i] > mins[i]
+                     THEN CAST(floor(((v[i] - mins[i]) * 255.0) / (maxs[i] - mins[i])) AS INT)
+                     ELSE 0 END) AS codes
+            FROM e, arr),
+      er AS (SELECT vec_id, codes, len(v) AS nd,
+               list_transform(range(1, len(v) + 1), i ->
+                 CASE WHEN maxs[i] > mins[i]
+                      THEN (v[i] - (mins[i] + ((CAST(codes[i] AS DOUBLE) + 0.5)
+                             * (maxs[i] - mins[i])) / 255.0))
+                      ELSE 0.0 END) AS err
+             FROM c)
+      SELECT vec_id,
+             CAST(nd AS BIGINT) AS n_dims,
+             CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             CAST(list_min(codes) AS BIGINT) AS code_min,
+             CAST(list_max(codes) AS BIGINT) AS code_max,
+             round(list_sum(list_transform(err, d -> d * d)) / nd, 6) AS mse
+      FROM er
+    """,
     "knn_cosine": """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
                  FROM embeddings WHERE vec_id < 10),
@@ -1330,6 +1374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans,           # rows-only (iterative)
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
+    "embedding_quantize": q_embedding_quantize,
     # multimodal
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -1393,6 +1438,7 @@ BENCH_QUERIES = [
     "simhash",
     "knn_cosine",
     "ann_lsh",
+    "embedding_quantize",
     "pricing_summary",
     "revenue_by_nation",
     "revenue_forecast",

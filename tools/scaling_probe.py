@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from mapreduce_implementation_grpc_spark.operators.curation import (
+    decontaminate,
+    repetition_stats,
+)
 from mapreduce_implementation_grpc_spark.operators.dedup import minhash_near_dup_pairs
 from mapreduce_implementation_grpc_spark.operators.wordcount import word_count
 from mapreduce_implementation_grpc_spark.functions.text_stats import text_stats_cols
@@ -66,23 +70,43 @@ def synth_corpus(spark, n_docs: int, tokens_per_doc: int = 60):
     ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
 
 
+def _full_eval(df) -> None:
+    """Noop-sink write: every output column computed and consumed
+    executor-side (a bare count() lets Catalyst prune projections and
+    even eliminate unique-keyed left joins -- measured: repetition
+    stats "ran" in 0.6 s at 1M docs because the whole plan folded to
+    a parquet row count)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_suite(docs) -> dict:
     n = docs.count()
     t0 = time.perf_counter()
-    word_count(docs, "text").count()
+    _full_eval(word_count(docs, "text"))
     t_wc = time.perf_counter() - t0
     t0 = time.perf_counter()
-    docs.select("doc_id", *text_stats_cols("text")).count()
+    _full_eval(docs.select("doc_id", *text_stats_cols("text")))
     t_stats = time.perf_counter() - t0
     t0 = time.perf_counter()
     n_pairs = minhash_near_dup_pairs(docs).count()
     t_minhash = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_contam = decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0), docs.filter(F.col("doc_id") % 20 == 0)
+    ).count()
+    t_decontam = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _full_eval(repetition_stats(docs))
+    t_rep = time.perf_counter() - t0
     return {
         "docs": n,
         "wordcount_s": round(t_wc, 2),
         "text_stats_s": round(t_stats, 2),
         "minhash_s": round(t_minhash, 2),
         "minhash_pairs": n_pairs,
+        "decontam_s": round(t_decontam, 2),
+        "contam_docs": n_contam,
+        "repetition_s": round(t_rep, 2),
     }
 
 
