@@ -556,3 +556,25 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted
+    on each later active day (day_offset = days since cohort entry).
+    The product-analytics retention-curve query.
+
+    Plan: first-activity day via min() over the user partition (one
+    shuffle on user_id, uniform key), per-(user, day) de-dup rides
+    the same partitioning, and the final (cohort, offset) aggregate
+    is tiny. No self-join of the event log."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    act = ev.select(
+        "user_id",
+        F.to_date(F.min("ts").over(w)).alias("cohort"),
+        F.to_date("ts").alias("act_day"),
+    ).distinct()
+    return act.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("act_day", "cohort").cast("long").alias("day_offset"),
+    ).agg(F.count("*").alias("n_users"))

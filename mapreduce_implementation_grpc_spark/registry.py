@@ -594,6 +594,7 @@ q_revenue_by_nation = analytics.revenue_by_nation
 q_top_customers = analytics.top_customers
 q_customer_order_ranks = analytics.customer_order_ranks
 q_events_hourly = analytics.events_hourly
+q_user_retention = analytics.user_retention
 q_events_sessionize = analytics.events_sessionize
 q_events_json_stats = analytics.events_json_stats
 
@@ -1260,6 +1261,15 @@ ORACLES: dict[str, str] = {
         FROM orders)
       WHERE rn <= 3
     """,
+    "user_retention": """
+      WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT e.user_id, f.cohort, CAST(e.ts AS DATE) AS act_day
+            FROM events e JOIN f USING (user_id))
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+             CAST(act_day - cohort AS BIGINT) AS day_offset,
+             count(*) AS n_users
+      FROM a GROUP BY 1, 2
+    """,
     "events_hourly": """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
              event_type, count(*) AS n_events,
@@ -1386,6 +1396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": q_top_customers,
     "customer_order_ranks": q_customer_order_ranks,
     "events_hourly": q_events_hourly,
+    "user_retention": q_user_retention,
     "events_sessionize": q_events_sessionize,
     "events_json_stats": q_events_json_stats,
     "events_rollup": q_events_rollup,

@@ -16,6 +16,7 @@ RELATIONAL = [
     "events_hourly",
     "events_sessionize",
     "events_json_stats",
+    "user_retention",
 ]
 
 
