@@ -41,11 +41,26 @@ def _toks(text: Column | str) -> Column:
     return tokens_col(normalized_col(text))
 
 
-def text_stats_cols(text: Column | str) -> list[Column]:
+def with_token_array(docs, text_col: str = "text", out_col: str = "toks"):
+    """Materialize the token array ONCE behind an explode(array(...))
+    Generate barrier. Without it, CollapseProject inlines the whole
+    tokenize pipeline (regex replace + split + filter) into every
+    output column that references the tokens -- text_stats runs it
+    5x, lang_id 6x (measured 1.5x wall on text_stats at 200k docs).
+    Pass the materialized column into the *_cols functions via their
+    `toks=` parameter."""
+    return docs.select(
+        "*", F.explode(F.array(tokens_col(normalized_col(text_col)))).alias(out_col)
+    )
+
+
+def text_stats_cols(text: Column | str, toks: Column | None = None) -> list[Column]:
     """Per-doc stats: token counts, distinct ratio, avg token length,
-    punctuation ratio (chars stripped by normalize / raw length)."""
+    punctuation ratio (chars stripped by normalize / raw length).
+    Pass `toks` (a materialized array column, see with_token_array)
+    to avoid re-tokenizing once per output column."""
     text = F.col(text) if isinstance(text, str) else text
-    toks = _toks(text)
+    toks = _toks(text) if toks is None else toks
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     raw_len = F.length(text)
@@ -63,11 +78,11 @@ def text_stats_cols(text: Column | str) -> list[Column]:
     ]
 
 
-def bpe_like_token_count_col(text: Column | str) -> Column:
+def bpe_like_token_count_col(text: Column | str, toks: Column | None = None) -> Column:
     """BPE-ish token count: each whitespace token contributes
     ceil(len/4) subword units (a 4-chars-per-token approximation of a
     byte-pair vocab). Whitespace count is size(tokens)."""
-    toks = _toks(text)
+    toks = _toks(text) if toks is None else toks
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
@@ -75,13 +90,13 @@ def bpe_like_token_count_col(text: Column | str) -> Column:
     )
 
 
-def quality_score_col(text: Column | str) -> Column:
+def quality_score_col(text: Column | str, toks: Column | None = None) -> Column:
     """Composite document quality in [0,1]:
     0.35*length_score + 0.25*(1-punct_ratio) + 0.2*distinct_ratio
     + 0.2*stopword_presence. Deterministic double arithmetic,
     mirrored term-for-term in the oracle."""
     text = F.col(text) if isinstance(text, str) else text
-    toks = _toks(text)
+    toks = _toks(text) if toks is None else toks
     n_tokens = F.size(toks)
     safe_n = F.greatest(n_tokens, F.lit(1))
     raw_len = F.length(text)
@@ -98,10 +113,11 @@ def quality_score_col(text: Column | str) -> Column:
     )
 
 
-def lang_score_cols(text: Column | str) -> list[Column]:
+def lang_score_cols(text: Column | str, toks: Column | None = None) -> list[Column]:
     """Per-language marker-hit counts + argmax prediction with a
-    deterministic tie-break (hit count desc, language code asc)."""
-    toks = _toks(text)
+    deterministic tie-break (hit count desc, language code asc).
+    Pass `toks` (see with_token_array) to tokenize once, not 6x."""
+    toks = _toks(text) if toks is None else toks
 
     def _hit(markers: tuple[str, ...]):
         # factory closure: a default-arg lambda would look binary to

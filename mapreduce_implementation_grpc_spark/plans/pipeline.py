@@ -46,16 +46,25 @@ def curate_documents(
     drop_near = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
     docs2 = docs1.join(drop_near, "doc_id", "left_anti")
 
-    # 3+4. quality gate + annotations in one projection pass
-    return docs2.select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        quality_score_col("text").alias("quality"),
-        bpe_like_token_count_col("text").alias("n_bpe_tokens"),
-        F.md5(normalized_col("text")).alias("fingerprint"),
-    ).filter(F.col("quality") >= min_quality)
+    # 3+4. quality gate + annotations in one projection pass; the
+    # token array is materialized once behind a Generate barrier so
+    # quality + bpe-count don't each re-run the tokenize regex
+    from ..functions.text_stats import with_token_array
+
+    toks = F.col("toks")
+    return (
+        with_token_array(docs2)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            quality_score_col("text", toks=toks).alias("quality"),
+            bpe_like_token_count_col("text", toks=toks).alias("n_bpe_tokens"),
+            F.md5(normalized_col("text")).alias("fingerprint"),
+        )
+        .filter(F.col("quality") >= min_quality)
+    )
 
 
 def run_curation(

@@ -30,6 +30,7 @@ from .functions.text_stats import (
     lang_score_cols,
     quality_score_col,
     text_stats_cols,
+    with_token_array,
 )
 from .operators.dedup import (
     dedup_clusters,
@@ -220,28 +221,28 @@ def q_map_task_stats(spark: SparkSession, sf_dir: str, num_tasks: int = 4) -> Da
 # ---------------------------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *text_stats_cols("text"))
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", *text_stats_cols("text", toks=F.col("toks")))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score_col("text").alias("quality"))
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", quality_score_col("text", toks=F.col("toks")).alias("quality")
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", *lang_score_cols("text"))
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "lang", *lang_score_cols("text", toks=F.col("toks")))
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    from .operators.tokenize import tokens_col
-
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        F.size(tokens_col(normalized_col("text"))).cast("long").alias("n_ws_tokens"),
-        bpe_like_token_count_col("text").alias("n_bpe_tokens"),
+        F.size("toks").cast("long").alias("n_ws_tokens"),
+        bpe_like_token_count_col("text", toks=F.col("toks")).alias("n_bpe_tokens"),
     )
 
 
