@@ -255,6 +255,35 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data shaping (chunking / packing / vocab)
 # ---------------------------------------------------------------------------
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase inverted index (3-token shingles, df in [2, 20]): the
+    search-side generalization of word count -- phrase -> document
+    frequency + sorted posting list (comma-joined so the gate can
+    hash it). Posting rows are bounded by max_df, so no reducer row
+    can blow up on a boilerplate phrase."""
+    from .functions.indexing import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over adjacent-token bigrams (count >= 5):
+    phrase mining for corpus analysis. Vocab-sized joins only; the
+    corpus-sized work is the two token aggregations."""
+    from .functions.indexing import bigram_pmi
+
+    return bigram_pmi(load_table(spark, sf_dir, "documents"))
+
+
+def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent terms per language: per-group top-k over
+    the post-aggregation (lang, word) table with deterministic
+    tie-breaks -- never a global sort."""
+    from .functions.indexing import top_terms_per_group
+
+    return top_terms_per_group(load_table(spark, sf_dir, "documents"))
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding token-window chunking (32-token windows, stride 24)."""
     from .operators.chunking import doc_chunks
@@ -383,6 +412,20 @@ def q_dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return label_propagation(pairs, max_iter=20)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: treat doc_id % 10 == 0 as today's
+    new batch and the rest as the existing corpus; return the novel
+    new docs (content fingerprint unseen in the corpus). Anti-join
+    keyed on the md5 digest -- uniform, skew-free; corpus side
+    reduced to distinct fingerprints before the join."""
+    from .operators.incremental import incremental_dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup_exact(new_docs, corpus)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,6 +814,50 @@ ORACLES: dict[str, str] = {
       SELECT word, cnt,
              CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS vocab_id
       FROM ({_SQL_WORDCOUNT}) WHERE cnt >= 5
+    """,
+    "inverted_index": f"""
+      WITH s AS ({_SQL_SHINGLES}),
+      p AS (SELECT DISTINCT doc_id, unnest(shset) AS phrase FROM s)
+      SELECT phrase, count(*) AS df,
+             array_to_string(list_sort(list(doc_id)), ',') AS postings
+      FROM p GROUP BY phrase HAVING count(*) BETWEEN 2 AND 20
+    """,
+    "bigram_pmi": f"""
+      WITH t AS ({_SQL_TOKS}),
+      u AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      b AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS cnt
+            FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> [toks[i], toks[i + 1]])) AS pr FROM t)
+            GROUP BY 1, 2 HAVING count(*) >= 5),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok_total FROM u),
+      nbt AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_big_total
+              FROM t)
+      SELECT w1 || ' ' || w2 AS gram, CAST(cnt AS BIGINT) AS cnt,
+             round(ln((CAST(cnt AS DOUBLE) * n_tok_total * n_tok_total)
+                  / (n_big_total * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+      FROM b
+      JOIN (SELECT w AS w1, c AS c1 FROM u) USING (w1)
+      JOIN (SELECT w AS w2, c AS c2 FROM u) USING (w2), tot, nbt
+    """,
+    "top_terms_per_lang": f"""
+      WITH t AS ({_SQL_TOKS}),
+      cc AS (SELECT lang, word, count(*) AS cnt
+             FROM (SELECT lang, unnest(toks) AS word FROM t) GROUP BY 1, 2)
+      SELECT lang, word, cnt, rn FROM (
+        SELECT lang, word, cnt,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, word ASC) AS BIGINT) AS rn
+        FROM cc) WHERE rn <= 5
+    """,
+    "incremental_dedup": """
+      WITH fp AS (
+        SELECT doc_id,
+               md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))) AS fp_md5
+        FROM documents)
+      SELECT doc_id, fp_md5 FROM fp
+      WHERE doc_id % 10 = 0
+        AND fp_md5 NOT IN (SELECT fp_md5 FROM fp WHERE doc_id % 10 <> 0)
     """,
     # curation / filtering
     "decontaminate": f"""
@@ -1362,6 +1449,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "ngram_counts": q_ngram_counts,
     "vocab_ids": q_vocab_ids,
+    "inverted_index": q_inverted_index,
+    "bigram_pmi": q_bigram_pmi,
+    "top_terms_per_lang": q_top_terms_per_lang,
     # curation / filtering
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
@@ -1371,6 +1461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup
     "documents_sample": q_documents_sample,
     "dedup_exact": q_dedup_exact,
+    "incremental_dedup": q_incremental_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,       # rows-only (xxhash64)
     "dedup_clusters": q_dedup_clusters,           # rows-only (minhash edges)
@@ -1446,6 +1537,10 @@ BENCH_QUERIES = [
     "pii_redact",
     "mixture_sample",
     "dedup_exact",
+    "incremental_dedup",
+    "inverted_index",
+    "bigram_pmi",
+    "top_terms_per_lang",
     "minhash_near_dup",
     "simhash",
     "knn_cosine",
