@@ -628,6 +628,61 @@ def q_events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join: every click within 24 h BEFORE a
+    purchase by the same user. Bucketed equi-join plan
+    (operators/rangejoin.py): time-bucket both sides, shuffle on
+    (user, bucket), exact predicate as a post-filter -- no
+    nested-loop join, no per-key pair blow-up. The reference has no
+    joins at all (SURVEY.md section 2a)."""
+    from .operators.rangejoin import time_range_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    pairs = time_range_pairs(purchases, clicks, key="user_id", max_gap_s=24 * 3600)
+    return pairs.select(
+        "user_id", "purchase_id", F.col("click_id_r").alias("click_id"), "gap_us"
+    )
+
+
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with
+    deterministic LCG directions (operators/projection.py): per-row
+    map work only, oracle-checkable because the 'random' matrix is
+    reproducible integer arithmetic in both engines."""
+    from .operators.projection import project_embeddings
+
+    return project_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate (1 h windows sliding every 15 min):
+    each event lands in exactly 4 overlapping windows -- the batch
+    twin of the streaming windowed aggregation. Spark expands the
+    window generator map-side; one shuffle on window start."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (rows-only: depends on the
     MinHash cluster step)."""
@@ -694,6 +749,25 @@ def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int
                       ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
       SELECT query_id, bucket, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= {k}
+    """
+
+
+def _projection_sql(k: int = 8, dim: int = 64) -> str:
+    """Oracle twin of operators.projection.project_embeddings: the
+    identical LCG plane literals, list_dot_product's sequential
+    double fold == Spark's zip_with/aggregate fold."""
+    from .operators.projection import projection_planes
+
+    cols = ",\n             ".join(
+        "round(list_dot_product(dvec, [{w}]), 6) AS p{p}".format(
+            w=", ".join(repr(x) for x in plane), p=p
+        )
+        for p, plane in enumerate(projection_planes(k, dim))
+    )
+    return f"""
+      SELECT vec_id,
+             {cols}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings)
     """
 
 
@@ -1138,6 +1212,26 @@ ORACLES: dict[str, str] = {
                ORDER BY score DESC, word ASC) AS rn FROM s)
       WHERE rn <= 3
     """,
+    "events_range_join": """
+      SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS click_id,
+             epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+      FROM events l JOIN events r ON l.user_id = r.user_id
+      WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+        AND r.ts <= l.ts
+        AND epoch_us(r.ts) >= epoch_us(l.ts) - 86400000000
+    """,
+    "embedding_project": _projection_sql(),
+    "events_hopping": """
+      WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+      h AS (
+        SELECT (us // 900000000) * 900 - i * 900 AS ws, value
+        FROM e, (SELECT unnest(range(4)) AS i)
+      )
+      SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+             count(*) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM h GROUP BY 1
+    """,
     # grouping sets / set ops / distinct / date histograms / as-of
     "events_rollup": """
       SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -1477,6 +1571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_project": q_embedding_project,
     # multimodal
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -1501,6 +1596,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_monthly": q_orders_monthly,
     "events_asof_error": q_events_asof_error,
     "events_asof_features": q_events_asof_features,
+    "events_range_join": q_events_range_join,
+    "events_hopping": q_events_hopping,
     "events_pivot": q_events_pivot,
     "orders_running_total": q_orders_running_total,
     "customers_without_orders": q_customers_without_orders,
@@ -1527,6 +1624,8 @@ BENCH_QUERIES = [
     "distinct_users",
     "orders_monthly",
     "events_asof_error",
+    "events_range_join",
+    "events_hopping",
     "events_pivot",
     "orders_running_total",
     "text_stats",
@@ -1546,6 +1645,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "ann_lsh",
     "embedding_quantize",
+    "embedding_project",
     "pricing_summary",
     "revenue_by_nation",
     "revenue_forecast",
