@@ -683,6 +683,27 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (add-1 smoothing, model
+    trained on the corpus itself) -- the perplexity quality filter of
+    LLM data pipelines (operators/lm_score.py). Decimal-accumulated
+    ln terms make the float sum order-independent and oracle-exact."""
+    from .operators.lm_score import bigram_cross_entropy
+
+    return bigram_cross_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical all-pairs similarity: token-count cosine over
+    the rare-term subspace (df <= 100) via an inverted-index
+    self-join (operators/sparse_sim.py) -- posting lists bounded by
+    max_df, so no term creates a hot reducer; integer dot products
+    and norms keep the oracle exact."""
+    from .operators.sparse_sim import tf_cosine_pairs
+
+    return tf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (rows-only: depends on the
     MinHash cluster step)."""
@@ -1212,6 +1233,45 @@ ORACLES: dict[str, str] = {
                ORDER BY score DESC, word ASC) AS rn FROM s)
       WHERE rn <= 3
     """,
+    "doc_perplexity": f"""
+      WITH t AS ({_SQL_TOKS}),
+      tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      uni AS (SELECT w, count(*) AS c1 FROM tk GROUP BY 1),
+      v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+      db AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, count(*) AS m
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+        GROUP BY 1, 2, 3),
+      big AS (SELECT w1, w2, sum(m) AS c12 FROM db GROUP BY 1, 2),
+      sc AS (
+        SELECT db.doc_id, CAST(db.m AS DECIMAL(10,0)) AS m,
+               CAST(round(ln((big.c12 + 1.0) / (uni.c1 + v.v)), 9)
+                    AS DECIMAL(12,9)) AS term
+        FROM db JOIN big USING (w1, w2) JOIN uni ON uni.w = db.w1, v)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+             round(-(CAST(CAST(sum(m * term) AS VARCHAR) AS DOUBLE)) / sum(m), 6)
+               AS cross_entropy
+      FROM sc GROUP BY 1
+    """,
+    "doc_tf_cosine": f"""
+      WITH t AS ({_SQL_TOKS}),
+      tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+      dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      kept AS (SELECT tf.doc_id, tf.w, tf.tf
+               FROM tf JOIN dfq USING (w) WHERE df <= 100),
+      nrm AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY 1),
+      dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS n_shared_terms, sum(a.tf * b.tf) AS dot
+               FROM kept a JOIN kept b USING (w)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      cos AS (SELECT doc_a, doc_b, CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+                     round(dot / (sqrt(CAST(na.n2 AS DOUBLE))
+                                  * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+              FROM dots JOIN nrm na ON na.doc_id = dots.doc_a
+                        JOIN nrm nb ON nb.doc_id = dots.doc_b)
+      SELECT * FROM cos WHERE cosine >= 0.3
+    """,
     "events_range_join": """
       SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS click_id,
              epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
@@ -1538,6 +1598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_perplexity": q_doc_perplexity,
+    "doc_tf_cosine": q_doc_tf_cosine,
     # training-data shaping
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
@@ -1641,6 +1703,8 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "top_terms_per_lang",
     "minhash_near_dup",
+    "doc_perplexity",
+    "doc_tf_cosine",
     "simhash",
     "knn_cosine",
     "ann_lsh",
