@@ -683,6 +683,44 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the distribution of per-key row counts
+    (here: the word-count keys, the reference's real skew -- stopword
+    tokens dwarf the median word). p50/p90/p99/max of key counts and
+    the hottest key's share of all rows are exactly the numbers that
+    decide whether a shuffle needs salting (wordcount_salted) or AQE
+    skew-join splitting. Percentiles run over the POST-aggregation
+    key-count table (vocab-sized), never the corpus."""
+    counts = word_count(corpus_from_documents(spark, sf_dir))
+    pct = F.expr("percentile(cnt, array(0.5, 0.9, 0.99))")
+    return counts.agg(
+        F.count("*").alias("n_words"),
+        F.sum("cnt").alias("n_tokens"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+    )
+
+
+def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna via
+    approx_percentile, rank error <= n/accuracy): the single-pass,
+    bounded-memory path for 100 TB where the exact percentile's
+    per-group sorted buffer is unaffordable. Rows-only (no DuckDB
+    twin for the sketch); tests/test_rangejoin_projection.py bounds
+    it against the exact events_quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document (add-1 smoothing, model
     trained on the corpus itself) -- the perplexity quality filter of
@@ -1233,6 +1271,17 @@ ORACLES: dict[str, str] = {
                ORDER BY score DESC, word ASC) AS rn FROM s)
       WHERE rn <= 3
     """,
+    "word_skew_profile": f"""
+      WITH w AS ({_SQL_WORDCOUNT})
+      SELECT count(*) AS n_words,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             round(quantile_cont(cnt, 0.5), 6) AS p50,
+             round(quantile_cont(cnt, 0.9), 6) AS p90,
+             round(quantile_cont(cnt, 0.99), 6) AS p99,
+             round(max(cnt) / sum(cnt), 6) AS top1_share
+      FROM w
+    """,
     "doc_perplexity": f"""
       WITH t AS ({_SQL_TOKS}),
       tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
@@ -1590,6 +1639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordcount_salted": q_wordcount_salted,
     "pricing_summary_sql": q_pricing_summary_sql,
     "corpus_stats": q_corpus_stats,
+    "word_skew_profile": q_word_skew_profile,
     "map_task_stats": q_map_task_stats,
     # text analysis
     "text_stats": q_text_stats,
@@ -1665,6 +1715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "brands_shipped": q_brands_shipped,
     "events_quantiles": q_events_quantiles,
+    "events_quantiles_approx": q_events_quantiles_approx,  # rows-only (GK sketch)
     "events_trailing_hour": q_events_trailing_hour,
     "events_type_trend": q_events_type_trend,
     "curate_documents": q_curate_documents,       # rows-only (minhash stage)

@@ -1,0 +1,49 @@
+"""Skew profile + approximate percentile sketch: oracle parity and
+sketch-vs-exact error bounds."""
+
+from __future__ import annotations
+
+from mapreduce_implementation_grpc_spark import registry
+from tests.oracle_utils import assert_matches_oracle
+
+
+def test_word_skew_profile_oracle(spark, sf_check):
+    assert_matches_oracle(
+        registry.QUERIES["word_skew_profile"](spark, sf_check),
+        registry.ORACLES["word_skew_profile"],
+        sf_check,
+    )
+
+
+def test_word_skew_profile_invariants(spark, sf_check):
+    # percentiles must be monotone and consistent with the extremes
+    # (the synthetic corpus's 31-word vocabulary is near-uniform, so
+    # magnitude-of-skew is data-dependent -- the structural invariants
+    # are what the operator owes the caller)
+    row = registry.QUERIES["word_skew_profile"](spark, sf_check).collect()[0]
+    assert 1 <= row.p50 <= row.p90 <= row.p99 <= row.max_cnt
+    assert row.top1_share == round(row.max_cnt / row.n_tokens, 6)
+    assert row.n_words <= row.n_tokens
+
+
+def test_approx_quantiles_within_sketch_bound(spark, sf_check):
+    """Greenwald-Khanna guarantees rank error <= n/accuracy. With
+    accuracy=10000 and n ~ thousands per type, the approx percentile
+    must land within the exact p +/- 1 percentile-point envelope."""
+    exact = {
+        r.event_type: r
+        for r in registry.QUERIES["events_quantiles"](spark, sf_check).collect()
+    }
+    approx = {
+        r.event_type: r
+        for r in registry.QUERIES["events_quantiles_approx"](spark, sf_check).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a.n_events == e.n_events
+        spread = e.p99 - e.p50 or 1.0
+        for p in ("p50", "p90", "p99"):
+            assert abs(getattr(a, p) - getattr(e, p)) <= 0.05 * spread, (
+                f"{et}.{p}: approx {getattr(a, p)} vs exact {getattr(e, p)}"
+            )

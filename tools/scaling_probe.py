@@ -25,6 +25,8 @@ from mapreduce_implementation_grpc_spark.operators.curation import (
     repetition_stats,
 )
 from mapreduce_implementation_grpc_spark.operators.dedup import minhash_near_dup_pairs
+from mapreduce_implementation_grpc_spark.operators.lm_score import bigram_cross_entropy
+from mapreduce_implementation_grpc_spark.operators.sparse_sim import tf_cosine_pairs
 from mapreduce_implementation_grpc_spark.operators.wordcount import word_count
 from mapreduce_implementation_grpc_spark.functions.text_stats import text_stats_cols
 from mapreduce_implementation_grpc_spark.session import get_spark
@@ -70,6 +72,28 @@ def synth_corpus(spark, n_docs: int, tokens_per_doc: int = 60):
     ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
 
 
+def synth_corpus_wide_vocab(spark, n_docs: int, tokens_per_doc: int = 60):
+    """Like synth_corpus but with a vocabulary that scales with the
+    corpus (|V| = n_docs / 2), so per-term document frequency stays
+    ~O(100) at every size -- the regime where the sparse-cosine
+    inverted-index join keeps bounded posting lists (a 30-word vocab
+    would push every term over max_df and measure an empty plan)."""
+    vsize = max(n_docs // 2, 100)
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(tokens_per_doc)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(vsize)).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+
+
 def _full_eval(df) -> None:
     """Noop-sink write: every output column computed and consumed
     executor-side (a bare count() lets Catalyst prune projections and
@@ -98,6 +122,9 @@ def run_suite(docs) -> dict:
     t0 = time.perf_counter()
     _full_eval(repetition_stats(docs))
     t_rep = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _full_eval(bigram_cross_entropy(docs))
+    t_lm = time.perf_counter() - t0
     return {
         "docs": n,
         "wordcount_s": round(t_wc, 2),
@@ -107,6 +134,7 @@ def run_suite(docs) -> dict:
         "decontam_s": round(t_decontam, 2),
         "contam_docs": n_contam,
         "repetition_s": round(t_rep, 2),
+        "lm_ce_s": round(t_lm, 2),
     }
 
 
@@ -121,6 +149,15 @@ def main() -> None:
     for s in sizes:
         docs = synth_corpus(spark, s) if mode == "synth" else replicate(base, s)
         out = {"mode": mode, "size": s, **run_suite(docs)}
+        if mode == "synth":
+            # sparse cosine needs df-bounded terms: measure it on the
+            # scaling-vocabulary corpus (replicated real docs would
+            # explode pairs quadratically in the copy count)
+            wide = synth_corpus_wide_vocab(spark, s)
+            t0 = time.perf_counter()
+            n_cos = tf_cosine_pairs(wide).count()
+            out["tf_cosine_s"] = round(time.perf_counter() - t0, 2)
+            out["tf_cosine_pairs"] = n_cos
         print(json.dumps(out))
     spark.stop()
 
