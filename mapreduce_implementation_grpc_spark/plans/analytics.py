@@ -578,3 +578,159 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
         F.datediff("act_day", "cohort").cast("long").alias("day_offset"),
     ).agg(F.count("*").alias("n_users"))
+
+
+def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part (TPC-H Q2 flavor, over lineitem
+    offers instead of partsupp, which this schema does not have).
+
+    The reference engine has no join or argmin at all
+    (greeter_server.cc:61-112 is a single word-count reducer); this is
+    the extension-surface "argmin per group" pattern done WITHOUT a
+    window: two narrow hash aggregations.
+
+    Plan: (1) min offer per (partkey, suppkey) -- map-side partial
+    min, uniform composite key; (2) per partkey, min of
+    struct(best_price, suppkey): lexicographic struct comparison IS
+    the argmin with a deterministic suppkey tie-break, so no
+    Window.partitionBy + row_number sort of the exploded offer set,
+    and no shuffle carries more than (part x supplier) distinct rows.
+    Supplier dim joined AFTER both reductions (one row per part), so
+    the name lookup touches n_parts rows, not n_lineitems.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer")
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min(F.struct("offer", "l_suppkey")).alias("b"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.offer").alias("best_price"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(sup), "s_suppkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "best_price", "s_suppkey", "s_name", "n_name")
+    )
+
+
+def nation_market_share(
+    spark: SparkSession, sf_dir: str, region: str = "ASIA", nation: str = "NATION_2"
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of yearly revenue
+    to customers in a region.
+
+    Plan: the fact table flows through the star once; nation/region
+    are explicit broadcasts, supplier is left to AQE (broadcast at
+    low SF, shuffle at scale). The share is a conditional decimal sum
+    over the SAME pass as the total -- no second scan, no self-join.
+    Decimal sums are associative => partitioning-independent; the
+    final share division happens on 5 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    cnat = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    snat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == region)),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    zero = F.lit(0).cast("decimal(12,2)") * F.lit(0).cast("decimal(8,4)")
+    agg = joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(disc_price).alias("total_dec"),
+        F.sum(
+            F.when(F.col("supp_nation") == nation, disc_price).otherwise(zero)
+        ).alias("nation_dec"),
+    )
+    return agg.select(
+        "o_year",
+        _dec2dbl(F.col("total_dec")).alias("total_revenue"),
+        _dec2dbl(F.col("nation_dec")).alias("nation_revenue"),
+        F.round(_dec2dbl(F.col("nation_dec")) / _dec2dbl(F.col("total_dec")), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def events_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user as ONE narrow aggregation:
+    max(struct(ts, event_id, ...)) is the argmax with deterministic
+    event_id tie-break -- map-side partial max means each partition
+    contributes one candidate row per user to the shuffle, vs a
+    Window.partitionBy(user).row_number plan that shuffles and sorts
+    EVERY event. At 100 TB of events this is the difference between
+    an exchange of n_users rows and an exchange+sort of n_events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.event_type").alias("event_type"),
+            F.col("last.value").alias("value"),
+            "n_events",
+        )
+    )
+
+
+def segment_event_stats_salted(
+    spark: SparkSession, sf_dir: str, salts: int = 8
+) -> DataFrame:
+    """Skew-resistant fact-to-dimension join: events.user_id is a
+    HOT-KEY column (150 distinct users at sf0.01 -- a plain shuffle
+    join puts entire users on single tasks). Salting spreads each
+    user's events over `salts` tasks: the dim side is exploded
+    `salts` ways (tiny: n_customers x salts rows), the fact side
+    computes salt = pmod(xxhash64(event_id), salts) -- uniform and
+    deterministic -- and the equi-join runs on (key, salt).
+
+    The join result is identical to the unsalted join (the oracle IS
+    the plain join), only the task-level balance changes; the
+    mktsegment rollup then reduces to 5 rows. Same technique as
+    wordcount_salted (operators/wordcount.py:61) but for joins, the
+    other half of the skew story. At scale, prefer AQE skew-join
+    for ad-hoc queries; explicit salting is for the case where the
+    skew is KNOWN and the optimizer's post-shuffle split is too late
+    (e.g. a single key larger than one executor's memory)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(salts)]))
+    )
+    fact = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(salts)).cast("int"))
+    joined = fact.join(
+        dim, (F.col("user_id") == F.col("c_custkey")) & (fact["salt"] == dim["salt"])
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dec2dbl(F.sum(F.col("value").cast("decimal(18,2)"))).alias("sum_value"),
+    )

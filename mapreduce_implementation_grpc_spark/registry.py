@@ -747,6 +747,10 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash cluster step)."""
     return curate_documents(spark, sf_dir)
 q_orders_running_total = analytics.orders_running_total
+q_cheapest_supplier = analytics.cheapest_supplier
+q_nation_market_share = analytics.nation_market_share
+q_events_last_per_user = analytics.events_last_per_user
+q_segment_event_stats = analytics.segment_event_stats_salted
 q_label_centroids = analytics.label_centroids
 q_revenue_by_nation = analytics.revenue_by_nation
 q_top_customers = analytics.top_customers
@@ -1561,6 +1565,65 @@ ORACLES: dict[str, str] = {
              count(*) AS n_users
       FROM a GROUP BY 1, 2
     """,
+    "cheapest_supplier": """
+      WITH offers AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT l_partkey, offer, l_suppkey,
+               row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY offer ASC, l_suppkey ASC) AS rn
+        FROM offers)
+      SELECT r.l_partkey AS p_partkey, r.offer AS best_price,
+             r.l_suppkey AS s_suppkey, s.s_name, n.n_name
+      FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+             JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE rn = 1
+    """,
+    "nation_market_share": """
+      WITH j AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) AS dp,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'),
+      a AS (
+        SELECT o_year, sum(dp) AS total_dec,
+               sum(CASE WHEN supp_nation = 'NATION_2' THEN dp
+                        ELSE CAST(0 AS DECIMAL(21,6)) END) AS nation_dec
+        FROM j GROUP BY 1)
+      SELECT o_year,
+             CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total_revenue,
+             CAST(CAST(nation_dec AS VARCHAR) AS DOUBLE) AS nation_revenue,
+             round(CAST(CAST(nation_dec AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE), 6) AS mkt_share
+      FROM a
+    """,
+    "events_last_per_user": """
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events)
+      SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+             event_id, event_type, value, CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rn = 1
+    """,
+    "segment_event_stats": """
+      SELECT c_mktsegment, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1
+    """,
     "events_hourly": """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
              event_type, count(*) AS n_events,
@@ -1692,6 +1755,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational analytics
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "cheapest_supplier": q_cheapest_supplier,
+    "nation_market_share": q_nation_market_share,
+    "events_last_per_user": q_events_last_per_user,
+    "segment_event_stats": q_segment_event_stats,
     "top_customers": q_top_customers,
     "customer_order_ranks": q_customer_order_ranks,
     "events_hourly": q_events_hourly,

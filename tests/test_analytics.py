@@ -17,6 +17,10 @@ RELATIONAL = [
     "events_sessionize",
     "events_json_stats",
     "user_retention",
+    "cheapest_supplier",
+    "nation_market_share",
+    "events_last_per_user",
+    "segment_event_stats",
 ]
 
 
@@ -40,3 +44,28 @@ def test_pricing_summary_pushes_filter_to_scan(spark, sf_check):
 def test_topn_uses_take_ordered(spark, sf_check):
     plan = registry.QUERIES["top_customers"](spark, sf_check)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_argmin_queries_use_agg_not_window(spark, sf_check):
+    """cheapest_supplier and events_last_per_user promise argmin/argmax
+    via struct-min/max aggregation: the plan must contain no Window
+    (which would sort every fact row) and must partial-aggregate."""
+    for name in ("cheapest_supplier", "events_last_per_user"):
+        plan = (
+            registry.QUERIES[name](spark, sf_check)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, name
+        assert "partial" in plan, name  # map-side combine before the exchange
+
+
+def test_salted_join_replicates_dim_not_fact(spark, sf_check):
+    """The salted join must explode the dimension side only; the join
+    itself stays an equi-join (no nested-loop fallback)."""
+    plan = (
+        registry.QUERIES["segment_event_stats"](spark, sf_check)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # salt replication of the dim side

@@ -85,6 +85,13 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         t0 = time.monotonic()
         fn(spark, sf_smoke)  # build only -- no action
         elapsed = time.monotonic() - t0
+        if elapsed >= 5.0:
+            # one retry: a GC pause or JIT warm-up in a long pytest
+            # session can push a cheap build over budget once; a truly
+            # eager query (jobs at build time) stays slow on rebuild
+            t0 = time.monotonic()
+            fn(spark, sf_smoke)
+            elapsed = time.monotonic() - t0
         assert elapsed < 5.0, f"{name}: build took {elapsed:.1f}s -- hidden eager work"
 
 
