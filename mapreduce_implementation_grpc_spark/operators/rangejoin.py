@@ -57,12 +57,15 @@ def time_range_pairs(
     # mis-bucket a timestamp within a few ulp of a boundary and
     # silently drop a pair (epoch micros are positive, so truncating
     # `div` == floor)
-    l_us = F.unix_micros(F.col(left_ts))
+    # cast("timestamp") first: parquet TIMESTAMP_NTZ columns are not
+    # accepted by unix_micros, and with the session TZ pinned to UTC
+    # (session.py) the cast is value-preserving for both variants
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
     l = left.withColumn("_us", l_us).withColumn(
         "_bucket", F.expr(f"_us div {w_us}")
     )
 
-    r_us = F.unix_micros(F.col(right_ts))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
     r = (
         right.withColumn("_us_r", r_us)
         .withColumn("_b0", F.expr(f"_us_r div {w_us}"))
