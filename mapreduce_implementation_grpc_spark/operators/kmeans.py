@@ -83,10 +83,20 @@ def _assign(
 
 def _centroids_from(assigned: DataFrame, vec_col: str) -> DataFrame:
     """DataFrame[cell, cvec, cnorm2] of per-cell element-wise means:
-    posexplode -> (cell, pos) avg -> reassemble ordered arrays. The
-    one shuffle of each Lloyd round."""
+    posexplode -> (cell, pos) mean -> reassemble ordered arrays. The
+    one shuffle of each Lloyd round.
+
+    Means are exact decimal sums / count (same recipe as
+    similarity.ivf_centroids): order-independent, so every Lloyd
+    round -- and therefore the whole iterative fit -- is
+    deterministic and reproducible cross-engine; the DuckDB oracle
+    (registry._kmeans_cells_sql) unrolls the identical iterations. A
+    double-fold avg would vary with partition splits."""
     flat = assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
-    means = flat.groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    dsum = F.sum(F.col("v").cast("double").cast("decimal(27,12)"))
+    means = flat.groupBy("cell", "pos").agg(
+        (dsum.cast("string").cast("double") / F.count("*")).alias("c")
+    )
     cents = (
         means.groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))

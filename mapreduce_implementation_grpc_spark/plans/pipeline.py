@@ -42,7 +42,10 @@ def curate_documents(
 
     # 2. near-dup removal: within each MinHash cluster keep only the
     #    cluster id doc (= min member); docs without near-dups pass
-    clusters = dedup_clusters(docs1)
+    # max_iter=20: min-label propagation must reach the full
+    # transitive closure (early exit keeps short components cheap) so
+    # the result matches the oracle's recursive-CTE closure exactly
+    clusters = dedup_clusters(docs1, max_iter=20)
     drop_near = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
     docs2 = docs1.join(drop_near, "doc_id", "left_anti")
 

@@ -11,9 +11,16 @@ value-hash, joining columns by NAME):
 - integer outputs standardized to BIGINT/long;
 - every ordering has a deterministic tie-break.
 
-Queries without an oracle entry (MinHash/SimHash sketches built on
-Spark's xxhash64, which has no DuckDB twin) get the driver's
-rows-only check and are validated by metamorphic pytest properties.
+MinHash/SimHash sketches use PORTABLE hashing (md5-prefix base hash
++ LCG permutations, operators/dedup.py) so even the banded-LSH pair
+queries and the composed curation pipeline are hash-checked against
+DuckDB. Iterative k-means is oracle-checked too: exact decimal-sum
+means make each Lloyd round deterministic, and the oracle unrolls
+the same iterations in SQL. The only queries still without an
+oracle entry are the true randomized/mergeable sketches (HLL
+approx_distinct, GK quantiles) whose internal state no other engine
+reproduces; they get the driver's rows-only check plus
+error-bound tests.
 """
 
 from __future__ import annotations
@@ -38,7 +45,7 @@ from .operators.dedup import (
     label_propagation,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
-    simhash_64,
+    simhash_fp,
     simhash_near_dup_pairs,
 )
 from .operators.curation import (
@@ -95,22 +102,33 @@ _SQL_WORDCOUNT = f"""
 """
 
 # Per-doc token list, matching tokens_col(normalized_col(text)).
-_SQL_TOKS = """
+# Parameterized by source table/CTE name so composed oracles (e.g.
+# curate_documents) can run the same fragment over an intermediate.
+def _sql_toks(table: str = "documents") -> str:
+    return f"""
   SELECT doc_id, lang, text,
          list_filter(string_split_regex(trim(lower(
            regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
            w -> w <> '') AS toks
-  FROM documents
+  FROM {table}
 """
 
+
+_SQL_TOKS = _sql_toks()
+
+
 # 3-token shingle set per doc, matching operators.dedup._shingles.
-_SQL_SHINGLES = f"""
+def _sql_shingles(table: str = "documents") -> str:
+    return f"""
   SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
            list_distinct(list_transform(range(1, len(toks) - 1),
              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
          ELSE [] END AS shset
-  FROM ({_SQL_TOKS})
+  FROM ({_sql_toks(table)})
 """
+
+
+_SQL_SHINGLES = _sql_shingles()
 
 
 # ---------------------------------------------------------------------------
@@ -397,8 +415,12 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative connected components over the near-dup graph."""
-    return dedup_clusters(load_table(spark, sf_dir, "documents"))
+    """Iterative connected components over the MinHash near-dup
+    graph. max_iter=20 so min-label propagation provably reaches the
+    transitive closure the DuckDB recursive-CTE oracle computes even
+    on long chain components (early exit keeps extra rounds free).
+    EAGER: propagation rounds run at DataFrame-construction time."""
+    return dedup_clusters(load_table(spark, sf_dir, "documents"), max_iter=20)
 
 
 def q_dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,14 +451,15 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_64(load_table(spark, sf_dir, "documents"))
+    return simhash_fp(load_table(spark, sf_dir, "documents"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming <= 8 of 64 bits: close fingerprints only (16+ admits
+    """Hamming <= 8 of 60 bits: close fingerprints only (16+ admits
     vocabulary-level noise on this small-vocab corpus). Recall is
     FULL at this threshold: the banding adapts to max_hamming
-    (9 blocks for d<=8, pigeonhole)."""
+    (9 blocks for d<=8, pigeonhole) -- so the banded result equals
+    the brute-force all-pairs oracle exactly."""
     return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
 
 
@@ -464,7 +487,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative Lloyd's k-means cell assignment (rows-only)."""
+    """Iterative Lloyd's k-means cell assignment. Oracle-checked:
+    exact decimal-sum means make every round deterministic, and the
+    DuckDB oracle unrolls the identical iterations. EAGER: Lloyd
+    rounds run at DataFrame-construction time."""
     from .operators.kmeans import kmeans_cells
 
     return kmeans_cells(load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3)
@@ -481,7 +507,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over LEARNED cells: Lloyd's k-means assigns the
     inverted lists, then the same probe/serve plan as ann_ivf -- the
-    full no-natural-partition-key recipe (rows-only)."""
+    full no-natural-partition-key recipe, oracle-checked end to end."""
     from .operators.kmeans import kmeans_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -743,8 +769,9 @@ def q_doc_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed curation pipeline (rows-only: depends on the
-    MinHash cluster step)."""
+    """The composed curation pipeline, oracle-checked end to end now
+    that the MinHash cluster stage uses portable hashing. EAGER:
+    cluster propagation rounds run at DataFrame-construction time."""
     return curate_documents(spark, sf_dir)
 q_orders_running_total = analytics.orders_running_total
 q_cheapest_supplier = analytics.cheapest_supplier
@@ -831,6 +858,267 @@ def _projection_sql(k: int = 8, dim: int = 64) -> str:
       SELECT vec_id,
              {cols}
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings)
+    """
+
+
+# One k-token shingle per ROW (with duplicates), matching
+# operators.dedup.shingle_rows -- the MinHash input.
+def _sql_sh_rows(table: str = "documents") -> str:
+    return f"""
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM ({_sql_toks(table)}) WHERE len(toks) >= 3
+"""
+
+
+def _minhash_pairs_sql(
+    num_perm: int = 16, bands: int = 8, min_est: float = 0.3, table: str = "documents"
+) -> str:
+    """Oracle twin of operators.dedup.minhash_near_dup_pairs: the
+    identical md5-prefix base hash, the identical LCG permutation
+    literals (minhash_perm_constants), the identical md5-prefix band
+    hash -- integer arithmetic end-to-end, so signatures, band
+    buckets, candidate pairs, and both Jaccard columns reproduce
+    exactly."""
+    from .operators.dedup import MINHASH_PRIME, minhash_perm_constants
+
+    rows_per_band = num_perm // bands
+    sig_aggs = ",\n               ".join(
+        f"min(({a} * hb + {b}) % {MINHASH_PRIME}) AS h{p}"
+        for p, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, CAST(concat('0x', substr(md5("
+        "concat_ws(',', {parts})), 1, 15)) AS BIGINT) AS band_hash FROM sig".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    est_sum = " + ".join(
+        f"CASE WHEN sa.h{p} = sb.h{p} THEN 1 ELSE 0 END" for p in range(num_perm)
+    )
+    return f"""
+      WITH hb_rows AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS hb
+        FROM ({_sql_sh_rows(table)})
+      ),
+      sig AS (SELECT doc_id, {sig_aggs} FROM hb_rows GROUP BY doc_id),
+      banded AS (
+        {band_selects}
+      ),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM banded a JOIN banded b
+                 ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+      shs AS ({_sql_shingles(table)}),
+      p AS (SELECT doc_a, doc_b,
+                   round(({est_sum}) / {num_perm}.0, 6) AS est_jaccard,
+                   round(len(list_intersect(ja.shset, jb.shset))
+                         / len(list_distinct(list_concat(ja.shset, jb.shset))), 6) AS jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = cand.doc_a
+            JOIN sig sb ON sb.doc_id = cand.doc_b
+            JOIN shs ja ON ja.doc_id = cand.doc_a
+            JOIN shs jb ON jb.doc_id = cand.doc_b)
+      SELECT doc_a, doc_b, est_jaccard, jaccard FROM p WHERE est_jaccard >= {min_est}
+    """
+
+
+def _simhash_sql() -> str:
+    """Oracle twin of operators.dedup.simhash_fp: 60 bit-count sums
+    over the md5-prefix token hash, majority vote per bit, disjoint
+    bit reassembly -- exact integers cross-engine."""
+    from .operators.dedup import SIMHASH_BITS
+
+    sums = ",\n               ".join(
+        f"sum((h >> {i}) & 1) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    fp = "\n               + ".join(
+        f"(CASE WHEN 2 * s{i} > n THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+      WITH t AS (SELECT doc_id, unnest(toks) AS tok FROM ({_SQL_TOKS})),
+      h AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM t),
+      a AS (SELECT doc_id, count(*) AS n, {sums} FROM h GROUP BY doc_id)
+      SELECT doc_id,
+             CAST({fp} AS BIGINT) AS simhash
+      FROM a
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    """Brute-force all-pairs Hamming oracle: the banded Spark plan
+    guarantees FULL recall at the threshold (pigeonhole) and filters
+    on the exact distance, so banded == brute force exactly."""
+    return f"""
+      WITH f AS ({_simhash_sql()})
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM f a JOIN f b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _dedup_clusters_sql() -> str:
+    """Recursive-CTE transitive min-label closure over the SAME
+    MinHash pair graph _minhash_pairs_sql reproduces -- the iterative
+    label_propagation loop, oracle-checked end to end."""
+    return f"""
+      WITH RECURSIVE base AS (
+        SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+      ),
+      ee AS (SELECT doc_a, doc_b FROM base
+             UNION ALL
+             SELECT doc_b AS doc_a, doc_a AS doc_b FROM base),
+      cc AS (
+        SELECT doc_a AS doc_id, doc_a AS label FROM ee
+        UNION
+        SELECT ee.doc_a AS doc_id, cc.label FROM ee JOIN cc ON cc.doc_id = ee.doc_b
+      )
+      SELECT doc_id, min(label) AS cluster FROM cc GROUP BY doc_id
+    """
+
+
+def _kmeans_assign_cte(name: str, cents: str) -> str:
+    """One Lloyd assignment round as a CTE: per-vector argmin of
+    ||c||^2 - 2 v.c over the current centroids, ties to the smallest
+    cell -- exactly operators.kmeans._assign's array_min(struct)."""
+    obj = (
+        "list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(v.dvec, c.cvec)"
+    )
+    return f"""
+      {name} AS (
+        SELECT vec_id, dvec, cell, obj FROM (
+          SELECT v.vec_id, v.dvec, c.cell, {obj} AS obj,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {obj} ASC, c.cell ASC) AS rn
+          FROM v CROSS JOIN {cents} c)
+        WHERE rn = 1
+      )"""
+
+
+def _kmeans_means_cte(name: str, assigned: str) -> str:
+    """One Lloyd update round: per-(cell, dim) exact decimal-sum mean
+    (the order-independent recipe of operators.kmeans._centroids_from
+    / similarity.ivf_centroids), reassembled into ordered arrays."""
+    return f"""
+      {name} AS (
+        SELECT cell, list(c ORDER BY idx ASC) AS cvec FROM (
+          SELECT cell, idx,
+                 CAST(CAST(sum(CAST(dvec[idx] AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE)
+                   / count(*) AS c
+          FROM (SELECT cell, dvec, unnest(range(1, len(dvec) + 1)) AS idx
+                FROM {assigned})
+          GROUP BY cell, idx)
+        GROUP BY cell
+      )"""
+
+
+def _kmeans_ctes(k: int = 8, n_iter: int = 3) -> str:
+    """The full unrolled Lloyd fit as a WITH-clause body: seeds =
+    smallest k vec_ids, n_iter (assign, update) rounds, final
+    assignment in CTE `fin`. Every arithmetic step is either exact
+    integers/decimals or the same sequential double fold in both
+    engines, so the iterative algorithm reproduces bit-for-bit."""
+    ctes = [
+        """
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cell,
+                    dvec AS cvec
+             FROM (SELECT vec_id, dvec FROM v ORDER BY vec_id ASC LIMIT {k}))""".format(
+            k=k
+        )
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(_kmeans_assign_cte(f"a{i}", f"c{i - 1}"))
+        ctes.append(_kmeans_means_cte(f"c{i}", f"a{i}"))
+    ctes.append(_kmeans_assign_cte("fin", f"c{n_iter}"))
+    return ",".join(ctes)
+
+
+def _kmeans_cells_sql(k: int = 8, n_iter: int = 3) -> str:
+    return f"""
+      WITH {_kmeans_ctes(k, n_iter)}
+      SELECT vec_id, cell, round(obj, 6) AS obj FROM fin
+    """
+
+
+def _ann_ivf_kmeans_sql(
+    k: int = 8, n_iter: int = 3, n_queries: int = 10, n_probe: int = 2, topk: int = 5
+) -> str:
+    """IVF serve plan over the LEARNED k-means cells: the unrolled
+    Lloyd fit above assigns the inverted lists, then the identical
+    probe/rank SQL as the ann_ivf oracle (decimal-mean serve
+    centroids over the final assignment)."""
+    return f"""
+      WITH {_kmeans_ctes(k, n_iter)},{_kmeans_means_cte("sc", "fin")},
+      q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < {n_queries}),
+      qc AS (SELECT q.query_id, q.qvec, c.cell,
+                    list_cosine_similarity(q.qvec, c.cvec) AS csim
+             FROM q CROSS JOIN sc c),
+      probes AS (SELECT query_id, qvec, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY csim DESC, cell ASC) AS pr FROM qc) WHERE pr <= {n_probe}),
+      s AS (SELECT p.query_id, p.cell, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(p.qvec, e.dvec), 6) AS cosine
+            FROM probes p JOIN fin e ON e.cell = p.cell
+            WHERE e.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      SELECT query_id, cell, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= {topk}
+    """
+
+
+def _curate_documents_sql(min_quality: float = 0.5) -> str:
+    """Oracle for the COMPOSED curation pipeline (plans/pipeline.py):
+    exact dedup keep-min -> MinHash-cluster near-dup removal (the
+    portable pair SQL + recursive-CTE closure, over the exact-deduped
+    subset) -> quality gate + annotations. Every stage reuses the
+    per-operator oracle expression verbatim."""
+    norm = "trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))"
+    return f"""
+      WITH RECURSIVE
+      keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5({norm}) AS f FROM documents)
+        GROUP BY f
+      ),
+      docs1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+      base AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql(table="docs1")})),
+      ee AS (SELECT doc_a, doc_b FROM base
+             UNION ALL
+             SELECT doc_b AS doc_a, doc_a AS doc_b FROM base),
+      cc AS (
+        SELECT doc_a AS doc_id, doc_a AS label FROM ee
+        UNION
+        SELECT ee.doc_a AS doc_id, cc.label FROM ee JOIN cc ON cc.doc_id = ee.doc_b
+      ),
+      clusters AS (SELECT doc_id, min(label) AS cluster FROM cc GROUP BY doc_id),
+      drop_near AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster),
+      t AS (SELECT doc_id, text, lang, source,
+                   list_filter(string_split_regex({norm}, '\\s+'), w -> w <> '') AS toks
+            FROM docs1
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
+      q AS (SELECT doc_id, text, lang, source,
+              round(
+                least(len(toks) / 50.0, 1.0) * 0.35
+                + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                         / greatest(length(text), 1)) * 0.25
+                + (len(list_distinct(toks)) / greatest(len(toks), 1)) * 0.2
+                + least(len(list_filter(toks, t -> t IN ('the','a','and','of','is'))) / 5.0, 1.0) * 0.2
+              , 6) AS quality,
+              CAST(coalesce(list_sum(list_transform(toks,
+                    t -> CAST(floor((length(t) + 3) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens,
+              md5({norm}) AS fingerprint
+            FROM t)
+      SELECT doc_id, text, lang, source, quality, n_bpe_tokens, fingerprint
+      FROM q WHERE quality >= {min_quality}
     """
 
 
@@ -1083,6 +1371,13 @@ ORACLES: dict[str, str] = {
             JOIN sh sb ON sb.doc_id = cand.doc_b)
       SELECT * FROM j WHERE jaccard >= 0.05
     """,
+    "minhash_near_dup": _minhash_pairs_sql(),
+    "simhash": _simhash_sql(),
+    "simhash_pairs": _simhash_pairs_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
+    "curate_documents": _curate_documents_sql(),
+    "kmeans_cells": _kmeans_cells_sql(),
+    "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
     # similarity
     "embedding_quantize": """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1732,17 +2027,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
     "ngram_jaccard": q_ngram_jaccard,
-    "minhash_near_dup": q_minhash_near_dup,       # rows-only (xxhash64)
-    "dedup_clusters": q_dedup_clusters,           # rows-only (minhash edges)
+    "minhash_near_dup": q_minhash_near_dup,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_jaccard": q_dedup_clusters_jaccard,
-    "simhash": q_simhash,                         # rows-only (xxhash64)
-    "simhash_pairs": q_simhash_pairs,             # rows-only (xxhash64)
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     # similarity
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
-    "kmeans_cells": q_kmeans_cells,               # rows-only (iterative)
-    "ann_ivf_kmeans": q_ann_ivf_kmeans,           # rows-only (iterative)
+    "kmeans_cells": q_kmeans_cells,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "embedding_quantize": q_embedding_quantize,
@@ -1785,7 +2080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles_approx": q_events_quantiles_approx,  # rows-only (GK sketch)
     "events_trailing_hour": q_events_trailing_hour,
     "events_type_trend": q_events_type_trend,
-    "curate_documents": q_curate_documents,       # rows-only (minhash stage)
+    "curate_documents": q_curate_documents,
     "revenue_forecast": q_revenue_forecast,
     "signup_funnel": q_signup_funnel,
     "shipping_priority": q_shipping_priority,

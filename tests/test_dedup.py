@@ -12,7 +12,7 @@ from mapreduce_implementation_grpc_spark.operators.dedup import (
     hamming_banded_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
-    simhash_64,
+    simhash_fp,
     simhash_near_dup_pairs,
 )
 from tests.oracle_utils import assert_matches_oracle
@@ -56,7 +56,7 @@ def test_minhash_no_false_disjoint_pair(docs):
 
 
 def test_simhash_identical_docs_equal(docs):
-    fp = {r.doc_id: r.simhash for r in simhash_64(docs).collect()}
+    fp = {r.doc_id: r.simhash for r in simhash_fp(docs).collect()}
     assert fp[1] == fp[2] == fp[5]
     assert fp[1] != fp[4]
 
@@ -83,7 +83,7 @@ def test_hamming_banding_full_recall(spark):
         4: 0x7EDCBA9876543210,   # far away
         5: base,                 # exact dup
     }
-    # two's-complement into signed 64-bit longs, as simhash_64 emits
+    # two's-complement into signed 64-bit longs, as a 64-bit fingerprint column would hold
     rows = [Row(doc_id=i, simhash=v - (1 << 64) if v >= 1 << 63 else v)
             for i, v in fps.items()]
     fp_df = spark.createDataFrame(rows)
