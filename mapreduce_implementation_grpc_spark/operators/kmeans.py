@@ -113,6 +113,31 @@ def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[float], float]]
     return sorted((r.cell, list(r.cvec), r.cnorm2) for r in rows)
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Train Lloyd's k-means and return the final centroid rows
+    [(cell, cvec, cnorm2), ...] (driver-side: k tiny vectors).
+    Eager: n_iter jobs, one shuffle each. Deterministic end to end
+    (seed = smallest vec_ids, exact decimal-sum means), so consumers
+    like product quantization stay oracle-checkable."""
+    seed_rows = (
+        emb.orderBy("vec_id").limit(k).select("vec_id", vec_col).collect()
+    )
+    cent_rows = []
+    for cell, r in enumerate(seed_rows):
+        cvec = [float(x) for x in r[vec_col]]
+        cent_rows.append((cell, cvec, sum(x * x for x in cvec)))
+
+    for _ in range(n_iter):
+        assigned = _assign(emb, cent_rows, vec_col)
+        cent_rows = _collect_centroids(_centroids_from(assigned, vec_col))
+    return cent_rows
+
+
 def kmeans_cells(
     emb: DataFrame,
     k: int = 8,
@@ -129,18 +154,7 @@ def kmeans_cells(
     groupBy("vec_id").agg(min(struct(obj, cell))) -- one narrow
     shuffle -- but coarse quantizers live at k <= a few hundred,
     where the literal wins outright."""
-    seed_rows = (
-        emb.orderBy("vec_id").limit(k).select("vec_id", vec_col).collect()
-    )
-    cent_rows = []
-    for cell, r in enumerate(seed_rows):
-        cvec = [float(x) for x in r[vec_col]]
-        cent_rows.append((cell, cvec, sum(x * x for x in cvec)))
-
-    for _ in range(n_iter):
-        assigned = _assign(emb, cent_rows, vec_col)
-        cent_rows = _collect_centroids(_centroids_from(assigned, vec_col))
-
+    cent_rows = kmeans_fit(emb, k, n_iter, vec_col)
     return _assign(emb, cent_rows, vec_col).select(
         "vec_id", "cell", F.round("obj", 6).alias("obj")
     )

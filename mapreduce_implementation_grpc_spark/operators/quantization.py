@@ -87,3 +87,177 @@ def quantize_embeddings(
             6,
         ).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression half of IVF-PQ,
+# the standard billion-scale ANN layout (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+# ---------------------------------------------------------------------------
+
+DEFAULT_PQ_M = 4       # subspaces
+DEFAULT_PQ_K = 4       # codewords per subspace
+DEFAULT_PQ_ITER = 2    # Lloyd rounds per subspace
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = DEFAULT_PQ_M,
+    k: int = DEFAULT_PQ_K,
+    n_iter: int = DEFAULT_PQ_ITER,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float], float]]]:
+    """Train one k-means codebook per contiguous dim/m-wide subspace
+    (eager: m small Lloyd fits). Fully deterministic -- kmeans_fit
+    seeds from the smallest vec_ids and uses exact decimal-sum means
+    -- so codes and ADC distances are DuckDB-oracle-checkable, which
+    is rare for a lossy ANN compression operator."""
+    from .kmeans import kmeans_fit
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    w = dim // m
+    return [
+        kmeans_fit(
+            emb.select("vec_id", F.slice(F.col(vec_col), j * w + 1, w).alias("subvec")),
+            k=k,
+            n_iter=n_iter,
+            vec_col="subvec",
+        )
+        for j in range(m)
+    ]
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = DEFAULT_PQ_M,
+    k: int = DEFAULT_PQ_K,
+    n_iter: int = DEFAULT_PQ_ITER,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    codebooks: list[list[tuple[int, list[float], float]]] | None = None,
+) -> DataFrame:
+    """DataFrame[vec_id, codes: array<long>, recon_err: double]:
+    per-subspace nearest-codeword ids plus the total squared
+    reconstruction error ||v - decode(codes)||^2.
+
+    Serving shape: the m tiny codebooks are embedded as
+    array-of-structs literals and each subspace's argmin is a flat
+    codegen'd expression over the row's own slice -- NO join, NO
+    shuffle, one narrow pass at any scale (same posture as the
+    k-means assign). All m best-structs are packed behind a single
+    explode(array(...)) Generate barrier so reading .cell and .obj
+    does not duplicate the argmin trees (the CollapseProject
+    double-eval trap)."""
+    from .kmeans import _centroid_literal
+
+    if codebooks is None:
+        codebooks = pq_fit(emb, m, k, n_iter, dim, vec_col)
+    w = dim // m
+
+    def best(j: int):
+        sub = F.slice(F.col("v"), j * w + 1, w)
+        cents = _centroid_literal(codebooks[j])
+
+        def score(c):
+            dot = F.aggregate(
+                F.zip_with(sub, c["cvec"], lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            return F.struct((c["cnorm2"] - 2 * dot).alias("obj"), c["cell"].alias("cell"))
+
+        return F.array_min(F.transform(cents, score))
+
+    packed = F.struct(*[best(j).alias(f"b{j}") for j in range(m)])
+    rows = emb.select("vec_id", F.col(vec_col).alias("v")).select(
+        "vec_id", "v", F.explode(F.array(packed)).alias("b")
+    )
+
+    def subnorm(j: int):
+        return F.aggregate(
+            F.slice(F.col("v"), j * w + 1, w),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x,
+        )
+
+    err = None
+    for j in range(m):
+        term = subnorm(j) + F.col(f"b.b{j}.obj")
+        err = term if err is None else err + term
+    return rows.select(
+        "vec_id",
+        F.array(*[F.col(f"b.b{j}.cell") for j in range(m)]).alias("codes"),
+        F.round(err, 6).alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    m: int = DEFAULT_PQ_M,
+    k: int = DEFAULT_PQ_K,
+    n_iter: int = DEFAULT_PQ_ITER,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: approximate nearest
+    neighbors scanning only the compressed codes.
+
+    Per query, the distance to every corpus vector is approximated
+    by sum_j ||q_j - codeword(code_j)||^2, read from a per-query
+    lookup table of m*k precomputed cell distances -- the classic PQ
+    serve plan. Spark shape: the table is (|Q| * m * k) rows --
+    tiny, broadcast; codes posexplode to (vec_id, j, code) and the
+    per-pair distance is ONE broadcast-join + one shuffle of
+    (query_id, vec_id) partial sums. Partial d2 terms are summed as
+    exact decimals (order-independent) so the ranking is
+    deterministic and DuckDB-reproducible. At 100 TB the scan is
+    O(n*m) tiny integer rows per query batch -- the whole point of
+    PQ; compose with kmeans cells (IVF-PQ) to cut the scan to probed
+    cells only."""
+    from pyspark.sql import Window
+
+    codebooks = pq_fit(emb, m, k, n_iter, dim, vec_col)
+    codes = pq_codes(emb, m, k, n_iter, dim, vec_col, codebooks=codebooks)
+    w = dim // m
+
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [
+            (j, int(cell), [float(x) for x in cvec])
+            for j, rows in enumerate(codebooks)
+            for (cell, cvec, _n2) in rows
+        ],
+        "j int, code bigint, cvec array<double>",
+    )
+    qs = F.slice(F.col("qvec"), F.col("j") * w + 1, w)
+    diff = F.zip_with(qs, F.col("cvec"), lambda x, y: x.cast("double") - y)
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, z: acc + z * z)
+    qtab = (
+        queries.select("query_id", "qvec")
+        .crossJoin(F.broadcast(cent_df))
+        .select("query_id", "j", "code", d2.alias("d2"))
+    )
+
+    ce = codes.select("vec_id", F.posexplode("codes").alias("j", "code"))
+    dsum = F.sum(F.col("d2").cast("decimal(27,12)"))
+    scored = (
+        ce.join(F.broadcast(qtab), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(dsum.cast("string").cast("double").alias("adc"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc", 6).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

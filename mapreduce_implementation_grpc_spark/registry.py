@@ -546,6 +546,30 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (4 subspaces x 4 codewords over the
+    64-dim embeddings) + total reconstruction error, projected to
+    scalar code columns for the gate. EAGER: the per-subspace Lloyd
+    fits run at DataFrame-construction time."""
+    from .operators.quantization import pq_codes
+
+    pq = pq_codes(load_table(spark, sf_dir, "embeddings"))
+    return pq.select(
+        "vec_id",
+        *[F.col("codes")[j].alias(f"c{j}") for j in range(4)],
+        "recon_err",
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 neighbors from the PQ codes alone (the compressed-
+    domain ANN scan). EAGER: trains the codebooks first."""
+    from .operators.quantization import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, _query_vectors(spark, sf_dir), topk=5)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -984,7 +1008,7 @@ def _dedup_clusters_sql() -> str:
     """
 
 
-def _kmeans_assign_cte(name: str, cents: str) -> str:
+def _kmeans_assign_cte(name: str, cents: str, src: str = "v") -> str:
     """One Lloyd assignment round as a CTE: per-vector argmin of
     ||c||^2 - 2 v.c over the current centroids, ties to the smallest
     cell -- exactly operators.kmeans._assign's array_min(struct)."""
@@ -997,7 +1021,7 @@ def _kmeans_assign_cte(name: str, cents: str) -> str:
           SELECT v.vec_id, v.dvec, c.cell, {obj} AS obj,
                  row_number() OVER (PARTITION BY v.vec_id
                    ORDER BY {obj} ASC, c.cell ASC) AS rn
-          FROM v CROSS JOIN {cents} c)
+          FROM {src} v CROSS JOIN {cents} c)
         WHERE rn = 1
       )"""
 
@@ -1019,31 +1043,33 @@ def _kmeans_means_cte(name: str, assigned: str) -> str:
       )"""
 
 
-def _kmeans_ctes(k: int = 8, n_iter: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, n_iter: int = 3, src: str = "v", prefix: str = "") -> str:
     """The full unrolled Lloyd fit as a WITH-clause body: seeds =
     smallest k vec_ids, n_iter (assign, update) rounds, final
-    assignment in CTE `fin`. Every arithmetic step is either exact
-    integers/decimals or the same sequential double fold in both
-    engines, so the iterative algorithm reproduces bit-for-bit."""
+    assignment in CTE `{prefix}fin`. Every arithmetic step is either
+    exact integers/decimals or the same sequential double fold in
+    both engines, so the iterative algorithm reproduces bit-for-bit.
+    `src`/`prefix` let product quantization unroll one independent
+    fit per subspace in a single statement."""
     ctes = [
-        """
-      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
-      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cell,
+        f"""
+      {prefix}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cell,
                     dvec AS cvec
-             FROM (SELECT vec_id, dvec FROM v ORDER BY vec_id ASC LIMIT {k}))""".format(
-            k=k
-        )
+             FROM (SELECT vec_id, dvec FROM {src} ORDER BY vec_id ASC LIMIT {k}))"""
     ]
     for i in range(1, n_iter + 1):
-        ctes.append(_kmeans_assign_cte(f"a{i}", f"c{i - 1}"))
-        ctes.append(_kmeans_means_cte(f"c{i}", f"a{i}"))
-    ctes.append(_kmeans_assign_cte("fin", f"c{n_iter}"))
+        ctes.append(_kmeans_assign_cte(f"{prefix}a{i}", f"{prefix}c{i - 1}", src))
+        ctes.append(_kmeans_means_cte(f"{prefix}c{i}", f"{prefix}a{i}"))
+    ctes.append(_kmeans_assign_cte(f"{prefix}fin", f"{prefix}c{n_iter}", src))
     return ",".join(ctes)
+
+
+_SQL_EMB_V = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings)"
 
 
 def _kmeans_cells_sql(k: int = 8, n_iter: int = 3) -> str:
     return f"""
-      WITH {_kmeans_ctes(k, n_iter)}
+      WITH {_SQL_EMB_V},{_kmeans_ctes(k, n_iter)}
       SELECT vec_id, cell, round(obj, 6) AS obj FROM fin
     """
 
@@ -1056,7 +1082,7 @@ def _ann_ivf_kmeans_sql(
     probe/rank SQL as the ann_ivf oracle (decimal-mean serve
     centroids over the final assignment)."""
     return f"""
-      WITH {_kmeans_ctes(k, n_iter)},{_kmeans_means_cte("sc", "fin")},
+      WITH {_SQL_EMB_V},{_kmeans_ctes(k, n_iter)},{_kmeans_means_cte("sc", "fin")},
       q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < {n_queries}),
       qc AS (SELECT q.query_id, q.qvec, c.cell,
                     list_cosine_similarity(q.qvec, c.cvec) AS csim
@@ -1071,6 +1097,88 @@ def _ann_ivf_kmeans_sql(
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
       SELECT query_id, cell, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= {topk}
+    """
+
+
+def _pq_ctes(m: int = 4, k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    """WITH-body for product quantization: one independent unrolled
+    Lloyd fit per dim/m-wide subspace slice (operators.quantization
+    pq_fit/pq_codes twins). Subspace j's final assignment lands in
+    CTE s{j}_fin (vec_id, dvec = the slice, cell, obj)."""
+    w = dim // m
+    ctes = [_SQL_EMB_V]
+    for j in range(m):
+        ctes.append(
+            f"""
+      v{j} AS (SELECT vec_id, list_slice(dvec, {j * w + 1}, {j * w + w}) AS dvec FROM v)"""
+        )
+        ctes.append(_kmeans_ctes(k, n_iter, src=f"v{j}", prefix=f"s{j}_"))
+    return ",".join(ctes)
+
+
+def _pq_codes_sql(m: int = 4, k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    """Oracle twin of pq_codes, projected to scalar code columns
+    c0..c{m-1} (the driver's canonicalizer cannot hash arrays)."""
+    code_cols = ",\n             ".join(f"f{j}.cell AS c{j}" for j in range(m))
+    err = "\n               + ".join(
+        f"(list_dot_product(f{j}.dvec, f{j}.dvec) + f{j}.obj)" for j in range(m)
+    )
+    joins = "\n      ".join(
+        f"JOIN s{j}_fin f{j} ON f{j}.vec_id = v.vec_id" for j in range(m)
+    )
+    return f"""
+      WITH {_pq_ctes(m, k, n_iter, dim)}
+      SELECT v.vec_id,
+             {code_cols},
+             round({err}, 6) AS recon_err
+      FROM v
+      {joins}
+    """
+
+
+def _pq_search_sql(
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    n_queries: int = 10,
+    topk: int = 5,
+) -> str:
+    """Oracle twin of pq_adc_topk: per-query lookup table of
+    subspace-to-codeword squared distances, ADC sum as exact
+    decimals, rank with deterministic tie-break."""
+    w = dim // m
+    cents_union = "\n        UNION ALL\n".join(
+        f"SELECT {j} AS j, cell AS code, cvec FROM s{j}_c{n_iter}" for j in range(m)
+    )
+    codes_union = "\n        UNION ALL\n".join(
+        f"SELECT vec_id, {j} AS j, cell AS code FROM s{j}_fin" for j in range(m)
+    )
+    return f"""
+      WITH {_pq_ctes(m, k, n_iter, dim)},
+      cents AS (
+        {cents_union}
+      ),
+      q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < {n_queries}),
+      qt1 AS (SELECT q.query_id, c.j, c.code, c.cvec,
+                     list_slice(q.qvec, c.j * {w} + 1, c.j * {w} + {w}) AS qs
+              FROM q CROSS JOIN cents c),
+      qt AS (SELECT query_id, j, code, list_dot_product(d, d) AS d2
+             FROM (SELECT *, list_transform(range(1, {w} + 1), i -> qs[i] - cvec[i]) AS d
+                   FROM qt1)),
+      ce AS (
+        {codes_union}
+      ),
+      sc AS (SELECT qt.query_id, ce.vec_id,
+                    CAST(CAST(sum(CAST(d2 AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) AS adc
+             FROM ce JOIN qt ON qt.j = ce.j AND qt.code = ce.code
+             WHERE ce.vec_id <> qt.query_id
+             GROUP BY qt.query_id, ce.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc ASC, vec_id ASC) AS rank FROM sc)
+      SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
+             CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= {topk}
     """
 
@@ -1378,6 +1486,8 @@ ORACLES: dict[str, str] = {
     "curate_documents": _curate_documents_sql(),
     "kmeans_cells": _kmeans_cells_sql(),
     "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
+    "pq_codes": _pq_codes_sql(),
+    "pq_search": _pq_search_sql(),
     # similarity
     "embedding_quantize": """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2041,6 +2151,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "embedding_quantize": q_embedding_quantize,
+    "pq_codes": q_pq_codes,
+    "pq_search": q_pq_search,
     "embedding_project": q_embedding_project,
     # multimodal
     "multimodal_meta": q_multimodal_meta,
