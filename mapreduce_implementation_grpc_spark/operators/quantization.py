@@ -261,3 +261,106 @@ def pq_adc_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 2,
+    coarse_k: int = 8,
+    coarse_iter: int = 3,
+    m: int = DEFAULT_PQ_M,
+    k: int = DEFAULT_PQ_K,
+    n_iter: int = DEFAULT_PQ_ITER,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN layout. A coarse
+    k-means partitions the corpus into inverted lists; PQ codes
+    compress every vector; a query routes to its n_probe nearest
+    coarse cells (L2) and runs the ADC scan over ONLY those cells'
+    codes.
+
+    Scale posture: the coarse assignment bounds the scan to
+    n_probe/coarse_k of the corpus, the PQ codes shrink what is
+    scanned to m small ints per vector, the per-query lookup table
+    is broadcast, and the one aggregation shuffle carries
+    (query_id, vec_id) partial decimal sums. This variant encodes
+    raw vectors (IVF-Flat+PQ); residual encoding drops in by
+    training pq_fit on v - coarse_centroid with the same plumbing.
+    Deterministic end to end -> DuckDB-oracle-checkable."""
+    from pyspark.sql import Window
+
+    from .kmeans import _assign, kmeans_fit
+
+    coarse = kmeans_fit(emb, coarse_k, coarse_iter, vec_col)
+    cells = _assign(emb, coarse, vec_col).select("vec_id", "cell")
+    codebooks = pq_fit(emb, m, k, n_iter, dim, vec_col)
+    codes = pq_codes(emb, m, k, n_iter, dim, vec_col, codebooks=codebooks)
+    w = dim // m
+
+    spark = emb.sparkSession
+    coarse_df = spark.createDataFrame(
+        [
+            (int(cell), [float(x) for x in cvec], float(n2))
+            for cell, cvec, n2 in coarse
+        ],
+        "cell bigint, cvec array<double>, cnorm2 double",
+    )
+    qdot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    qc = (
+        queries.select("query_id", "qvec")
+        .crossJoin(F.broadcast(coarse_df))
+        .select("query_id", "cell", (F.col("cnorm2") - 2 * qdot).alias("obj"))
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("obj"), F.asc("cell"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    cent_df = spark.createDataFrame(
+        [
+            (j, int(cell), [float(x) for x in cvec])
+            for j, rows in enumerate(codebooks)
+            for (cell, cvec, _n2) in rows
+        ],
+        "j int, code bigint, cvec array<double>",
+    )
+    qs = F.slice(F.col("qvec"), F.col("j") * w + 1, w)
+    diff = F.zip_with(qs, F.col("cvec"), lambda x, y: x.cast("double") - y)
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, z: acc + z * z)
+    qtab = (
+        queries.select("query_id", "qvec")
+        .crossJoin(F.broadcast(cent_df))
+        .select("query_id", "j", "code", d2.alias("d2"))
+    )
+
+    ce = codes.select("vec_id", F.posexplode("codes").alias("j", "code")).join(
+        cells, "vec_id"
+    )
+    dsum = F.sum(F.col("d2").cast("decimal(27,12)"))
+    scored = (
+        ce.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qtab), ["query_id", "j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(dsum.cast("string").cast("double").alias("adc"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc", 6).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

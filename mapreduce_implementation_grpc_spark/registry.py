@@ -570,6 +570,16 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, _query_vectors(spark, sf_dir), topk=5)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse k-means cells bound the scan, PQ codes
+    compress it -- the standard billion-scale ANN layout, fully
+    oracle-checked. EAGER: trains coarse + subspace codebooks."""
+    from .operators.quantization import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, _query_vectors(spark, sf_dir), topk=5)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -1183,6 +1193,67 @@ def _pq_search_sql(
     """
 
 
+def _ivfpq_sql(
+    coarse_k: int = 8,
+    coarse_iter: int = 3,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    n_queries: int = 10,
+    n_probe: int = 2,
+    topk: int = 5,
+) -> str:
+    """Oracle twin of quantization.ivfpq_topk: coarse unrolled Lloyd
+    (prefix g_) routes queries to n_probe cells; the per-subspace PQ
+    fits supply codes; the ADC scan is restricted to probed cells."""
+    w = dim // m
+    cents_union = "\n        UNION ALL\n".join(
+        f"SELECT {j} AS j, cell AS code, cvec FROM s{j}_c{n_iter}" for j in range(m)
+    )
+    codes_union = "\n        UNION ALL\n".join(
+        f"SELECT vec_id, {j} AS j, cell AS code FROM s{j}_fin" for j in range(m)
+    )
+    return f"""
+      WITH {_pq_ctes(m, k, n_iter, dim)},{_kmeans_ctes(coarse_k, coarse_iter, src="v", prefix="g_")},
+      q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < {n_queries}),
+      qc AS (SELECT q.query_id, c.cell,
+                    list_dot_product(c.cvec, c.cvec)
+                      - 2 * list_dot_product(q.qvec, c.cvec) AS obj
+             FROM q CROSS JOIN g_c{coarse_iter} c),
+      probes AS (SELECT query_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY obj ASC, cell ASC) AS pr FROM qc)
+        WHERE pr <= {n_probe}),
+      cents AS (
+        {cents_union}
+      ),
+      qt1 AS (SELECT q.query_id, c.j, c.code, c.cvec,
+                     list_slice(q.qvec, c.j * {w} + 1, c.j * {w} + {w}) AS qs
+              FROM q CROSS JOIN cents c),
+      qt AS (SELECT query_id, j, code, list_dot_product(d, d) AS d2
+             FROM (SELECT *, list_transform(range(1, {w} + 1), i -> qs[i] - cvec[i]) AS d
+                   FROM qt1)),
+      ce AS (
+        {codes_union}
+      ),
+      ce2 AS (SELECT ce.vec_id, g.cell AS gcell, ce.j, ce.code
+              FROM ce JOIN g_fin g USING (vec_id)),
+      sc AS (SELECT p.query_id, ce2.vec_id,
+                    CAST(CAST(sum(CAST(qt.d2 AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) AS adc
+             FROM ce2
+             JOIN probes p ON p.cell = ce2.gcell
+             JOIN qt ON qt.query_id = p.query_id AND qt.j = ce2.j AND qt.code = ce2.code
+             WHERE ce2.vec_id <> p.query_id
+             GROUP BY p.query_id, ce2.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc ASC, vec_id ASC) AS rank FROM sc)
+      SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
+             CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= {topk}
+    """
+
+
 def _curate_documents_sql(min_quality: float = 0.5) -> str:
     """Oracle for the COMPOSED curation pipeline (plans/pipeline.py):
     exact dedup keep-min -> MinHash-cluster near-dup removal (the
@@ -1488,6 +1559,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
     "pq_codes": _pq_codes_sql(),
     "pq_search": _pq_search_sql(),
+    "ann_ivfpq": _ivfpq_sql(),
     # similarity
     "embedding_quantize": """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2153,6 +2225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "pq_codes": q_pq_codes,
     "pq_search": q_pq_search,
+    "ann_ivfpq": q_ann_ivfpq,
     "embedding_project": q_embedding_project,
     # multimodal
     "multimodal_meta": q_multimodal_meta,
