@@ -138,11 +138,62 @@ def run_suite(docs) -> dict:
     }
 
 
+def synth_embeddings(spark, n: int, dim: int = 64):
+    """n deterministic pseudo-random vectors in [-1, 1]^dim,
+    generated Spark-side (hash-indexed, no driver data)."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)).cast("double") / 1000.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+    ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+
+
+def run_emb_suite(spark, n: int) -> dict:
+    """PQ train+encode and IVF-PQ serve at n vectors: the encode pass
+    is one narrow map (linear in n); the ADC serve scan is linear in
+    n * n_queries / (coarse_k / n_probe)."""
+    from mapreduce_implementation_grpc_spark.operators.quantization import (
+        ivfpq_topk,
+        pq_codes,
+    )
+
+    emb = synth_embeddings(spark, n).localCheckpoint()  # materialize input once
+    t0 = time.perf_counter()
+    _full_eval(pq_codes(emb))
+    t_codes = time.perf_counter() - t0
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    t0 = time.perf_counter()
+    n_top = ivfpq_topk(emb, queries).count()
+    t_serve = time.perf_counter() - t0
+    return {
+        "vectors": n,
+        "pq_train_encode_s": round(t_codes, 2),
+        "ivfpq_serve_s": round(t_serve, 2),
+        "ivfpq_rows": n_top,
+    }
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "synth"
-    sizes = [int(m) for m in sys.argv[2:]] or ([5000, 50000, 250000] if mode == "synth" else [1, 10, 50])
+    default_sizes = {
+        "synth": [5000, 50000, 250000],
+        "emb": [5000, 50000, 500000],
+    }.get(mode, [1, 10, 50])
+    sizes = [int(m) for m in sys.argv[2:]] or default_sizes
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if mode == "emb":
+        for s in sizes:
+            print(json.dumps({"mode": mode, "size": s, **run_emb_suite(spark, s)}))
+        spark.stop()
+        return
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     base.count()  # warm
 
