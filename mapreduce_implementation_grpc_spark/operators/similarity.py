@@ -40,7 +40,15 @@ def lsh_planes(num_planes: int = DEFAULT_NUM_PLANES, dim: int = 64) -> list[list
 
 
 def _bucket_col(vec, planes: list[list[float]]):
-    """LSH bucket id = integer of sign bits of plane dot products."""
+    """LSH bucket id = integer of sign bits of plane dot products.
+
+    Deliberately num_planes separate flat scalar-literal arrays: a
+    single nested array literal indexed per plane (element_at of an
+    array<array<double>> literal) was MEASURED 3x slower end to end
+    -- the subarray extraction happens per row instead of being
+    constant-folded. ~80% of this query's sf0.1 latency is Catalyst
+    planning of the wide literal tree, a fixed driver-side cost that
+    amortizes at scale."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         dot = F.aggregate(

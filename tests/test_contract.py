@@ -78,6 +78,8 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         # by nature, and kmeans seeds / centroid rows live driver-side
         "dedup_clusters", "dedup_clusters_jaccard", "curate_documents",
         "kmeans_cells", "ann_ivf_kmeans",
+        # product quantization: per-subspace Lloyd fits at build time
+        "pq_codes", "pq_search", "ann_ivfpq",
     }
     for name, fn in registry.QUERIES.items():
         if name in EAGER:
