@@ -247,3 +247,66 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    min_cosine: float = 0.35,
+    coarse_k: int = 8,
+    coarse_iter: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means,
+    then WITHIN each cell drop every vector that has a
+    higher-priority near-duplicate (cosine >= min_cosine and smaller
+    vec_id -- the deterministic keep-the-canonical rule).
+
+    DataFrame[vec_id, cell, keep]: keep=false iff a same-cell
+    neighbor with smaller vec_id clears the threshold.
+
+    Scale shape: pairs only ever form inside a cell (shuffle on
+    cell, never a global cross join), so pair cost is bounded by the
+    largest cell, tuned by coarse_k -- at 100 TB you raise k so
+    cells stay ~10^4 vectors (SemDeDup itself uses k = 11k on
+    LAION). Norms are projected once per row before the self-join;
+    the drop set is a broadcast-size list of ids whenever near-dup
+    density is low, and the final marking is one left-semi-shaped
+    join. EAGER: the k-means fit trains at construction time.
+    Deterministic (decimal-mean k-means + rounded cosine) =>
+    DuckDB-oracle-checkable end to end."""
+    from .kmeans import _assign, kmeans_fit
+
+    cells = _assign(emb, kmeans_fit(emb, coarse_k, coarse_iter, vec_col), vec_col).select(
+        "vec_id", "cell"
+    )
+    base = (
+        emb.select("vec_id", vec_col)
+        .join(cells, "vec_id")
+        .withColumn("nrm", l2_norm_col(vec_col))
+    )
+    a = base.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = base.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(dot_col("a_vec", "b_vec") / (F.col("a_nrm") * F.col("b_nrm")), 6)
+            >= min_cosine
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(
+        dropped.withColumn("dup", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cell", F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"))

@@ -580,6 +580,15 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, _query_vectors(spark, sf_dir), topk=5)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells bound the pair
+    scan; within a cell, a vector with a smaller-id neighbor at
+    cosine >= 0.35 is marked keep=false. EAGER: trains the cells."""
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"), min_cosine=0.35)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -1254,6 +1263,27 @@ def _ivfpq_sql(
     """
 
 
+def _semantic_dedup_sql(
+    min_cosine: float = 0.35, coarse_k: int = 8, coarse_iter: int = 3
+) -> str:
+    """Oracle twin of similarity.semantic_dedup: the unrolled Lloyd
+    fit supplies the cells; within-cell pairs at rounded cosine >=
+    threshold mark the larger id keep=false."""
+    return f"""
+      WITH {_SQL_EMB_V},{_kmeans_ctes(coarse_k, coarse_iter)},
+      n AS (SELECT vec_id, cell, dvec,
+                   sqrt(list_dot_product(dvec, dvec)) AS nrm
+            FROM fin),
+      d AS (SELECT DISTINCT b.vec_id
+            FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.dvec, b.dvec) / (a.nrm * b.nrm), 6)
+                  >= {min_cosine}),
+      r AS (SELECT f.vec_id, f.cell, (d.vec_id IS NULL) AS keep
+            FROM fin f LEFT JOIN d ON d.vec_id = f.vec_id)
+      SELECT vec_id, cell, keep FROM r
+    """
+
+
 def _curate_documents_sql(min_quality: float = 0.5) -> str:
     """Oracle for the COMPOSED curation pipeline (plans/pipeline.py):
     exact dedup keep-min -> MinHash-cluster near-dup removal (the
@@ -1560,6 +1590,7 @@ ORACLES: dict[str, str] = {
     "pq_codes": _pq_codes_sql(),
     "pq_search": _pq_search_sql(),
     "ann_ivfpq": _ivfpq_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
     # similarity
     "embedding_quantize": """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2226,6 +2257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "pq_search": q_pq_search,
     "ann_ivfpq": q_ann_ivfpq,
+    "semantic_dedup": q_semantic_dedup,
     "embedding_project": q_embedding_project,
     # multimodal
     "multimodal_meta": q_multimodal_meta,

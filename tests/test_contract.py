@@ -80,6 +80,8 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         "kmeans_cells", "ann_ivf_kmeans",
         # product quantization: per-subspace Lloyd fits at build time
         "pq_codes", "pq_search", "ann_ivfpq",
+        # semantic dedup: the cell fit trains at build time
+        "semantic_dedup",
     }
     for name, fn in registry.QUERIES.items():
         if name in EAGER:

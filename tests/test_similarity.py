@@ -111,3 +111,42 @@ def test_ann_ivf_full_probe_equals_bruteforce(spark):
     assert [(r.neighbor_id, r.cosine) for r in ivf] == [
         (r.neighbor_id, r.cosine) for r in brute
     ]
+
+
+def test_semantic_dedup_marks_planted_duplicates(spark):
+    """Two identical vectors land in the same k-means cell with
+    cosine 1.0: the larger id must be keep=false, the smaller
+    keep=true; a far-away vector stays keep=true."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(13)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [(0, base), (1, list(base))] + [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(2, 30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r
+        for r in semantic_dedup(emb, min_cosine=0.999, coarse_k=4, coarse_iter=2).collect()
+    }
+    assert len(got) == 30
+    assert got[0].keep is True
+    assert got[1].keep is False
+    assert got[0].cell == got[1].cell
+
+
+def test_semantic_dedup_oracle_parity(spark, sf_check):
+    from mapreduce_implementation_grpc_spark import registry
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        registry.QUERIES["semantic_dedup"](spark, sf_check),
+        registry.ORACLES["semantic_dedup"],
+        sf_check,
+    )
