@@ -1,6 +1,7 @@
 from .pipelines import (
     parquet_upsert_sink,
     streaming_curate,
+    streaming_pq_encode,
     streaming_dedup,
     streaming_event_counts,
     streaming_sessionize,
@@ -12,6 +13,7 @@ from .pipelines import (
 __all__ = [
     "parquet_upsert_sink",
     "streaming_curate",
+    "streaming_pq_encode",
     "streaming_dedup",
     "streaming_event_counts",
     "streaming_sessionize",

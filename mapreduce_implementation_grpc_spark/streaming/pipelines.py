@@ -245,3 +245,25 @@ def parquet_upsert_sink(spark, path: str, key_cols: list[str]):
         merged.write.mode("overwrite").parquet(path)
 
     return sink
+
+
+def streaming_pq_encode(
+    emb_stream: DataFrame,
+    codebooks: list[list[tuple[int, list[float], float]]],
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally PQ-encode an unbounded embedding stream against
+    PRE-TRAINED codebooks (train once in batch via
+    operators.quantization.pq_fit, serve forever): the narrow
+    shuffle-free code-assignment map from pq_codes applied to a
+    streaming DataFrame -- stateless, so any output mode works and
+    throughput is the batch encode's. This is the standard
+    ingest-time layout for a continuously-growing ANN index: new
+    vectors land already compressed + routable."""
+    from ..operators.quantization import pq_codes
+
+    m = len(codebooks)
+    return pq_codes(
+        emb_stream, m=m, dim=dim, vec_col=vec_col, codebooks=codebooks
+    )

@@ -190,3 +190,33 @@ def test_streaming_signup_purchase_join_cross_batch(spark, tmp_path):
         assert (1, "2024-01-01 12:00:00") not in got  # horizon enforced
     finally:
         q.stop()
+
+
+def test_streaming_pq_encode_matches_batch(spark, tmp_path):
+    """Pre-trained codebooks applied to a parquet stream produce the
+    identical codes the batch encoder assigns -- and the plan is
+    stateless (append mode works)."""
+    from mapreduce_implementation_grpc_spark.operators.quantization import (
+        pq_codes,
+        pq_fit,
+    )
+    from mapreduce_implementation_grpc_spark.streaming.pipelines import (
+        streaming_pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(emb)
+    batch = {r.vec_id: (list(r.codes), r.recon_err)
+             for r in pq_codes(emb, codebooks=books).collect()}
+
+    src = tmp_path / "embstream"
+    emb.limit(100).write.parquet(str(src))
+    stream = spark.readStream.schema(emb.schema).parquet(str(src))
+    out = streaming_pq_encode(stream, books)
+    q = out.writeStream.format("memory").queryName("pq_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r.vec_id: (list(r.codes), r.recon_err)
+           for r in spark.sql("SELECT * FROM pq_stream").collect()}
+    assert len(got) == 100
+    assert all(got[v] == batch[v] for v in got)
