@@ -262,3 +262,79 @@ def write_training_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring duplicate spans (the distributed shape of Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): every k-token window whose exact text occurs
+    >= min_count times anywhere in the corpus (any doc, including the
+    same one) marks its token positions as duplicated; overlapping
+    marked windows merge into maximal spans per doc.
+
+    DataFrame[doc_id, span_start, span_end, n_tokens] -- token
+    offsets, end exclusive. Downstream curation cuts these spans out
+    (the suffix-array pipeline's verbatim-memorization fix).
+
+    Scale shape: one shuffle groups the k-gram occurrences (uniform
+    text keys; at extreme scale swap the join key for
+    portable_hash60(sh) to move 8-byte ints instead of strings --
+    collisions would only over-mark, never miss), one join marks
+    positions, and span merging is the classic gaps-and-islands
+    window per doc_id: running max of window ends, flag on gap,
+    running sum of flags as island id -- per-doc partitions, no
+    global sort."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(normalized_col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    sh = (
+        toks.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.when(
+                F.lead("tok", k - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)
+            ).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+    )
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("sh")
+    )
+    marked = sh.join(dup, "sh").select("doc_id", "pos")
+
+    prev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    upto = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    x = marked.withColumn("e_pos", F.col("pos") + k).withColumn(
+        "run_max", F.max("e_pos").over(prev)
+    )
+    flag = (
+        F.when(
+            F.col("run_max").isNull() | (F.col("pos") > F.col("run_max")),
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    g = x.withColumn("island", F.sum(flag).over(upto))
+    return (
+        g.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("span_start"), F.max("e_pos").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )

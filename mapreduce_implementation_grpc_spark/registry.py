@@ -368,6 +368,15 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. ACL 2022 shape):
+    maximal per-doc token intervals covered by corpus-repeated
+    8-gram windows."""
+    from .operators.curation import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass: typed placeholder substitution with
     per-type counts. The synthetic corpus is PII-free, so this is an
@@ -1263,6 +1272,39 @@ def _ivfpq_sql(
     """
 
 
+def _duplicate_spans_sql(k: int = 8, min_count: int = 2) -> str:
+    """Oracle twin of curation.duplicate_spans: positioned k-gram
+    windows via struct unnest, repeated-window marking, and the same
+    gaps-and-islands merge (running max of ends -> gap flag ->
+    running sum as island id)."""
+    return f"""
+      WITH t AS ({_SQL_TOKS}),
+      s AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {k} + 2),
+                     i -> struct_pack(pos := i - 1,
+                            sh := array_to_string(list_slice(toks, i, i + {k} - 1), ' '))))
+                   AS u
+            FROM t WHERE len(toks) >= {k}),
+      e AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.sh AS sh FROM s),
+      d AS (SELECT sh FROM e GROUP BY sh HAVING count(*) >= {min_count}),
+      marked AS (SELECT doc_id, pos FROM e JOIN d USING (sh)),
+      x AS (SELECT doc_id, pos, pos + {k} AS e_pos,
+                   max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+            FROM marked),
+      f AS (SELECT *, CASE WHEN run_max IS NULL OR pos > run_max
+                           THEN 1 ELSE 0 END AS flag FROM x),
+      g AS (SELECT *, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM f)
+      SELECT doc_id,
+             min(pos) AS span_start,
+             max(e_pos) AS span_end,
+             max(e_pos) - min(pos) AS n_tokens
+      FROM g GROUP BY doc_id, island
+    """
+
+
 def _semantic_dedup_sql(
     min_cosine: float = 0.35, coarse_k: int = 8, coarse_iter: int = 3
 ) -> str:
@@ -1591,6 +1633,7 @@ ORACLES: dict[str, str] = {
     "pq_search": _pq_search_sql(),
     "ann_ivfpq": _ivfpq_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
+    "duplicate_spans": _duplicate_spans_sql(),
     # similarity
     "embedding_quantize": """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2258,6 +2301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_search": q_pq_search,
     "ann_ivfpq": q_ann_ivfpq,
     "semantic_dedup": q_semantic_dedup,
+    "duplicate_spans": q_duplicate_spans,
     "embedding_project": q_embedding_project,
     # multimodal
     "multimodal_meta": q_multimodal_meta,

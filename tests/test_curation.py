@@ -205,3 +205,52 @@ def test_oracle_parity(spark, sf_check, name):
     assert_matches_oracle(
         registry.QUERIES[name](spark, sf_check), registry.ORACLES[name], sf_check
     )
+
+
+def test_duplicate_spans_planted_repeat(spark):
+    """A verbatim 10-token passage shared by two docs becomes one
+    maximal span in each; unique text produces no span; an
+    overlapping repeat merges into a single island."""
+    from pyspark.sql import Row
+
+    from mapreduce_implementation_grpc_spark.operators.curation import (
+        duplicate_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two three {passage} four five"),
+            Row(doc_id=2, text=f"{passage} totally different tail words here"),
+            Row(doc_id=3, text="completely unrelated text with no repeats at all ok"),
+        ]
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_tokens)
+        for r in duplicate_spans(docs, k=8, min_count=2).collect()
+    }
+    # doc 1: passage occupies tokens 3..13 -> one merged span of 10
+    assert spans[1] == (3, 13, 10)
+    # doc 2: passage at tokens 0..10
+    assert spans[2] == (0, 10, 10)
+    assert 3 not in spans
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    """The same 8-gram occurring twice INSIDE one doc also counts
+    (min_count is over total occurrences, not distinct docs)."""
+    from pyspark.sql import Row
+
+    from mapreduce_implementation_grpc_spark.operators.curation import (
+        duplicate_spans,
+    )
+
+    eight = "a1 a2 a3 a4 a5 a6 a7 a8"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=f"{eight} filler1 filler2 {eight} end1 end2")]
+    )
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicate_spans(docs, k=8, min_count=2).collect()
+    )
+    assert spans == [(0, 8), (10, 18)]
