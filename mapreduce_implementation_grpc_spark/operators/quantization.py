@@ -364,3 +364,137 @@ def ivfpq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _coarse_lookup_literal(
+    coarse: list[tuple[int, list[float], float]], dim: int
+):
+    """array<array<double>> literal mapping cell id -> centroid (one
+    Catalyst Literal node; gaps from emptied cells hold zero vectors
+    that nothing references). Per-row element_at by the DATA-dependent
+    cell id is the one place the nested-literal form is right: the
+    index isn't constant, so there is nothing to constant-fold."""
+    max_cell = max(c for c, _v, _n in coarse)
+    table = [[0.0] * dim for _ in range(max_cell + 1)]
+    for cell, cvec, _n2 in coarse:
+        table[cell] = [float(x) for x in cvec]
+    return F.lit(table)
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 2,
+    coarse_k: int = 8,
+    coarse_iter: int = 3,
+    m: int = DEFAULT_PQ_M,
+    k: int = DEFAULT_PQ_K,
+    n_iter: int = DEFAULT_PQ_ITER,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC proper (Jegou et al. 2011): PQ codebooks are trained on
+    RESIDUALS v - coarse_centroid(cell(v)), which concentrates the
+    quantizer's capacity on within-cell variation -- tighter codes
+    than raw-vector PQ at the same bit budget. The serve-side lookup
+    table becomes per-(query, probed cell): d2_j = ||(q - c_cell)_j -
+    codeword||^2; still |Q| * n_probe * m * k rows, still broadcast.
+
+    Same scale posture as ivfpq_topk: the residual transform is a
+    narrow per-row expression (one data-indexed lookup into the
+    broadcast centroid table), encode is shuffle-free, serve is one
+    broadcast join chain + one decimal-sum aggregation shuffle."""
+    from pyspark.sql import Window
+
+    from .kmeans import _assign, kmeans_fit
+
+    coarse = kmeans_fit(emb, coarse_k, coarse_iter, vec_col)
+    lookup = _coarse_lookup_literal(coarse, dim)
+    cells = _assign(emb, coarse, vec_col).select("vec_id", "cell")
+
+    res = (
+        emb.select("vec_id", vec_col)
+        .join(cells, "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(lookup, (F.col("cell") + 1).cast("int")),
+                lambda x, y: x.cast("double") - y,
+            ).alias("res"),
+        )
+    )
+    codebooks = pq_fit(res, m, k, n_iter, dim, vec_col="res")
+    codes = pq_codes(res, m, k, n_iter, dim, vec_col="res", codebooks=codebooks)
+    w = dim // m
+
+    spark = emb.sparkSession
+    coarse_df = spark.createDataFrame(
+        [
+            (int(cell), [float(x) for x in cvec])
+            for cell, cvec, _n2 in coarse
+        ],
+        "cell bigint, cvec array<double>",
+    )
+    cent_df = spark.createDataFrame(
+        [
+            (j, int(cw), [float(x) for x in cv])
+            for j, rows in enumerate(codebooks)
+            for (cw, cv, _n2) in rows
+        ],
+        "j int, code bigint, cwvec array<double>",
+    )
+    # probe routing: L2 argmin over coarse centroids (obj = -2 q.c + ||c||^2)
+    qdot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    cn2 = F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x)
+    qc = (
+        queries.select("query_id", "qvec")
+        .crossJoin(F.broadcast(coarse_df))
+        .select("query_id", "qvec", "cell", "cvec", (cn2 - 2 * qdot).alias("obj"))
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("obj"), F.asc("cell"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qvec", "cvec", lambda x, y: x.cast("double") - y).alias("qres"),
+        )
+    )
+    # per-(query, probed cell, subspace, codeword) distance table
+    qs = F.slice(F.col("qres"), F.col("j") * w + 1, w)
+    diff = F.zip_with(qs, F.col("cwvec"), lambda x, y: x - y)
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, z: acc + z * z)
+    qtab = (
+        probes.crossJoin(F.broadcast(cent_df))
+        .select("query_id", "cell", "j", "code", d2.alias("d2"))
+    )
+
+    ce = codes.select("vec_id", F.posexplode("codes").alias("j", "code")).join(
+        cells, "vec_id"
+    )
+    dsum = F.sum(F.col("d2").cast("decimal(27,12)"))
+    scored = (
+        ce.join(F.broadcast(qtab), ["cell", "j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(dsum.cast("string").cast("double").alias("adc"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc", 6).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

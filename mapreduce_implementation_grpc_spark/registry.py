@@ -589,6 +589,16 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, _query_vectors(spark, sf_dir), topk=5)
 
 
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper: PQ codebooks trained on coarse-cell residuals
+    (tighter codes at the same bit budget). EAGER: trains coarse +
+    residual subspace codebooks."""
+    from .operators.quantization import ivfpq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(emb, _query_vectors(spark, sf_dir), topk=5)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells bound the pair
     scan; within a cell, a vector with a smaller-id neighbor at
@@ -1129,17 +1139,22 @@ def _ann_ivf_kmeans_sql(
     """
 
 
-def _pq_ctes(m: int = 4, k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+def _pq_ctes(
+    m: int = 4, k: int = 4, n_iter: int = 2, dim: int = 64, src: str | None = None
+) -> str:
     """WITH-body for product quantization: one independent unrolled
     Lloyd fit per dim/m-wide subspace slice (operators.quantization
     pq_fit/pq_codes twins). Subspace j's final assignment lands in
-    CTE s{j}_fin (vec_id, dvec = the slice, cell, obj)."""
+    CTE s{j}_fin (vec_id, dvec = the slice, cell, obj). Pass `src`
+    to quantize another (vec_id, dvec) CTE -- e.g. the residuals in
+    the IVFADC oracle -- instead of the raw embeddings."""
     w = dim // m
-    ctes = [_SQL_EMB_V]
+    ctes = [] if src else [_SQL_EMB_V]
+    src = src or "v"
     for j in range(m):
         ctes.append(
             f"""
-      v{j} AS (SELECT vec_id, list_slice(dvec, {j * w + 1}, {j * w + w}) AS dvec FROM v)"""
+      v{j} AS (SELECT vec_id, list_slice(dvec, {j * w + 1}, {j * w + w}) AS dvec FROM {src})"""
         )
         ctes.append(_kmeans_ctes(k, n_iter, src=f"v{j}", prefix=f"s{j}_"))
     return ",".join(ctes)
@@ -1302,6 +1317,71 @@ def _duplicate_spans_sql(k: int = 8, min_count: int = 2) -> str:
              max(e_pos) AS span_end,
              max(e_pos) - min(pos) AS n_tokens
       FROM g GROUP BY doc_id, island
+    """
+
+
+def _ivfpq_residual_sql(
+    coarse_k: int = 8,
+    coarse_iter: int = 3,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    n_queries: int = 10,
+    n_probe: int = 2,
+    topk: int = 5,
+) -> str:
+    """Oracle twin of quantization.ivfpq_residual_topk (IVFADC): PQ
+    fits run over residuals v - coarse_centroid(cell); the lookup
+    table is per-(query, probed cell) against the query residual."""
+    w = dim // m
+    cents_union = "\n        UNION ALL\n".join(
+        f"SELECT {j} AS j, cell AS code, cvec FROM s{j}_c{n_iter}" for j in range(m)
+    )
+    codes_union = "\n        UNION ALL\n".join(
+        f"SELECT vec_id, {j} AS j, cell AS code FROM s{j}_fin" for j in range(m)
+    )
+    return f"""
+      WITH {_SQL_EMB_V},{_kmeans_ctes(coarse_k, coarse_iter, src="v", prefix="g_")},
+      r AS (SELECT f.vec_id,
+                   list_transform(range(1, {dim} + 1), i -> f.dvec[i] - c.cvec[i]) AS dvec
+            FROM g_fin f JOIN g_c{coarse_iter} c USING (cell)),
+      {_pq_ctes(m, k, n_iter, dim, src="r")},
+      q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < {n_queries}),
+      qc AS (SELECT q.query_id, q.qvec, c.cell, c.cvec,
+                    list_dot_product(c.cvec, c.cvec)
+                      - 2 * list_dot_product(q.qvec, c.cvec) AS obj
+             FROM q CROSS JOIN g_c{coarse_iter} c),
+      probes AS (SELECT query_id, cell,
+                        list_transform(range(1, {dim} + 1), i -> qvec[i] - cvec[i]) AS qres
+                 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY obj ASC, cell ASC) AS pr FROM qc)
+                 WHERE pr <= {n_probe}),
+      cents AS (
+        {cents_union}
+      ),
+      qt1 AS (SELECT p.query_id, p.cell, c.j, c.code, c.cvec AS cwvec,
+                     list_slice(p.qres, c.j * {w} + 1, c.j * {w} + {w}) AS qs
+              FROM probes p CROSS JOIN cents c),
+      qt AS (SELECT query_id, cell, j, code, list_dot_product(d, d) AS d2
+             FROM (SELECT *, list_transform(range(1, {w} + 1), i -> qs[i] - cwvec[i]) AS d
+                   FROM qt1)),
+      ce AS (
+        {codes_union}
+      ),
+      ce2 AS (SELECT ce.vec_id, g.cell, ce.j, ce.code
+              FROM ce JOIN g_fin g USING (vec_id)),
+      sc AS (SELECT qt.query_id, ce2.vec_id,
+                    CAST(CAST(sum(CAST(qt.d2 AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) AS adc
+             FROM ce2
+             JOIN qt ON qt.cell = ce2.cell AND qt.j = ce2.j AND qt.code = ce2.code
+             WHERE ce2.vec_id <> qt.query_id
+             GROUP BY qt.query_id, ce2.vec_id),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc ASC, vec_id ASC) AS rank FROM sc)
+      SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
+             CAST(rank AS BIGINT) AS rank
+      FROM r2 WHERE rank <= {topk}
     """
 
 
@@ -1632,6 +1712,7 @@ ORACLES: dict[str, str] = {
     "pq_codes": _pq_codes_sql(),
     "pq_search": _pq_search_sql(),
     "ann_ivfpq": _ivfpq_sql(),
+    "ann_ivfpq_residual": _ivfpq_residual_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
     "duplicate_spans": _duplicate_spans_sql(),
     # similarity
@@ -2300,6 +2381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "pq_search": q_pq_search,
     "ann_ivfpq": q_ann_ivfpq,
+    "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "semantic_dedup": q_semantic_dedup,
     "duplicate_spans": q_duplicate_spans,
     "embedding_project": q_embedding_project,
@@ -2371,6 +2453,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "pii_redact",
     "mixture_sample",
+    "duplicate_spans",
     "dedup_exact",
     "incremental_dedup",
     "inverted_index",

@@ -82,6 +82,8 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         "pq_codes", "pq_search", "ann_ivfpq",
         # semantic dedup: the cell fit trains at build time
         "semantic_dedup",
+        # IVFADC: coarse + residual codebooks train at build time
+        "ann_ivfpq_residual",
     }
     for name, fn in registry.QUERIES.items():
         if name in EAGER:

@@ -145,3 +145,37 @@ def test_ivfpq_oracle_parity(spark, sf_check):
         registry.ORACLES["ann_ivfpq"],
         sf_check,
     )
+
+
+def test_ivfpq_residual_planted_duplicate_ranks_first(spark):
+    """A corpus vector identical to the query lands in the same
+    coarse cell with the same residual codes -> minimal ADC -> rank 1."""
+    from mapreduce_implementation_grpc_spark.operators.quantization import (
+        ivfpq_residual_topk,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(2, 60)]
+    q = [0.7, -0.6, 0.5, -0.4, 0.3, -0.2, 0.1, -0.9]
+    emb = spark.createDataFrame(
+        [(0, q), (1, list(q))] + vecs, "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = ivfpq_residual_topk(
+        emb, queries, topk=3, coarse_k=4, coarse_iter=2, m=2, k=4, n_iter=2, dim=8
+    ).collect()
+    assert top[0].neighbor_id == 1 and top[0].rank == 1
+
+
+def test_ivfpq_residual_oracle_parity(spark, sf_check):
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        registry.QUERIES["ann_ivfpq_residual"](spark, sf_check),
+        registry.ORACLES["ann_ivfpq_residual"],
+        sf_check,
+    )
