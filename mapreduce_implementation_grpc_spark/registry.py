@@ -792,6 +792,42 @@ def q_word_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch: fixed-width
+    histogram bins (the counts are exact integers, so unlike GK/KLL
+    the sketch is order-independent and DuckDB-reproducible). Per
+    event_type: bin = floor(value / width); the p-quantile estimate
+    is the LEFT edge of the first bin whose cumulative count reaches
+    ceil(p * n). Error is bounded by the bin width; at 100 TB the
+    state is one (type, bin) count map -- a map-side-combined
+    groupBy, same cost shape as a word count."""
+    from pyspark.sql import Window
+
+    width = 10.0
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type", F.floor(F.col("value") / width).cast("long").alias("bin")
+    ).groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("event_type")
+    cum = binned.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(tot)
+    )
+
+    def q_edge(p: float):
+        hit = F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("bin"))
+        return F.round(F.min(hit) * width, 6)
+
+    return cum.groupBy("event_type").agg(
+        q_edge(0.5).alias("p50_bin"),
+        q_edge(0.9).alias("p90_bin"),
+        q_edge(0.99).alias("p99_bin"),
+        F.max("n").alias("n_events"),
+    )
+
+
 def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (Greenwald-Khanna via
     approx_percentile, rank error <= n/accuracy): the single-pass,
@@ -1714,6 +1750,20 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq": _ivfpq_sql(),
     "ann_ivfpq_residual": _ivfpq_residual_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
+    "events_quantiles_binned": """
+      WITH b AS (SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                        count(*) AS c
+                 FROM events GROUP BY 1, 2),
+      cum AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              sum(c) OVER (PARTITION BY event_type) AS n FROM b)
+      SELECT event_type,
+             round(CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS DOUBLE) * CAST(10.0 AS DOUBLE), 6) AS p50_bin,
+             round(CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS DOUBLE) * CAST(10.0 AS DOUBLE), 6) AS p90_bin,
+             round(CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS DOUBLE) * CAST(10.0 AS DOUBLE), 6) AS p99_bin,
+             CAST(max(n) AS BIGINT) AS n_events
+      FROM cum GROUP BY event_type
+    """,
     "duplicate_spans": _duplicate_spans_sql(),
     # similarity
     "embedding_quantize": """
@@ -2383,6 +2433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "semantic_dedup": q_semantic_dedup,
+    "events_quantiles_binned": q_events_quantiles_binned,
     "duplicate_spans": q_duplicate_spans,
     "embedding_project": q_embedding_project,
     # multimodal

@@ -47,3 +47,30 @@ def test_approx_quantiles_within_sketch_bound(spark, sf_check):
             assert abs(getattr(a, p) - getattr(e, p)) <= 0.05 * spread, (
                 f"{et}.{p}: approx {getattr(a, p)} vs exact {getattr(e, p)}"
             )
+
+
+def test_binned_quantiles_bracket_exact(spark, sf_check):
+    """The binned estimate's left edge must bracket the true
+    rank-based percentile (the ceil(p*n)-th smallest value) within
+    one bin width -- the sketch's error bound by construction."""
+    import math
+
+    from mapreduce_implementation_grpc_spark import registry
+
+    binned = {
+        r.event_type: r
+        for r in registry.QUERIES["events_quantiles_binned"](spark, sf_check).collect()
+    }
+    vals = {}
+    for r in (
+        spark.read.parquet(f"{sf_check}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r.event_type, []).append(float(r.value))
+    for et, b in binned.items():
+        vs = sorted(vals[et])
+        n = len(vs)
+        for bp, p in ((b.p50_bin, 0.5), (b.p90_bin, 0.9), (b.p99_bin, 0.99)):
+            v_star = vs[math.ceil(p * n) - 1]
+            assert bp <= v_star < bp + 10.0, (et, p, bp, v_star)
