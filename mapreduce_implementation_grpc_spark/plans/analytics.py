@@ -734,3 +734,27 @@ def segment_event_stats_salted(
         F.countDistinct("user_id").alias("n_users"),
         _dec2dbl(F.sum(F.col("value").cast("decimal(18,2)"))).alias("sum_value"),
     )
+
+
+def late_shipments(spark: SparkSession, sf_dir: str, late_days: int = 90) -> DataFrame:
+    """TPC-H Q12 shape adapted to this schema: per order priority,
+    how many lineitems shipped more than `late_days` after the order
+    date. One equi-join on the uniform orderkey + a conditional
+    aggregation -- both map-side-combinable; the date arithmetic is
+    exact integer day math in both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > late_days).cast(
+        "long"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(late).alias("n_late"),
+            F.round(F.sum(late) / F.count("*"), 6).alias("late_frac"),
+        )
+    )

@@ -681,6 +681,7 @@ q_orders_price_deciles = analytics.orders_price_deciles
 q_stratified_sample = analytics.stratified_sample
 q_signup_funnel = analytics.signup_purchase_funnel
 q_shipping_priority = analytics.shipping_priority
+q_late_shipments = analytics.late_shipments
 q_large_orders = analytics.large_orders
 
 
@@ -1750,6 +1751,16 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq": _ivfpq_sql(),
     "ann_ivfpq_residual": _ivfpq_residual_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
+    "late_shipments": """
+      SELECT o_orderpriority AS priority,
+             count(*) AS n_lineitems,
+             CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             round(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END) / count(*), 6) AS late_frac
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    """,
     "events_quantiles_binned": """
       WITH b AS (SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
                         count(*) AS c
@@ -2433,6 +2444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "semantic_dedup": q_semantic_dedup,
+    "late_shipments": q_late_shipments,
     "events_quantiles_binned": q_events_quantiles_binned,
     "duplicate_spans": q_duplicate_spans,
     "embedding_project": q_embedding_project,
