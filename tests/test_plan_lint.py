@@ -110,3 +110,29 @@ def test_decontaminate_corpus_side_is_map_only(spark, sf_check):
     assert "Exchange hashpartitioning" not in join_to_bcast, (
         "corpus side shuffles before the broadcast probe"
     )
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_check):
+    """pq_codes' returned DataFrame is a pure narrow map against the
+    codebook literals: scan -> project -> explode barrier, with NO
+    Exchange (training already happened at construction)."""
+    plan = _plan(spark, sf_check, "pq_codes")
+    assert "Exchange" not in plan, f"PQ encode shuffles:\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_serve_broadcasts_tables(spark, sf_check):
+    """The IVF-PQ serve side must broadcast the probe/lookup tables
+    (never shuffle the corpus against them) and keep at most the two
+    legitimate hash Exchanges: the (query_id, vec_id) aggregation and
+    the per-query top-k window."""
+    import re
+
+    for name in ("ann_ivfpq", "ann_ivfpq_residual", "pq_search"):
+        plan = _plan(spark, sf_check, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: lookup join not broadcast"
+        assert "CartesianProduct" not in plan, name
+        n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_hash_exchanges <= 3, (
+            f"{name}: {n_hash_exchanges} hash exchanges\n{plan[:2000]}"
+        )
