@@ -1,0 +1,94 @@
+"""Multinomial Naive Bayes language classifier: a TRAINED model,
+distributed end to end -- the supervised sibling of the heuristic
+lang_id scorer (functions/text_stats.py) and the perplexity filter
+(operators/lm_score.py).
+
+Model (all counts corpus-global, add-1 smoothing):
+
+    ln p(lang)     = ln(docs_lang / docs_total)
+    ln p(w | lang) = ln((c(w, lang) + 1) / (tokens_lang + V))
+    score(d, lang) = ln p(lang) + sum_w m_d(w) * ln p(w | lang)
+
+prediction = argmax score (ties to the smaller language code).
+
+Plan shape: training is two aggregations of the token stream
+(class-token counts and class totals -- vocab-sized outputs, far
+smaller than the corpus); the model table (|V| x |langs| rows) is
+BROADCAST to the scoring join, which runs over the per-doc token
+histogram (pre-aggregated on (doc, w), so a stopword is one row per
+doc, not a hot key). The final aggregation keys on (doc_id, cand).
+No driver collection.
+
+Cross-engine determinism (same recipe as lm_score): every ln term
+is rounded to 9 decimals and accumulated as exact DECIMAL, so the
+class scores -- and therefore the argmax -- reproduce bit-for-bit
+in the DuckDB oracle despite float-summation order being
+nondeterministic in general.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .normalize import normalized_col
+from .tokenize import tokens_col
+
+
+def nb_lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """DataFrame[doc_id, lang, pred_lang, nb_score]: the true label,
+    the NB prediction, and the winning log-score (6dp). Docs with no
+    tokens are excluded (no evidence)."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_col(normalized_col(text_col))).alias("w")
+    )
+    tokm = toks.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("m"))
+    tokc = toks.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    cls = toks.groupBy("lang").agg(F.count("*").alias("nt"))
+    nd = docs.groupBy("lang").agg(F.count("*").alias("nd"))
+    ntot = docs.agg(F.count("*").alias("n"))
+    voc = toks.select("w").distinct()
+    vv = voc.agg(F.count("*").alias("v"))
+
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("nt") + F.col("v")).cast("double")
+        ),
+        9,
+    ).cast("decimal(12,9)")
+    model = (
+        voc.crossJoin(cls.select(F.col("lang").alias("cand"), "nt"))
+        .crossJoin(F.broadcast(vv))
+        .join(
+            tokc.select(F.col("lang").alias("cand"), F.col("w"), "c"),
+            ["cand", "w"],
+            "left",
+        )
+        .select("cand", "w", lp.alias("lp"))
+    )
+    lp0 = F.round(
+        F.log(F.col("nd").cast("double") / F.col("n").cast("double")), 9
+    ).cast("decimal(12,9)")
+    priors = nd.crossJoin(F.broadcast(ntot)).select(
+        F.col("lang").alias("cand"), lp0.alias("lp0")
+    )
+
+    scored = (
+        tokm.join(F.broadcast(model), "w")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.sum(F.col("m").cast("decimal(10,0)") * F.col("lp")).alias("s"))
+        .join(F.broadcast(priors), "cand")
+        .withColumn("total", F.col("s") + F.col("lp0"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("total"), F.asc("cand"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand").alias("pred_lang"),
+            F.round(F.col("total").cast("string").cast("double"), 6).alias("nb_score"),
+        )
+    )

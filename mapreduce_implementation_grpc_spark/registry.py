@@ -599,6 +599,15 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_residual_topk(emb, _query_vectors(spark, sf_dir), topk=5)
 
 
+def q_nb_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial Naive Bayes language classifier: two
+    training aggregations, broadcast model table, decimal-exact
+    log-score accumulation, deterministic argmax."""
+    from .operators.nb_classify import nb_lang_scores
+
+    return nb_lang_scores(load_table(spark, sf_dir, "documents"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells bound the pair
     scan; within a cell, a vector with a smaller-id neighbor at
@@ -1751,6 +1760,40 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq": _ivfpq_sql(),
     "ann_ivfpq_residual": _ivfpq_residual_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
+    "nb_lang_scores": """
+      WITH t0 AS (SELECT doc_id, lang,
+                         list_filter(string_split_regex(trim(lower(
+                           regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+                           w -> w <> '') AS toks
+                  FROM documents),
+      tr AS (SELECT doc_id, lang, unnest(toks) AS w FROM t0),
+      tokm AS (SELECT doc_id, lang, w, count(*) AS m FROM tr GROUP BY 1, 2, 3),
+      tokc AS (SELECT lang, w, count(*) AS c FROM tr GROUP BY 1, 2),
+      cls AS (SELECT lang, count(*) AS nt FROM tr GROUP BY 1),
+      nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+      ntot AS (SELECT count(*) AS n FROM documents),
+      voc AS (SELECT DISTINCT w FROM tr),
+      vv AS (SELECT count(*) AS v FROM voc),
+      model AS (SELECT c2.lang AS cand, voc.w,
+                       CAST(round(ln((coalesce(tc.c, 0) + 1.0)
+                              / CAST(c2.nt + vv.v AS DOUBLE)), 9) AS DECIMAL(12,9)) AS lp
+                FROM voc CROSS JOIN cls c2 CROSS JOIN vv
+                LEFT JOIN tokc tc ON tc.lang = c2.lang AND tc.w = voc.w),
+      priors AS (SELECT nd.lang AS cand,
+                        CAST(round(ln(CAST(nd.nd AS DOUBLE) / CAST(ntot.n AS DOUBLE)), 9)
+                             AS DECIMAL(12,9)) AS lp0
+                 FROM nd CROSS JOIN ntot),
+      sc AS (SELECT tm.doc_id, tm.lang, mo.cand,
+                    sum(CAST(tm.m AS DECIMAL(10,0)) * mo.lp) AS s
+             FROM tokm tm JOIN model mo ON mo.w = tm.w GROUP BY 1, 2, 3),
+      tot AS (SELECT sc.doc_id, sc.lang, sc.cand, sc.s + p.lp0 AS total
+              FROM sc JOIN priors p ON p.cand = sc.cand),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY total DESC, cand ASC) AS rk FROM tot)
+      SELECT doc_id, lang, cand AS pred_lang,
+             round(CAST(CAST(total AS VARCHAR) AS DOUBLE), 6) AS nb_score
+      FROM r WHERE rk = 1
+    """,
     "late_shipments": """
       SELECT o_orderpriority AS priority,
              count(*) AS n_lineitems,
@@ -2444,6 +2487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "semantic_dedup": q_semantic_dedup,
+    "nb_lang_scores": q_nb_lang_scores,
     "late_shipments": q_late_shipments,
     "events_quantiles_binned": q_events_quantiles_binned,
     "duplicate_spans": q_duplicate_spans,

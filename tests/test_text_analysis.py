@@ -62,3 +62,39 @@ def test_oracle_parity(spark, sf_check, name):
     assert_matches_oracle(
         registry.QUERIES[name](spark, sf_check), registry.ORACLES[name], sf_check
     )
+
+
+def test_nb_classifier_learns_separable_languages(spark):
+    """On a corpus whose languages use disjoint vocabularies, NB must
+    classify every training doc correctly."""
+    from pyspark.sql import Row
+
+    from mapreduce_implementation_grpc_spark.operators.nb_classify import (
+        nb_lang_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="cat dog house tree cat dog"),
+            Row(doc_id=2, lang="en", text="dog house tree house cat"),
+            Row(doc_id=3, lang="fr", text="chien maison arbre chat chien"),
+            Row(doc_id=4, lang="fr", text="maison arbre chat maison"),
+            Row(doc_id=5, lang="de", text="hund haus baum katze hund"),
+            Row(doc_id=6, lang="de", text="haus baum katze baum"),
+        ]
+    )
+    got = {r.doc_id: r for r in nb_lang_scores(docs).collect()}
+    assert len(got) == 6
+    assert all(r.pred_lang == r.lang for r in got.values())
+    assert all(r.nb_score < 0 for r in got.values())
+
+
+def test_nb_oracle_parity(spark, sf_check):
+    from mapreduce_implementation_grpc_spark import registry
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        registry.QUERIES["nb_lang_scores"](spark, sf_check),
+        registry.ORACLES["nb_lang_scores"],
+        sf_check,
+    )
