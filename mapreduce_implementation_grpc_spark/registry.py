@@ -2561,6 +2561,9 @@ BENCH_QUERIES = [
     "pii_redact",
     "mixture_sample",
     "duplicate_spans",
+    "nb_lang_scores",
+    "late_shipments",
+    "events_quantiles_binned",
     "dedup_exact",
     "incremental_dedup",
     "inverted_index",
