@@ -758,3 +758,42 @@ def late_shipments(spark: SparkSession, sf_dir: str, late_days: int = 90) -> Dat
             F.round(F.sum(late) / F.count("*"), 6).alias("late_frac"),
         )
     )
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id: per-priority, per-year, and
+    grand-total order rollups in ONE pass -- Spark expands the sets
+    into a single aggregation (partial agg per set member), no
+    re-scan per grouping. Null-ambiguity is resolved the standard
+    way: gid distinguishes 'aggregated over' from a genuinely null
+    key."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("o_year"), "o_totalprice"
+    )
+    df = orders.groupingSets(
+        [["o_orderpriority"], ["o_year"], []],
+        "o_orderpriority",
+        "o_year",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        _dec2dbl(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total_price"),
+    )
+    return df.select(
+        "gid",
+        "o_orderpriority",
+        F.col("o_year").cast("long").alias("o_year"),
+        "n_orders",
+        "total_price",
+    )
+
+
+def purchase_and_signup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation: users seen in BOTH purchase and
+    signup events. Executes as an aggregate + semi-join on the
+    uniform user_id key (Spark plans INTERSECT as a left-semi over
+    distincts -- no row explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)

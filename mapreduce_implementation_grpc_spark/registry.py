@@ -691,6 +691,8 @@ q_stratified_sample = analytics.stratified_sample
 q_signup_funnel = analytics.signup_purchase_funnel
 q_shipping_priority = analytics.shipping_priority
 q_late_shipments = analytics.late_shipments
+q_orders_grouping_sets = analytics.orders_grouping_sets
+q_purchase_and_signup_users = analytics.purchase_and_signup_users
 q_large_orders = analytics.large_orders
 
 
@@ -1794,6 +1796,21 @@ ORACLES: dict[str, str] = {
              round(CAST(CAST(total AS VARCHAR) AS DOUBLE), 6) AS nb_score
       FROM r WHERE rk = 1
     """,
+    "orders_grouping_sets": """
+      SELECT CAST(grouping(o_orderpriority) * 2 + grouping(o_year) AS BIGINT) AS gid,
+             o_orderpriority,
+             CAST(o_year AS BIGINT) AS o_year,
+             count(*) AS n_orders,
+             round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE), 6)
+               AS total_price
+      FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year, o_totalprice FROM orders)
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_year), ())
+    """,
+    "purchase_and_signup_users": """
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
     "late_shipments": """
       SELECT o_orderpriority AS priority,
              count(*) AS n_lineitems,
@@ -2489,6 +2506,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "nb_lang_scores": q_nb_lang_scores,
     "late_shipments": q_late_shipments,
+    "orders_grouping_sets": q_orders_grouping_sets,
+    "purchase_and_signup_users": q_purchase_and_signup_users,
     "events_quantiles_binned": q_events_quantiles_binned,
     "duplicate_spans": q_duplicate_spans,
     "embedding_project": q_embedding_project,
