@@ -125,7 +125,14 @@ def run_suite(docs) -> dict:
     t0 = time.perf_counter()
     _full_eval(bigram_cross_entropy(docs))
     t_lm = time.perf_counter() - t0
+    from mapreduce_implementation_grpc_spark.operators.curation import duplicate_spans
+
+    t0 = time.perf_counter()
+    n_spans = duplicate_spans(docs).count()
+    t_spans = time.perf_counter() - t0
     return {
+        "dup_spans_s": round(t_spans, 2),
+        "dup_spans": n_spans,
         "docs": n,
         "wordcount_s": round(t_wc, 2),
         "text_stats_s": round(t_stats, 2),
@@ -172,11 +179,27 @@ def run_emb_suite(spark, n: int) -> dict:
     t0 = time.perf_counter()
     n_top = ivfpq_topk(emb, queries).count()
     t_serve = time.perf_counter() - t0
+    # semantic dedup: cells must scale with n (within-cell pairs are
+    # (n/k)^2 per cell -- SemDeDup's own k=11k on LAION); target ~500
+    # vectors per cell here
+    from mapreduce_implementation_grpc_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    coarse_k = max(8, n // 500)
+    t0 = time.perf_counter()
+    n_dropped = semantic_dedup(
+        emb, min_cosine=0.9, coarse_k=coarse_k, coarse_iter=2
+    ).filter("NOT keep").count()
+    t_sem = time.perf_counter() - t0
     return {
         "vectors": n,
         "pq_train_encode_s": round(t_codes, 2),
         "ivfpq_serve_s": round(t_serve, 2),
         "ivfpq_rows": n_top,
+        "semantic_dedup_s": round(t_sem, 2),
+        "semantic_dedup_k": coarse_k,
+        "semantic_dropped": n_dropped,
     }
 
 
