@@ -338,3 +338,55 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
         )
     )
+
+
+def temperature_sample(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Temperature-based group rebalancing (the mT5 / multilingual-
+    pretraining recipe, alpha = 0.5): target share of group g is
+    proportional to (n_g / N)^alpha -- larger than proportional for
+    small groups, smaller for dominant ones -- then each group is
+    down-sampled to its target rate (no upsampling: rate caps at 1).
+
+    alpha is fixed at 0.5 so the power is sqrt(), which IEEE
+    specifies correctly-rounded in every engine; each sqrt term is
+    rounded to 12 decimals and the normalizer accumulated as exact
+    DECIMAL, making the rates -- and therefore the exact kept set --
+    cross-engine-reproducible. Membership is the same content-hash
+    u < rate rule as mixture_sample: reproducible under any
+    partitioning, no shuffle of the corpus."""
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    tot = docs.agg(F.count("*").alias("n_tot"))
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "t",
+        F.round(
+            F.sqrt(F.col("n_g").cast("double") / F.col("n_tot").cast("double")), 12
+        ).cast("decimal(14,12)"),
+    )
+    s = w.agg(F.sum("t").alias("s_dec")).select(
+        F.col("s_dec").cast("string").cast("double").alias("s")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(s))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                (
+                    (F.col("t").cast("string").cast("double") / F.col("s"))
+                    * F.col("n_tot")
+                )
+                / F.col("n_g"),
+            ).alias("rate"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(normalized_col(text_col)), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", "source")
+    )

@@ -368,6 +368,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature (alpha=0.5) language rebalancing with
+    content-hash membership -- exact cross-engine kept set."""
+    from .operators.curation import temperature_sample
+
+    return temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. ACL 2022 shape):
     maximal per-doc token intervals covered by corpus-repeated
@@ -1811,6 +1819,23 @@ ORACLES: dict[str, str] = {
       INTERSECT
       SELECT user_id FROM events WHERE event_type = 'signup'
     """,
+    "temperature_sample": """
+      WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+      n AS (SELECT count(*) AS n_tot FROM documents),
+      w AS (SELECT lang, n_g, n_tot,
+                   CAST(round(sqrt(CAST(n_g AS DOUBLE) / CAST(n_tot AS DOUBLE)), 12)
+                        AS DECIMAL(14,12)) AS t
+            FROM c CROSS JOIN n),
+      s AS (SELECT CAST(CAST(sum(t) AS VARCHAR) AS DOUBLE) AS s FROM w),
+      r AS (SELECT lang,
+                   least(CAST(1.0 AS DOUBLE),
+                         ((CAST(CAST(t AS VARCHAR) AS DOUBLE) / s.s) * n_tot) / n_g) AS rate
+            FROM w CROSS JOIN s)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(concat('0x', substr(md5(trim(lower(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < r.rate
+    """,
     "late_shipments": """
       SELECT o_orderpriority AS priority,
              count(*) AS n_lineitems,
@@ -2506,6 +2531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "nb_lang_scores": q_nb_lang_scores,
     "late_shipments": q_late_shipments,
+    "temperature_sample": q_temperature_sample,
     "orders_grouping_sets": q_orders_grouping_sets,
     "purchase_and_signup_users": q_purchase_and_signup_users,
     "events_quantiles_binned": q_events_quantiles_binned,

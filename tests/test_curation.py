@@ -254,3 +254,35 @@ def test_duplicate_spans_within_doc_repeat(spark):
         for r in duplicate_spans(docs, k=8, min_count=2).collect()
     )
     assert spans == [(0, 8), (10, 18)]
+
+
+def test_temperature_sample_rebalances_toward_small_groups(spark):
+    """With alpha=0.5, a dominant group's kept share must shrink and
+    a rare group must keep (nearly) everything; membership is a pure
+    function of content (reproducible under repartitioning)."""
+    from pyspark.sql import Row
+
+    from mapreduce_implementation_grpc_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    rows = [
+        Row(doc_id=i, lang="big", source="s", text=f"doc number {i} alpha beta gamma")
+        for i in range(900)
+    ] + [
+        Row(doc_id=1000 + i, lang="small", source="s", text=f"rare doc {i} delta")
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows)
+    kept = temperature_sample(docs).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in kept}
+    # sqrt weighting: p_big = 3/4, p_small = 1/4 -> big rate ~0.83,
+    # small rate capped at 1.0
+    assert got["small"] >= 95  # rate 1.0 (hash noise-free: exactly all)
+    assert 0.7 * 900 <= got["big"] <= 0.95 * 900
+    # determinism under repartitioning
+    again = {
+        r.lang: r["count"]
+        for r in temperature_sample(docs.repartition(13)).groupBy("lang").count().collect()
+    }
+    assert again == got
