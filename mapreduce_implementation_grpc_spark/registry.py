@@ -2605,6 +2605,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "pii_redact",
     "mixture_sample",
+    "temperature_sample",
     "duplicate_spans",
     "nb_lang_scores",
     "late_shipments",
