@@ -797,3 +797,38 @@ def purchase_and_signup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "purchase").select("user_id")
     b = ev.filter(F.col("event_type") == "signup").select("user_id")
     return a.intersect(b)
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFrame:
+    """Per-type z-score outlier detection: events whose value sits
+    more than z standard deviations from their type's mean. Moments
+    are exact decimal sums (sum and sum-of-squares), so mean/std --
+    and the exact outlier set -- reproduce cross-engine; the
+    population variance uses the computational formula
+    E[x^2] - E[x]^2 on the decimal-derived doubles. Two passes over
+    the fact table: one tiny per-type aggregate broadcast back, one
+    filter -- no shuffle of the events themselves."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    vdec = F.col("value").cast("double").cast("decimal(27,12)")
+    v2dec = (F.col("value").cast("double").cast("decimal(18,6)")
+             * F.col("value").cast("double").cast("decimal(18,6)"))
+    stats = ev.groupBy("event_type").agg(
+        _dec2dbl(F.sum(vdec)).alias("s1"),
+        _dec2dbl(F.sum(v2dec)).alias("s2"),
+        F.count("*").alias("n"),
+    ).select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("s2") / F.col("n")) - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))).alias("sd"),
+    )
+    out = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", (F.col("value").cast("double") - F.col("mu")) / F.col("sd"))
+        .filter(F.abs(F.col("zscore")) > z)
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        F.round("zscore", 6).alias("zscore"),
+    )

@@ -616,6 +616,18 @@ def q_nb_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_lang_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation loop: confusion matrix of the NB
+    prediction vs the labeled lang (count per (lang, pred_lang))."""
+    from .operators.nb_classify import nb_lang_scores
+
+    return (
+        nb_lang_scores(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells bound the pair
     scan; within a cell, a vector with a smaller-id neighbor at
@@ -699,6 +711,7 @@ q_stratified_sample = analytics.stratified_sample
 q_signup_funnel = analytics.signup_purchase_funnel
 q_shipping_priority = analytics.shipping_priority
 q_late_shipments = analytics.late_shipments
+q_events_anomaly_zscore = analytics.events_anomaly_zscore
 q_orders_grouping_sets = analytics.orders_grouping_sets
 q_purchase_and_signup_users = analytics.purchase_and_signup_users
 q_large_orders = analytics.large_orders
@@ -1836,6 +1849,22 @@ ORACLES: dict[str, str] = {
       WHERE CAST(concat('0x', substr(md5(trim(lower(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 8)) AS BIGINT)
             / 4294967296.0 < r.rate
     """,
+    "events_anomaly_zscore": """
+      WITH e AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events),
+      st AS (SELECT event_type,
+                    CAST(CAST(sum(CAST(v AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) AS s1,
+                    CAST(CAST(sum(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+                         AS VARCHAR) AS DOUBLE) AS s2,
+                    count(*) AS n
+             FROM e GROUP BY 1),
+      m AS (SELECT event_type, s1 / n AS mu,
+                   sqrt((s2 / n) - (s1 / n) * (s1 / n)) AS sd
+            FROM st),
+      o AS (SELECT e.event_id, e.event_type, e.v, (e.v - m.mu) / m.sd AS zscore
+            FROM e JOIN m USING (event_type))
+      SELECT event_id, event_type, round(v, 6) AS value, round(zscore, 6) AS zscore
+      FROM o WHERE abs(zscore) > 3.0
+    """,
     "late_shipments": """
       SELECT o_orderpriority AS priority,
              count(*) AS n_lineitems,
@@ -2468,6 +2497,11 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLES["pii_redact"] = _pii_oracle_sql()
+ORACLES["nb_confusion"] = (
+    "SELECT lang, pred_lang, count(*) AS n_docs FROM ("
+    + ORACLES["nb_lang_scores"]
+    + ") GROUP BY 1, 2"
+)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2530,7 +2564,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "semantic_dedup": q_semantic_dedup,
     "nb_lang_scores": q_nb_lang_scores,
+    "nb_confusion": q_nb_confusion,
     "late_shipments": q_late_shipments,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
     "temperature_sample": q_temperature_sample,
     "orders_grouping_sets": q_orders_grouping_sets,
     "purchase_and_signup_users": q_purchase_and_signup_users,
@@ -2610,6 +2646,7 @@ BENCH_QUERIES = [
     "nb_lang_scores",
     "late_shipments",
     "events_quantiles_binned",
+    "events_anomaly_zscore",
     "dedup_exact",
     "incremental_dedup",
     "inverted_index",
