@@ -672,6 +672,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup shape: quantize the decoded
+    feature vector into fixed-threshold bits, pack a tiny pHash, and
+    group identical hashes (keep the min doc_id) -- the bucketed
+    near-dup-image recipe over the Arrow decode path. Real pHash
+    (DCT of pixels) drops into the same plumbing when a codec is
+    present; the deterministic stub keeps it oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = decode_features(with_binary_payload(docs))
+
+    def bit(idx: int, thresh: float, weight: int):
+        return (
+            F.when(F.col("feature")[idx] >= thresh, F.lit(weight)).otherwise(F.lit(0))
+        )
+
+    phash = (
+        bit(0, 300.0, 1) + bit(1, 128.0, 2) + bit(2, 128.0, 4) + bit(3, 498.0, 8)
+    ).cast("long")
+    return (
+        feat.select("doc_id", phash.alias("phash"))
+        .groupBy("phash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every 4th 16-byte chunk) via mapInPandas --
     the video-frame-sampler shape with the deterministic stand-in
@@ -2031,6 +2056,33 @@ ORACLES: dict[str, str] = {
              CAST(coalesce(list_sum(bytes), 0) % 997 AS DOUBLE) AS f_sum_mod
       FROM b
     """,
+    "multimodal_phash_dup": """
+      WITH h AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               lower(hex(encode(text))) AS hx
+        FROM documents),
+      b AS (
+        SELECT doc_id, nb,
+               list_transform(range(1, nb + 1),
+                 i -> (strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) AS bytes
+        FROM h),
+      f AS (
+        SELECT doc_id, nb,
+               CASE WHEN nb > 0 THEN bytes[1] ELSE 0 END AS f_first,
+               CASE WHEN nb > 0 THEN bytes[nb] ELSE 0 END AS f_last,
+               coalesce(list_sum(bytes), 0) % 997 AS f_sum_mod
+        FROM b),
+      p AS (
+        SELECT doc_id,
+               CAST((CASE WHEN nb >= 300 THEN 1 ELSE 0 END)
+                  + (CASE WHEN f_first >= 128 THEN 2 ELSE 0 END)
+                  + (CASE WHEN f_last >= 128 THEN 4 ELSE 0 END)
+                  + (CASE WHEN f_sum_mod >= 498 THEN 8 ELSE 0 END) AS BIGINT) AS phash
+        FROM f)
+      SELECT phash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+      FROM p GROUP BY 1
+    """,
     "multimodal_frames": """
       WITH h AS (
         SELECT doc_id, octet_length(encode(text)) AS nb,
@@ -2576,6 +2628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_phash_dup": q_multimodal_phash_dup,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     # relational analytics

@@ -1,6 +1,7 @@
 from .pipelines import (
     parquet_upsert_sink,
     streaming_curate,
+    streaming_decontaminate,
     streaming_pq_encode,
     streaming_dedup,
     streaming_event_counts,
@@ -13,6 +14,7 @@ from .pipelines import (
 __all__ = [
     "parquet_upsert_sink",
     "streaming_curate",
+    "streaming_decontaminate",
     "streaming_pq_encode",
     "streaming_dedup",
     "streaming_event_counts",

@@ -267,3 +267,44 @@ def streaming_pq_encode(
     return pq_codes(
         emb_stream, m=m, dim=dim, vec_col=vec_col, codebooks=codebooks
     )
+
+
+def streaming_decontaminate(
+    docs_stream: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+) -> DataFrame:
+    """Stateless streaming decontamination: drop every stream doc
+    that shares any k-token n-gram with the (bounded, batch) eval
+    corpus -- the ingest-time twin of operators.curation.decontaminate.
+
+    The eval shingle set is collected once into an array literal
+    (benchmarks are small; at larger eval sets swap the literal for
+    a stream-static broadcast join with the same semantics); each
+    stream row builds its own shingle array behind an
+    explode(array(...)) Generate barrier (tokenize runs once per
+    row, not once per shingle -- the measured CollapseProject trap)
+    and filters on arrays_overlap. Map-only: no state, no watermark,
+    append mode, full ingest throughput."""
+    from ..operators.dedup import shingle_rows_flat
+    from ..operators.normalize import normalized_col
+    from ..operators.tokenize import tokens_col
+
+    eval_set = [
+        r.sh
+        for r in shingle_rows_flat(eval_docs, text_col, k).select("sh").distinct().collect()
+    ]
+    toksed = docs_stream.withColumn(
+        "__toks", F.explode(F.array(tokens_col(normalized_col(text_col))))
+    )
+    n = F.size("__toks")
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    clean = toksed.filter(~F.arrays_overlap(shingles, F.lit(eval_set)))
+    return clean.drop("__toks")

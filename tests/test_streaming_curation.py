@@ -114,3 +114,43 @@ def test_upsert_sink_end_to_end_stream(spark, tmp_path):
     q.stop()
     got = {r.hour: r.n_docs for r in spark.read.parquet(out).collect()}
     assert got == {"2024-01-01 10": 2, "2024-01-01 11": 1}
+
+
+def test_streaming_decontaminate_drops_contaminated(spark, tmp_path):
+    """A stream doc containing a 6-gram from the eval corpus must be
+    dropped; clean docs and short docs pass; result matches the
+    batch decontaminate complement."""
+    from pyspark.sql import Row
+
+    from mapreduce_implementation_grpc_spark.operators.curation import decontaminate
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_decontaminate,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    corpus_rows = [
+        Row(doc_id=1, text="totally clean text about engines and parquet files ok"),
+        Row(doc_id=2, text="prefix quick brown fox jumps over the lazy suffix words"),
+        Row(doc_id=3, text="too short"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows)
+
+    src = tmp_path / "docs"
+    corpus.write.parquet(str(src))
+    stream = spark.readStream.schema(corpus.schema).parquet(str(src))
+    out = streaming_decontaminate(stream, eval_docs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM decontam_stream").collect()}
+    assert kept == {1, 3}
+    # parity with the batch operator's complement
+    contaminated = {r.doc_id for r in decontaminate(corpus, eval_docs).collect()}
+    assert kept == {r.doc_id for r in corpus_rows} - contaminated
