@@ -832,3 +832,22 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str, z: float = 3.0) -> D
         F.round(F.col("value").cast("double"), 6).alias("value"),
         F.round("zscore", 6).alias("zscore"),
     )
+
+
+def customer_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over per-customer spend: where each
+    customer sits in the spend distribution (the ranking-window
+    surface beyond row_number/rank). One aggregation shuffle on the
+    uniform custkey, one global-order window over the small
+    aggregate (customer-count rows, not fact rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        _dec2dbl(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("spend")
+    )
+    w = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -737,6 +737,7 @@ q_signup_funnel = analytics.signup_purchase_funnel
 q_shipping_priority = analytics.shipping_priority
 q_late_shipments = analytics.late_shipments
 q_events_anomaly_zscore = analytics.events_anomaly_zscore
+q_customer_spend_percentiles = analytics.customer_spend_percentiles
 q_orders_grouping_sets = analytics.orders_grouping_sets
 q_purchase_and_signup_users = analytics.purchase_and_signup_users
 q_large_orders = analytics.large_orders
@@ -1874,6 +1875,15 @@ ORACLES: dict[str, str] = {
       WHERE CAST(concat('0x', substr(md5(trim(lower(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 8)) AS BIGINT)
             / 4294967296.0 < r.rate
     """,
+    "customer_spend_percentiles": """
+      WITH s AS (SELECT o_custkey,
+                        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS spend
+                 FROM orders GROUP BY 1)
+      SELECT o_custkey AS custkey, spend,
+             round(percent_rank() OVER (ORDER BY spend ASC, o_custkey ASC), 6) AS pct_rank,
+             round(cume_dist() OVER (ORDER BY spend ASC, o_custkey ASC), 6) AS cume
+      FROM s
+    """,
     "events_anomaly_zscore": """
       WITH e AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events),
       st AS (SELECT event_type,
@@ -2619,6 +2629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_confusion": q_nb_confusion,
     "late_shipments": q_late_shipments,
     "events_anomaly_zscore": q_events_anomaly_zscore,
+    "customer_spend_percentiles": q_customer_spend_percentiles,
     "temperature_sample": q_temperature_sample,
     "orders_grouping_sets": q_orders_grouping_sets,
     "purchase_and_signup_users": q_purchase_and_signup_users,

@@ -1,5 +1,6 @@
 from .pipelines import (
     parquet_upsert_sink,
+    streaming_anomaly_filter,
     streaming_curate,
     streaming_decontaminate,
     streaming_pq_encode,
@@ -13,6 +14,7 @@ from .pipelines import (
 
 __all__ = [
     "parquet_upsert_sink",
+    "streaming_anomaly_filter",
     "streaming_curate",
     "streaming_decontaminate",
     "streaming_pq_encode",

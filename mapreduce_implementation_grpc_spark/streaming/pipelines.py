@@ -308,3 +308,34 @@ def streaming_decontaminate(
     ).otherwise(F.array().cast("array<string>"))
     clean = toksed.filter(~F.arrays_overlap(shingles, F.lit(eval_set)))
     return clean.drop("__toks")
+
+
+def streaming_anomaly_filter(
+    events_stream: DataFrame,
+    stats: list[tuple[str, float, float]],
+    z: float = 3.0,
+) -> DataFrame:
+    """Score an unbounded event stream against BATCH-trained per-type
+    moments (train once with plans.analytics.events_anomaly_zscore's
+    aggregation, serve forever): emit only events beyond z standard
+    deviations of their type's mean. The (type, mu, sd) table ships
+    as a literal map via a stacked CASE -- stateless, append mode,
+    map-only; re-train on a cadence and restart the query to roll the
+    model, or swap the literal for a stream-static join."""
+    mu = None
+    sd = None
+    for et, m, s in stats:
+        mu = (
+            F.when(F.col("event_type") == et, F.lit(float(m)))
+            if mu is None
+            else mu.when(F.col("event_type") == et, F.lit(float(m)))
+        )
+        sd = (
+            F.when(F.col("event_type") == et, F.lit(float(s)))
+            if sd is None
+            else sd.when(F.col("event_type") == et, F.lit(float(s)))
+        )
+    scored = events_stream.withColumn(
+        "zscore", (F.col("value").cast("double") - mu) / sd
+    )
+    return scored.filter(F.abs(F.col("zscore")) > z)

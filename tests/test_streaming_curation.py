@@ -154,3 +154,47 @@ def test_streaming_decontaminate_drops_contaminated(spark, tmp_path):
     # parity with the batch operator's complement
     contaminated = {r.doc_id for r in decontaminate(corpus, eval_docs).collect()}
     assert kept == {r.doc_id for r in corpus_rows} - contaminated
+
+
+def test_streaming_anomaly_filter_matches_batch(spark, tmp_path):
+    """Batch-trained moments applied to the same data as a stream
+    must flag exactly the batch outlier set."""
+    from mapreduce_implementation_grpc_spark.plans.analytics import (
+        events_anomaly_zscore,
+    )
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_anomaly_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch_out = {r.event_id for r in events_anomaly_zscore(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # train the serving stats exactly as the batch query does
+    from pyspark.sql import functions as F
+
+    vdec = F.col("value").cast("double").cast("decimal(27,12)")
+    v2dec = (F.col("value").cast("double").cast("decimal(18,6)")
+             * F.col("value").cast("double").cast("decimal(18,6)"))
+    st = ev.groupBy("event_type").agg(
+        F.sum(vdec).cast("string").cast("double").alias("s1"),
+        F.sum(v2dec).cast("string").cast("double").alias("s2"),
+        F.count("*").alias("n"),
+    ).collect()
+    stats = [
+        (r.event_type, r.s1 / r.n, ((r.s2 / r.n) - (r.s1 / r.n) ** 2) ** 0.5)
+        for r in st
+    ]
+    src = tmp_path / "evstream"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    out = streaming_anomaly_filter(stream, stats).select("event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id for r in spark.sql("SELECT event_id FROM anom_stream").collect()}
+    assert got == batch_out and got
