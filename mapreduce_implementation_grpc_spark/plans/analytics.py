@@ -821,9 +821,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str, z: float = 3.0) -> D
         (F.col("s1") / F.col("n")).alias("mu"),
         F.sqrt((F.col("s2") / F.col("n")) - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))).alias("sd"),
     )
+    # nullif guards the degenerate sd=0 case (constant-valued type):
+    # the null zscore fails abs()>z in both engines, so such rows are
+    # dropped identically here and in the DuckDB oracle (no ANSI
+    # DIVIDE_BY_ZERO vs inf divergence).
     out = (
         ev.join(F.broadcast(stats), "event_type")
-        .withColumn("zscore", (F.col("value").cast("double") - F.col("mu")) / F.col("sd"))
+        .withColumn(
+            "zscore",
+            (F.col("value").cast("double") - F.col("mu"))
+            / F.nullif(F.col("sd"), F.lit(0.0)),
+        )
         .filter(F.abs(F.col("zscore")) > z)
     )
     return out.select(

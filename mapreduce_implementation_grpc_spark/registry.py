@@ -1895,7 +1895,8 @@ ORACLES: dict[str, str] = {
       m AS (SELECT event_type, s1 / n AS mu,
                    sqrt((s2 / n) - (s1 / n) * (s1 / n)) AS sd
             FROM st),
-      o AS (SELECT e.event_id, e.event_type, e.v, (e.v - m.mu) / m.sd AS zscore
+      o AS (SELECT e.event_id, e.event_type, e.v,
+                   (e.v - m.mu) / nullif(m.sd, 0) AS zscore
             FROM e JOIN m USING (event_type))
       SELECT event_id, event_type, round(v, 6) AS value, round(zscore, 6) AS zscore
       FROM o WHERE abs(zscore) > 3.0
