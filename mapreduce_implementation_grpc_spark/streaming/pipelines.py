@@ -279,22 +279,30 @@ def streaming_decontaminate(
     that shares any k-token n-gram with the (bounded, batch) eval
     corpus -- the ingest-time twin of operators.curation.decontaminate.
 
-    The eval shingle set is collected once into an array literal
-    (benchmarks are small; at larger eval sets swap the literal for
-    a stream-static broadcast join with the same semantics); each
-    stream row builds its own shingle array behind an
-    explode(array(...)) Generate barrier (tokenize runs once per
-    row, not once per shingle -- the measured CollapseProject trap)
-    and filters on arrays_overlap. Map-only: no state, no watermark,
-    append mode, full ingest throughput."""
+    The eval shingle set rides executor-side as a broadcast 1-row
+    collect_set aggregate (the batch decontaminate / scalar-subquery
+    shape: no driver collect(), no giant literal bloating the plan,
+    and an empty eval corpus yields a typed empty array<string> that
+    arrays_overlap resolves cleanly); each stream row builds its own
+    shingle array behind an explode(array(...)) Generate barrier
+    (tokenize runs once per row, not once per shingle -- the measured
+    CollapseProject trap) and filters on arrays_overlap. Map-only
+    stream-static broadcast join: no state, no watermark, append
+    mode, full ingest throughput. Bound: the distinct eval shingle
+    set must fit one broadcast row (~eval corpus size, not corpus
+    size -- the same bound batch decontaminate documents)."""
     from ..operators.dedup import shingle_rows_flat
     from ..operators.normalize import normalized_col
     from ..operators.tokenize import tokens_col
 
-    eval_set = [
-        r.sh
-        for r in shingle_rows_flat(eval_docs, text_col, k).select("sh").distinct().collect()
-    ]
+    if eval_docs.isEmpty():
+        return docs_stream
+    eval_row = (
+        shingle_rows_flat(eval_docs, text_col, k)
+        .select("sh")
+        .distinct()
+        .agg(F.collect_set("sh").alias("__eval_shs"))
+    )
     toksed = docs_stream.withColumn(
         "__toks", F.explode(F.array(tokens_col(normalized_col(text_col))))
     )
@@ -306,8 +314,11 @@ def streaming_decontaminate(
             lambda i: F.concat_ws(" ", F.slice("__toks", i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    clean = toksed.filter(~F.arrays_overlap(shingles, F.lit(eval_set)))
-    return clean.drop("__toks")
+    clean = (
+        toksed.join(F.broadcast(eval_row))
+        .filter(~F.arrays_overlap(shingles, F.col("__eval_shs")))
+    )
+    return clean.drop("__toks", "__eval_shs")
 
 
 def streaming_anomaly_filter(
@@ -321,9 +332,18 @@ def streaming_anomaly_filter(
     deviations of their type's mean. The (type, mu, sd) table ships
     as a literal map via a stacked CASE -- stateless, append mode,
     map-only; re-train on a cadence and restart the query to roll the
-    model, or swap the literal for a stream-static join."""
+    model, or swap the literal for a stream-static join. Types whose
+    trained sd is 0 (constant-valued) are dropped from the model so
+    their events never score (matching the batch
+    events_anomaly_zscore's nullif(sd,0) semantics) instead of
+    dividing by zero."""
     mu = None
     sd = None
+    stats = [(et, m, s) for et, m, s in stats if s > 0.0]
+    if not stats:
+        return events_stream.withColumn(
+            "zscore", F.lit(None).cast("double")
+        ).filter(F.lit(False))
     for et, m, s in stats:
         mu = (
             F.when(F.col("event_type") == et, F.lit(float(m)))

@@ -156,6 +156,70 @@ def test_streaming_decontaminate_drops_contaminated(spark, tmp_path):
     assert kept == {r.doc_id for r in corpus_rows} - contaminated
 
 
+def test_streaming_decontaminate_empty_eval_passes_through(spark, tmp_path):
+    """An empty eval corpus must short-circuit: every stream doc
+    passes, and nothing fails to resolve (the r2 ADVICE regression:
+    F.lit([]) built an ARRAY<VOID> that arrays_overlap rejected)."""
+    from pyspark.sql import Row
+
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="some words here"), Row(doc_id=2, text="more text")]
+    )
+    eval_docs = spark.createDataFrame([], corpus.schema)
+    src = tmp_path / "docs_empty_eval"
+    corpus.write.parquet(str(src))
+    stream = spark.readStream.schema(corpus.schema).parquet(str(src))
+    out = streaming_decontaminate(stream, eval_docs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_empty")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM decontam_empty").collect()}
+    assert kept == {1, 2}
+
+
+def test_streaming_anomaly_filter_constant_type_dropped(spark, tmp_path):
+    """A type whose trained sd is 0 (constant values) must emit no
+    events -- matching the batch nullif(sd,0) semantics -- instead of
+    dividing by zero; other types still score."""
+    from pyspark.sql import Row
+
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_anomaly_filter,
+    )
+
+    rows = [Row(event_id=i, event_type="const", value=5.0) for i in range(10)]
+    rows += [Row(event_id=100 + i, event_type="vary", value=float(i)) for i in range(9)]
+    rows.append(Row(event_id=200, event_type="vary", value=1000.0))
+    ev = spark.createDataFrame(rows)
+    vals = [float(i) for i in range(9)] + [1000.0]
+    mu = sum(vals) / len(vals)
+    sd = (sum(v * v for v in vals) / len(vals) - mu * mu) ** 0.5
+    stats = [("const", 5.0, 0.0), ("vary", mu, sd)]
+    src = tmp_path / "ev_const"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    out = streaming_anomaly_filter(stream, stats, z=2.0).select("event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_const")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id for r in spark.sql("SELECT event_id FROM anom_const").collect()}
+    assert got == {200}
+
+
 def test_streaming_anomaly_filter_matches_batch(spark, tmp_path):
     """Batch-trained moments applied to the same data as a stream
     must flag exactly the batch outlier set."""
