@@ -32,6 +32,32 @@ def test_chained_near_dups_merge_into_one_cluster(chained_docs):
     assert clusters[10] == clusters[20] == clusters[30] == 10  # min id wins
 
 
+def test_deep_chain_converges_past_old_cap(spark):
+    """A path graph of diameter 12 (> the old max_iter=6 cap) must
+    fully merge: pointer jumping needs ~log2(12) rounds, and the
+    convergence check must not trip the non-convergence guard."""
+    from mapreduce_implementation_grpc_spark.operators.dedup import label_propagation
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(12)]
+    )
+    labels = {r.doc_id: r.cluster for r in label_propagation(pairs).collect()}
+    assert set(labels) == set(range(13))
+    assert set(labels.values()) == {0}
+
+
+def test_non_convergence_raises_loudly(spark):
+    """Exhausting the iteration budget while labels still move must
+    raise, not silently return an under-merged clustering."""
+    from mapreduce_implementation_grpc_spark.operators.dedup import label_propagation
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(30)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(pairs, max_iter=1)
+
+
 def test_cluster_ids_are_member_min(spark, sf_check):
     rows = registry.QUERIES["dedup_clusters"](spark, sf_check).collect()
     by_cluster: dict[int, list[int]] = {}
