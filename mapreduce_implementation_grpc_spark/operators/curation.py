@@ -213,11 +213,14 @@ def mixture_sample(
         F.conv(F.substring(F.md5(normalized_col(text_col)), 1, 8), 16, 10).cast("long")
         / F.lit(4294967296.0)
     )
+    keep = ["doc_id"] + [
+        c for c in dict.fromkeys((group_col, "lang", "source")) if c in docs.columns
+    ]
     return (
         docs.join(F.broadcast(counts), group_col)
         .crossJoin(F.broadcast(min_n))
         .filter(u < F.col("min_n") / F.col("n_g"))
-        .select("doc_id", "lang", "source")
+        .select(*keep)
     )
 
 
@@ -355,20 +358,27 @@ def temperature_sample(
     DECIMAL, making the rates -- and therefore the exact kept set --
     cross-engine-reproducible. Membership is the same content-hash
     u < rate rule as mixture_sample: reproducible under any
-    partitioning, no shuffle of the corpus."""
-    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_g"))
-    tot = docs.agg(F.count("*").alias("n_tot"))
-    w = counts.crossJoin(F.broadcast(tot)).withColumn(
-        "t",
-        F.round(
-            F.sqrt(F.col("n_g").cast("double") / F.col("n_tot").cast("double")), 12
-        ).cast("decimal(14,12)"),
-    )
-    s = w.agg(F.sum("t").alias("s_dec")).select(
-        F.col("s_dec").cast("string").cast("double").alias("s")
-    )
+    partitioning, no shuffle of the corpus.
+
+    Plan: n_tot and the normalizer both derive from the per-group
+    counts via global windows OVER THE TINY AGGREGATE (group-count
+    rows, not fact rows), so the whole rates table is one linear
+    chain off a single corpus aggregation -- the corpus is scanned
+    exactly twice (once for counts, once for the final broadcast-join
+    filter), versus the 4+ scans the earlier crossJoin-of-aggregates
+    shape re-derived (the r2 bench's 6 s outlier)."""
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    t = F.round(
+        F.sqrt(F.col("n_g").cast("double") / F.col("n_tot").cast("double")), 12
+    ).cast("decimal(14,12)")
     rates = (
-        w.crossJoin(F.broadcast(s))
+        docs.groupBy(group_col)
+        .agg(F.count("*").alias("n_g"))
+        .withColumn("n_tot", F.sum("n_g").over(everything))
+        .withColumn("t", t)
+        .withColumn("s", F.sum("t").over(everything).cast("string").cast("double"))
         .select(
             group_col,
             F.least(
@@ -385,8 +395,11 @@ def temperature_sample(
         F.conv(F.substring(F.md5(normalized_col(text_col)), 1, 8), 16, 10).cast("long")
         / F.lit(4294967296.0)
     )
+    keep = ["doc_id"] + [
+        c for c in dict.fromkeys((group_col, "lang", "source")) if c in docs.columns
+    ]
     return (
         docs.join(F.broadcast(rates), group_col)
         .filter(u < F.col("rate"))
-        .select("doc_id", "lang", "source")
+        .select(*keep)
     )
