@@ -73,6 +73,11 @@ def bigram_cross_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     docbg = _doc_bigrams(docs, text_col)
     big = docbg.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
 
+    # `vocab` here is a 1-ROW count scalar (not the vocabulary rows),
+    # so this broadcast is size-bounded at any corpus scale; the
+    # vocab-sized `uni`/`big` model tables join WITHOUT a broadcast
+    # hint -- AQE broadcasts them when small and falls back to a
+    # shuffle join when a 100 TB vocabulary doesn't fit an executor.
     scored = (
         docbg
         .join(big, ["w1", "w2"])
