@@ -859,3 +859,179 @@ def customer_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+def order_priority_backlog(
+    spark: SparkSession, sf_dir: str, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q4 shape: per priority, how many ORDERS have at least
+    one lineitem shipped more than `late_days` after the order date
+    -- the EXISTS pattern. Spark plans the exists as a LEFT SEMI join
+    on the uniform orderkey (no row explosion: an order with 7 late
+    lineitems counts once, without a distinct), then a tiny
+    per-priority count."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    backlogged = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > late_days),
+        "left_semi",
+    )
+    return (
+        backlogged.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_backlogged"))
+    )
+
+
+def returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: the top-k customers by revenue lost to
+    returns (l_returnflag = 'R'), with their nation. The fact-side
+    filter pushes into the parquet scan; revenue sums as exact
+    DECIMAL; customer/nation dimensions join AFTER the per-customer
+    aggregate (aggregate first, enrich later: the join input is
+    customer-count rows, not lineitem rows); top-k is
+    orderBy+limit => TakeOrderedAndProject, deterministic via the
+    (revenue desc, custkey asc) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = ep * (one - F.col("l_discount").cast("decimal(8,4)"))
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            _dec2dbl(F.col("rev_dec")).alias("returned_revenue"),
+        )
+        .orderBy(F.desc("returned_revenue"), F.asc("custkey"))
+        .limit(k)
+    )
+
+
+def important_parts(
+    spark: SparkSession, sf_dir: str, ratio: float = 1.5
+) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free variant): parts whose total
+    sold value exceeds `ratio` times the AVERAGE part's value -- the
+    HAVING-against-a-global-aggregate pattern, scale-invariant (a
+    fixed absolute share would go empty as the part count grows).
+    The global total and part count derive from the per-part
+    aggregate via a window over the PARTS-SIZED table (one
+    fact-table scan total; parts are orders of magnitude fewer than
+    lineitems, so the single-partition window pass is bounded), and
+    the comparison happens on decimal-derived doubles identically in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = ep * (one - F.col("l_discount").cast("decimal(8,4)"))
+    everything = Window.partitionBy()
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(rev).alias("val_dec"))
+        .withColumn("tot_dec", F.sum("val_dec").over(everything))
+        .withColumn("n_parts", F.count("*").over(everything))
+    )
+    return (
+        per_part.filter(
+            _dec2dbl(F.col("val_dec"))
+            > F.lit(ratio) * _dec2dbl(F.col("tot_dec")) / F.col("n_parts")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            _dec2dbl(F.col("val_dec")).alias("part_value"),
+            F.round(
+                _dec2dbl(F.col("val_dec")) / _dec2dbl(F.col("tot_dec")), 9
+            ).alias("value_share"),
+        )
+    )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per ship-month, the share of revenue from
+    PROMO-type parts. The part dimension broadcasts into the fact
+    scan (no lineitem shuffle for the type lookup); promo and total
+    revenue accumulate as exact decimals in ONE conditional
+    aggregation pass; the share divides the decimal-derived doubles
+    at 6dp."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = ep * (one - F.col("l_discount").cast("decimal(8,4)"))
+    zero = F.lit(0).cast("decimal(16,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev.cast("decimal(16,6)")).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            _dec2dbl(F.sum(promo)).alias("promo_revenue"),
+            _dec2dbl(F.sum(rev)).alias("total_revenue"),
+        )
+        .select(
+            "ship_month",
+            "promo_revenue",
+            "total_revenue",
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6).alias(
+                "promo_share"
+            ),
+        )
+    )
+
+
+def sales_opportunity(
+    spark: SparkSession, sf_dir: str, since: str = "1998-06-01"
+) -> DataFrame:
+    """TPC-H Q22 shape (phone-code-free variant): per market segment,
+    the customers with above-average positive account balance and no
+    order since `since` (lapsed high-value accounts) -- the
+    scalar-subquery + anti-join pattern. The global average is a
+    broadcast 1-row aggregate; the anti-join keys on the uniform
+    custkey with the date filter pushed into the orders scan; output
+    is a segment-count-sized aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(since))
+        .select("o_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(bal).cast("string").cast("double") / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec2dbl(F.sum(bal)).alias("total_balance"),
+        )
+    )

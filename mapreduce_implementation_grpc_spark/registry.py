@@ -741,6 +741,11 @@ q_customer_spend_percentiles = analytics.customer_spend_percentiles
 q_orders_grouping_sets = analytics.orders_grouping_sets
 q_purchase_and_signup_users = analytics.purchase_and_signup_users
 q_large_orders = analytics.large_orders
+q_order_priority_backlog = analytics.order_priority_backlog
+q_returned_items = analytics.returned_items
+q_important_parts = analytics.important_parts
+q_promo_revenue = analytics.promo_revenue
+q_sales_opportunity = analytics.sales_opportunity
 
 
 def q_events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2532,6 +2537,81 @@ ORACLES: dict[str, str] = {
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY event_type
     """,
+    "order_priority_backlog": """
+      SELECT o_orderpriority AS priority, count(*) AS n_backlogged
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1
+    """,
+    "returned_items": """
+      WITH pc AS (
+        SELECT o_custkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS rev_dec
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1
+      )
+      SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+             CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS returned_revenue
+      FROM pc
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY returned_revenue DESC, custkey ASC
+      LIMIT 20
+    """,
+    "important_parts": """
+      WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS val_dec
+        FROM lineitem GROUP BY 1
+      ),
+      w AS (SELECT l_partkey, val_dec, sum(val_dec) OVER () AS tot_dec,
+                   count(*) OVER () AS n_parts FROM pv)
+      SELECT l_partkey AS partkey,
+             CAST(CAST(val_dec AS VARCHAR) AS DOUBLE) AS part_value,
+             round(CAST(CAST(val_dec AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(tot_dec AS VARCHAR) AS DOUBLE), 9) AS value_share
+      FROM w
+      WHERE CAST(CAST(val_dec AS VARCHAR) AS DOUBLE)
+            > 1.5 * CAST(CAST(tot_dec AS VARCHAR) AS DOUBLE) / n_parts
+    """,
+    "promo_revenue": """
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                         AS DECIMAL(16,6))
+                    ELSE CAST(0 AS DECIMAL(16,6)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS total_revenue,
+             round(CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                         AS DECIMAL(16,6))
+                    ELSE CAST(0 AS DECIMAL(16,6)) END) AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE), 6) AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    """,
+    "sales_opportunity": """
+      WITH a AS (
+        SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+      )
+      SELECT c_mktsegment AS segment, count(*) AS n_customers,
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_balance
+      FROM customer, a
+      WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1998-06-01')
+      GROUP BY 1
+    """,
 }
 
 
@@ -2682,6 +2762,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
     "label_centroids": q_label_centroids,
+    "order_priority_backlog": q_order_priority_backlog,
+    "returned_items": q_returned_items,
+    "important_parts": q_important_parts,
+    "promo_revenue": q_promo_revenue,
+    "sales_opportunity": q_sales_opportunity,
 }
 
 # Headline set for bench.py: widest-coverage representatives, excluding
