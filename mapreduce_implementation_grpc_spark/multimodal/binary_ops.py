@@ -3,11 +3,16 @@
 Image/audio/video payloads are opaque `binary` columns with a typed
 metadata struct; decode/feature-extraction runs as Arrow-batched
 `mapInPandas` so the Python boundary is crossed once per batch, not
-per row. The media codecs themselves are NOT in this container, so
-the decode step is a clearly marked stub: `decode_features(...,
-real_codec=True)` raises NotImplementedError, while the default
-deterministic fake keeps every piece of the Spark-side plumbing
-(schema, partitioning, batch shape, null handling) real and tested.
+per row. Two codec paths share the identical Spark plumbing:
+
+- default (synthetic): deterministic byte-level stand-ins, used by
+  the oracle-checked registry queries (DuckDB can re-derive them);
+- ``real_codec=True``: actual format decoding via
+  ``multimodal.codecs`` — pure-stdlib PNG (zlib + numpy unfilter)
+  and 16-bit PCM WAV — no PIL/ffmpeg needed. Image resize re-encodes
+  a real PNG thumbnail; frame sampling windows the decoded PCM
+  stream (video proper still needs ffmpeg, which this container
+  lacks).
 
 At 100 TB: payloads stay columnar in parquet (binary column chunks),
 the scan prunes metadata-only queries to the metadata columns, and
@@ -92,10 +97,28 @@ def sample_frames(payload_df: DataFrame, every_k: int = 4, frame_bytes: int = 16
     Row explosion happens executor-side per Arrow batch; nothing is
     widened before the scan."""
     if real_codec:
-        raise NotImplementedError(
-            "video codecs are not installed in this environment; "
-            "replace the chunker with an ffmpeg/pyav frame iterator"
-        )
+        # Video codecs (ffmpeg/pyav) are genuinely absent here, but the
+        # real-codec path IS implemented for PCM audio: decode the WAV
+        # container and window the sample stream, which is exactly the
+        # 1-row -> N-rows mapInPandas shape a video frame sampler uses.
+        from mapreduce_implementation_grpc_spark.multimodal.codecs import wav_decode
+
+        def _sample_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+                for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                    samples, _rate = wav_decode(bytes(raw))
+                    pcm = samples.tobytes()
+                    step = max(2, frame_bytes - (frame_bytes % 2))
+                    chunks = [pcm[i:i + step] for i in range(0, len(pcm), step)]
+                    for idx, chunk in enumerate(chunks[::every_k]):
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(idx)
+                        out["frame"].append(chunk.hex())
+                        out["n_bytes"].append(len(chunk))
+                yield pd.DataFrame(out)
+
+        return payload_df.mapInPandas(_sample_real, FRAME_SCHEMA)
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,10 +154,30 @@ def resize_images(payload_df: DataFrame, width: int = 8, height: int = 8,
     same per-batch slot -- schema, batching, and partition behavior
     are identical."""
     if real_codec:
-        raise NotImplementedError(
-            "image codecs are not installed in this environment; "
-            "replace the strider with PIL.Image.resize"
+        from mapreduce_implementation_grpc_spark.multimodal.codecs import (
+            png_decode,
+            png_encode,
+            png_resize_nearest,
         )
+
+        def _resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                thumbs = []
+                for raw in pdf["payload"]:
+                    img = png_decode(bytes(raw))
+                    thumbs.append(
+                        png_encode(png_resize_nearest(img, width, height)).hex()
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": width,
+                        "height": height,
+                        "thumb": thumbs,
+                    }
+                )
+
+        return payload_df.mapInPandas(_resize_real, RESIZED_SCHEMA)
 
     target = width * height
 
@@ -168,10 +211,24 @@ def decode_features(payload_df: DataFrame, real_codec: bool = False) -> DataFram
     image/audio library (PIL/torchaudio/...) -- not available in this
     container, so it raises immediately rather than pretending."""
     if real_codec:
-        raise NotImplementedError(
-            "media codecs are not installed in this environment; "
-            "plug a real decoder into fake_decode_batch's slot"
+        from mapreduce_implementation_grpc_spark.multimodal.codecs import (
+            real_decode_features,
         )
+
+        def _decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "modality": [m["modality"] for m in pdf["meta"]],
+                        "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                        "feature": [
+                            real_decode_features(bytes(raw)) for raw in pdf["payload"]
+                        ],
+                    }
+                )
+
+        return payload_df.mapInPandas(_decode_real, DECODED_FEATURE_SCHEMA)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

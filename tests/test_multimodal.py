@@ -42,9 +42,11 @@ def test_decode_features_matches_local_computation(docs):
     assert out[3].n_bytes == 11
 
 
-def test_real_codec_is_explicit_stub(docs):
-    with pytest.raises(NotImplementedError):
-        decode_features(with_binary_payload(docs), real_codec=True)
+def test_real_codec_rejects_non_media_payload(docs):
+    # real_codec=True now actually decodes (see test_codecs.py); over
+    # text payloads it must fail loudly, not emit junk features.
+    with pytest.raises(Exception, match="unknown payload format"):
+        decode_features(with_binary_payload(docs), real_codec=True).collect()
 
 
 def test_meta_oracle_parity(spark, sf_check):
@@ -76,12 +78,12 @@ def test_resize_images_fixed_output(spark):
     assert out[1].width == 4 and out[1].height == 4
 
 
-def test_media_stubs_raise_for_real_codec(spark):
+def test_real_codec_media_ops_reject_non_media(spark):
     from mapreduce_implementation_grpc_spark.multimodal import resize_images, sample_frames
 
     docs = spark.createDataFrame([Row(doc_id=1, text="abc")])
     p = with_binary_payload(docs)
-    with pytest.raises(NotImplementedError):
-        sample_frames(p, real_codec=True)
-    with pytest.raises(NotImplementedError):
-        resize_images(p, real_codec=True)
+    with pytest.raises(Exception, match="not a WAV payload"):
+        sample_frames(p, real_codec=True).collect()
+    with pytest.raises(Exception, match="not a PNG payload"):
+        resize_images(p, real_codec=True).collect()
