@@ -616,6 +616,15 @@ def q_nb_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_lang_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: target-vs-raw unigram log-likelihood
+    ratio per raw-pool doc (two vocab-sized training aggregations,
+    decimal-exact accumulation; data-selection surface)."""
+    from .operators.dsir import dsir_weights
+
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation loop: confusion matrix of the NB
     prediction vs the labeled lang (count per (lang, pred_lang))."""
@@ -1814,6 +1823,31 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq": _ivfpq_sql(),
     "ann_ivfpq_residual": _ivfpq_residual_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
+    "dsir_weights": """
+      WITH t0 AS (SELECT doc_id, source,
+                         list_filter(string_split_regex(trim(lower(
+                           regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+                           w -> w <> '') AS toks
+                  FROM documents),
+      tr AS (SELECT doc_id, source, unnest(toks) AS w FROM t0),
+      tc AS (SELECT w,
+                    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+                    sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cr
+             FROM tr GROUP BY 1),
+      tot AS (SELECT sum(ct) AS nt_t, sum(cr) AS nt_r, count(*) AS v FROM tc),
+      ratios AS (SELECT w,
+                        CAST(round(ln((ct + 1) / CAST(nt_t + v AS DOUBLE)), 9) AS DECIMAL(13,9))
+                      - CAST(round(ln((cr + 1) / CAST(nt_r + v AS DOUBLE)), 9) AS DECIMAL(13,9))
+                          AS lr
+                 FROM tc CROSS JOIN tot),
+      hist AS (SELECT doc_id, w, count(*) AS m FROM tr
+               WHERE source <> 'src0' GROUP BY 1, 2),
+      logw AS (SELECT h.doc_id, sum(CAST(h.m AS DECIMAL(10,0)) * r.lr) AS s
+               FROM hist h JOIN ratios r USING (w) GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.source,
+             round(CAST(CAST(l.s AS VARCHAR) AS DOUBLE), 6) AS dsir_logw
+      FROM logw l JOIN documents d USING (doc_id)
+    """,
     "nb_lang_scores": """
       WITH t0 AS (SELECT doc_id, lang,
                          list_filter(string_split_regex(trim(lower(
@@ -2706,6 +2740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "semantic_dedup": q_semantic_dedup,
+    "dsir_weights": q_dsir_weights,
     "nb_lang_scores": q_nb_lang_scores,
     "nb_confusion": q_nb_confusion,
     "late_shipments": q_late_shipments,
@@ -2793,6 +2828,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "temperature_sample",
     "duplicate_spans",
+    "dsir_weights",
     "nb_lang_scores",
     "late_shipments",
     "events_quantiles_binned",

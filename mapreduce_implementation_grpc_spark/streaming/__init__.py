@@ -3,6 +3,7 @@ from .pipelines import (
     streaming_anomaly_filter,
     streaming_curate,
     streaming_decontaminate,
+    streaming_doc_chunks,
     streaming_pq_encode,
     streaming_dedup,
     streaming_event_counts,
@@ -17,6 +18,7 @@ __all__ = [
     "streaming_anomaly_filter",
     "streaming_curate",
     "streaming_decontaminate",
+    "streaming_doc_chunks",
     "streaming_pq_encode",
     "streaming_dedup",
     "streaming_event_counts",

@@ -359,3 +359,26 @@ def streaming_anomaly_filter(
         "zscore", (F.col("value").cast("double") - mu) / sd
     )
     return scored.filter(F.abs(F.col("zscore")) > z)
+
+
+def streaming_doc_chunks(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Incremental twin of the batch pretraining chunker
+    (operators.chunking.doc_chunks): 1 document row -> N overlapping
+    token-window chunks over an unbounded stream.
+
+    The chunker is a stateless Project -> Generate -> Project (the
+    token array is computed once per doc and sliced per chunk), so
+    the batch operator composes onto a streaming DataFrame unchanged:
+    append-mode, no watermark, no state store, per-microbatch cost =
+    the batch plan over that batch's rows. At 100 TB-a-day ingest
+    this is the shape you want -- chunking at ingest parallelizes
+    with partition count and leaves nothing to re-shuffle later."""
+    from ..operators.chunking import doc_chunks
+
+    return doc_chunks(docs_stream, text_col=text_col,
+                      chunk_size=chunk_size, stride=stride)

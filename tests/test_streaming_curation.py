@@ -262,3 +262,37 @@ def test_streaming_anomaly_filter_matches_batch(spark, tmp_path):
     q.stop()
     got = {r.event_id for r in spark.sql("SELECT event_id FROM anom_stream").collect()}
     assert got == batch_out and got
+
+
+def test_streaming_doc_chunks_matches_batch(spark, tmp_path):
+    from mapreduce_implementation_grpc_spark.operators.chunking import doc_chunks
+    from mapreduce_implementation_grpc_spark.streaming import streaming_doc_chunks
+
+    src = str(tmp_path / "chunk_docs")
+    rows = [
+        (1, "2024-01-01 10:00:00", " ".join(f"w{i}" for i in range(80))),
+        (2, "2024-01-01 10:01:00", "short doc"),
+        (3, "2024-01-01 10:02:00", "???!!!"),  # zero tokens -> no chunks
+    ]
+    _write_docs(src, rows)
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(src)
+    q = (
+        streaming_doc_chunks(stream)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in spark.sql("select * from chunk_stream").collect()
+    }
+    batch = spark.read.schema(DOCS_SCHEMA).json(src)
+    want = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in doc_chunks(batch).collect()
+    }
+    assert got == want and len(want) > 3
+    assert not any(doc_id == 3 for doc_id, _ in got)
