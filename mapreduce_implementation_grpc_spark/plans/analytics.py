@@ -1035,3 +1035,126 @@ def sales_opportunity(
             _dec2dbl(F.sum(bal)).alias("total_balance"),
         )
     )
+
+
+def volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations, grouped
+    by (supplier nation, customer nation, ship year).
+
+    Plan shape: the nation filter is applied on the DIMENSION sides
+    before the fact joins -- supplier and customer are each
+    pre-joined (broadcast) to the two-nation slice, so the lineitem
+    and orders scans only carry rows that can survive; the final
+    predicate merely drops same-nation pairs. The big joins
+    (lineitem-orders on orderkey, orders-customer on custkey) stay
+    key-partitioned shuffles that AQE can re-plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    two = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    s2 = supp.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("s_nk"),
+                               F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    c2 = cust.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("c_nk"),
+                               F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "cust_nation")
+
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c2, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            _dec2dbl(F.sum(revenue)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    nation: str = "NATION_1",
+    region: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of revenue for one
+    part type sold into one region, per order year.
+
+    Plan shape: part is filtered to the type and broadcast (the join
+    prunes lineitem to matching parts map-side); supplier+nation is a
+    broadcast lookup attaching supp_nation; the customer->nation->
+    region chain restricts the demand side before the orderkey join.
+    Share = exact-decimal conditional sum / exact-decimal total, cast
+    to double through strings so both engines round identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    sn = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("s_nk"),
+                               F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    cr = (
+        cust.join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    zero = F.lit(0).cast("decimal(16,6)")
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cr, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _dec2dbl(F.sum(F.when(F.col("supp_nation") == nation,
+                                  revenue.cast("decimal(16,6)")).otherwise(zero)))
+            .alias("nation_revenue"),
+            _dec2dbl(F.sum(revenue)).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias("mkt_share"),
+        )
+    )

@@ -755,6 +755,8 @@ q_returned_items = analytics.returned_items
 q_important_parts = analytics.important_parts
 q_promo_revenue = analytics.promo_revenue
 q_sales_opportunity = analytics.sales_opportunity
+q_volume_shipping = analytics.volume_shipping
+q_market_share = analytics.market_share
 
 
 def q_events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2435,6 +2437,50 @@ ORACLES: dict[str, str] = {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
     """,
+    "volume_shipping": """
+      WITH two AS (SELECT n_nationkey, n_name FROM nation
+                   WHERE n_name IN ('NATION_1', 'NATION_2'))
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN supplier s ON l_suppkey = s_suppkey
+      JOIN two sn ON s.s_nationkey = sn.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer c ON o_custkey = c_custkey
+      JOIN two cn ON c.c_nationkey = cn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY 1, 2, 3
+    """,
+    "market_share": """
+      WITH cr AS (SELECT c_custkey FROM customer
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'ASIA'),
+      j AS (SELECT year(o_orderdate) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) AS rev,
+                   n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN cr ON o_custkey = c_custkey)
+      SELECT CAST(o_year AS BIGINT) AS o_year,
+             CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                           THEN CAST(rev AS DECIMAL(16,6))
+                           ELSE CAST(0 AS DECIMAL(16,6)) END) AS VARCHAR) AS DOUBLE)
+               AS nation_revenue,
+             CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS total_revenue,
+             round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                           THEN CAST(rev AS DECIMAL(16,6))
+                           ELSE CAST(0 AS DECIMAL(16,6)) END) AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
+      FROM j GROUP BY 1
+    """,
     "revenue_by_nation": """
       SELECT n_name,
         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -2761,6 +2807,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational analytics
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
     "cheapest_supplier": q_cheapest_supplier,
     "nation_market_share": q_nation_market_share,
     "events_last_per_user": q_events_last_per_user,
@@ -2848,6 +2896,8 @@ BENCH_QUERIES = [
     "embedding_project",
     "pricing_summary",
     "revenue_by_nation",
+    "volume_shipping",
+    "market_share",
     "revenue_forecast",
     "shipping_priority",
     "top_customers",
