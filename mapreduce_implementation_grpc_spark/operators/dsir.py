@@ -36,18 +36,7 @@ from .normalize import normalized_col
 from .tokenize import tokens_col
 
 
-def dsir_weights(
-    docs: DataFrame,
-    target_source: str = "src0",
-    text_col: str = "text",
-    max_vocab: int | None = None,
-) -> DataFrame:
-    """DataFrame[doc_id, lang, source, dsir_logw]: importance log-
-    weight for every RAW-pool doc (source != target_source) under a
-    target unigram LM trained on target_source docs vs a raw LM
-    trained on the pool. Raw docs with zero tokens are excluded (no
-    evidence). dsir_logw is the decimal-exact sum cast to double and
-    rounded to 6dp."""
+def _tokens(docs: DataFrame, text_col: str, max_vocab: int | None):
     toks = docs.select(
         "doc_id",
         "source",
@@ -62,8 +51,21 @@ def dsir_weights(
             .select("w")
         )
         toks = toks.join(F.broadcast(keep), "w")
-    hint = F.broadcast if max_vocab is not None else (lambda df: df)
+    return toks
 
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """DataFrame[w, lr]: per-token log-likelihood ratio
+    ln p_t(w) - ln p_r(w) (decimal(14,9)) — the trained DSIR model.
+    This is the reusable serve artifact: join it onto any per-doc
+    token stream (batch dsir_weights, or an unbounded stream via
+    streaming.streaming_dsir_filter) and sum."""
+    toks = _tokens(docs, text_col, max_vocab)
     is_target = F.col("source") == target_source
     # Both LMs trained in ONE pass over the token stream: conditional
     # counts per token, plus the two totals from the same aggregates.
@@ -85,12 +87,27 @@ def dsir_weights(
         F.log((F.col("cr") + F.lit(1)).cast("double") / (F.col("nt_r") + F.col("v")).cast("double")),
         9,
     ).cast("decimal(13,9)")
-    ratios = tc.crossJoin(F.broadcast(totals)).select(
-        "w", (ln_t - ln_r).alias("lr")
-    )
+    return tc.crossJoin(F.broadcast(totals)).select("w", (ln_t - ln_r).alias("lr"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """DataFrame[doc_id, lang, source, dsir_logw]: importance log-
+    weight for every RAW-pool doc (source != target_source) under a
+    target unigram LM trained on target_source docs vs a raw LM
+    trained on the pool. Raw docs with zero tokens are excluded (no
+    evidence). dsir_logw is the decimal-exact sum cast to double and
+    rounded to 6dp."""
+    toks = _tokens(docs, text_col, max_vocab)
+    hint = F.broadcast if max_vocab is not None else (lambda df: df)
+    ratios = dsir_log_ratios(docs, target_source, text_col, max_vocab)
 
     raw_hist = (
-        toks.filter(~is_target)
+        toks.filter(F.col("source") != target_source)
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("m"))
     )

@@ -382,3 +382,49 @@ def streaming_doc_chunks(
 
     return doc_chunks(docs_stream, text_col=text_col,
                       chunk_size=chunk_size, stride=stride)
+
+
+def streaming_dsir_filter(
+    docs_stream: DataFrame,
+    ratios: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+    min_logw: float | None = None,
+) -> DataFrame:
+    """Score an unbounded document stream with a BATCH-trained DSIR
+    model (train once with operators.dsir.dsir_log_ratios, serve
+    forever) — the ingest-time shape of importance-resampling data
+    selection: new raw documents arrive already scored, ready for
+    threshold selection into the pretraining mixture.
+
+    Per exploded token the stream-static join attaches the token's
+    decimal log-ratio; a windowed per-doc sum (watermarked event-time
+    window, append mode) re-assembles exactly the batch dsir_logw —
+    decimal addition is associative, so per-instance accumulation
+    equals the batch histogram form bit-for-bit. State is one sum per
+    in-flight (window, doc), evicted by the watermark. OOV tokens
+    (absent from the trained vocabulary) drop in the join, matching
+    the batch max_vocab semantics."""
+    from ..operators.tokenize import tokens_col
+
+    toks = docs_stream.select(
+        "doc_id",
+        ts_col,
+        F.explode(tokens_col(normalized_col(text_col))).alias("w"),
+    )
+    scored = (
+        toks.join(F.broadcast(ratios), "w")
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col("doc_id"))
+        .agg(F.sum("lr").alias("s"))
+        .select(
+            "doc_id",
+            F.col("win.start").alias("win_start"),
+            F.round(F.col("s").cast("string").cast("double"), 6).alias("dsir_logw"),
+        )
+    )
+    if min_logw is not None:
+        scored = scored.filter(F.col("dsir_logw") >= min_logw)
+    return scored

@@ -296,3 +296,61 @@ def test_streaming_doc_chunks_matches_batch(spark, tmp_path):
     }
     assert got == want and len(want) > 3
     assert not any(doc_id == 3 for doc_id, _ in got)
+
+
+def test_streaming_dsir_filter_matches_batch(spark, tmp_path):
+    from mapreduce_implementation_grpc_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_weights,
+    )
+    from mapreduce_implementation_grpc_spark.streaming import streaming_dsir_filter
+    from pyspark.sql.types import StructType, StructField, LongType, StringType, TimestampType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    corpus = [
+        (1, "2024-01-01 10:00:00", "whereas the party agrees to the terms", "en", "tgt"),
+        (2, "2024-01-01 10:00:30", "the party shall comply with the terms", "en", "tgt"),
+        (10, "2024-01-01 10:01:00", "the party agrees to comply with terms", "en", "web"),
+        (11, "2024-01-01 10:02:00", "lol cats meme pics funny videos", "en", "web"),
+    ]
+    src = str(tmp_path / "dsir_docs")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "docs.json"), "w") as f:
+        for doc_id, ts, text, lang, source in corpus:
+            f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text,
+                                "lang": lang, "source": source}) + "\n")
+
+    batch = spark.read.schema(schema).json(src)
+    # train on the full static corpus; materialize the tiny model so
+    # the streaming join is a plain static table, as in production
+    ratios = spark.createDataFrame(
+        dsir_log_ratios(batch, target_source="tgt").collect()
+    )
+    want = {r.doc_id: r.dsir_logw for r in dsir_weights(batch, "tgt").collect()}
+
+    stream = spark.readStream.schema(schema).json(src).filter("source <> 'tgt'")
+    # complete mode so the bounded fixture emits without needing the
+    # watermark to advance past the window end (append-mode emission
+    # requires a later batch; production streams have one).
+    q = (
+        streaming_dsir_filter(stream, ratios)
+        .writeStream.format("memory")
+        .queryName("dsir_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.dsir_logw
+        for r in spark.sql("select * from dsir_stream").collect()
+    }
+    assert got == want and set(got) == {10, 11}
