@@ -1158,3 +1158,64 @@ def market_share(
             F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias("mkt_share"),
         )
     )
+
+
+def large_volume_customers(
+    spark: SparkSession, sf_dir: str, qty_threshold: int = 180
+) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a total
+    line quantity — an IN-subquery over an aggregate, planned as an
+    inner join against the aggregated (and therefore tiny post-HAVING)
+    subquery result, which also carries the total so lineitem is not
+    re-aggregated. The aggregate side shuffles once on orderkey;
+    orders joins it on the same key; customer attaches by custkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("tq"))
+        .filter(F.col("tq") > F.lit(qty_threshold).cast("decimal(12,2)"))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _dec2dbl(F.col("o_totalprice").cast("decimal(18,2)")).alias("totalprice"),
+            _dec2dbl(F.col("tq")).alias("total_qty"),
+        )
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    part attributes (brand, size) and lineitem attributes (quantity).
+    The part dimension is broadcast; the disjunction evaluates inside
+    the join's codegen stage — one pass over lineitem, no shuffle
+    before the single global aggregate (whose partials merge k rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("double")
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 10)
+         & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#19") & (F.col("p_size") <= 30)
+           & qty.between(20, 40))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            _dec2dbl(F.sum(revenue)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

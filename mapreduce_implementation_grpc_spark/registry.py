@@ -757,6 +757,8 @@ q_promo_revenue = analytics.promo_revenue
 q_sales_opportunity = analytics.sales_opportunity
 q_volume_shipping = analytics.volume_shipping
 q_market_share = analytics.market_share
+q_large_volume_customers = analytics.large_volume_customers
+q_disjunctive_revenue = analytics.disjunctive_revenue
 
 
 def q_events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2437,6 +2439,27 @@ ORACLES: dict[str, str] = {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
     """,
+    "large_volume_customers": """
+      WITH big AS (SELECT l_orderkey,
+                          sum(CAST(l_quantity AS DECIMAL(12,2))) AS tq
+                   FROM lineitem GROUP BY 1
+                   HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+      SELECT c_custkey AS custkey, c_name AS name, o_orderkey AS orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS totalprice,
+             CAST(CAST(tq AS VARCHAR) AS DOUBLE) AS total_qty
+      FROM orders JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    """,
+    "disjunctive_revenue": """
+      SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#4' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#19' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
+    """,
     "volume_shipping": """
       WITH two AS (SELECT n_nationkey, n_name FROM nation
                    WHERE n_name IN ('NATION_1', 'NATION_2'))
@@ -2809,6 +2832,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
+    "large_volume_customers": q_large_volume_customers,
+    "disjunctive_revenue": q_disjunctive_revenue,
     "cheapest_supplier": q_cheapest_supplier,
     "nation_market_share": q_nation_market_share,
     "events_last_per_user": q_events_last_per_user,
@@ -2898,6 +2923,8 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "volume_shipping",
     "market_share",
+    "large_volume_customers",
+    "disjunctive_revenue",
     "revenue_forecast",
     "shipping_priority",
     "top_customers",
