@@ -521,6 +521,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=5)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search quality eval: recall of the IVF ANN probe
+    against exact brute-force kNN, per query (|ann cap exact| /
+    |exact|). Both sides are deterministic plans already in the
+    registry, so the whole evaluation is oracle-checkable -- the
+    standard way to choose n_probe/cells before shipping an index."""
+    exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            nh.alias("n_hits"),
+            F.round(nh / F.col("n_exact").cast("double"), 6).alias("recall"),
+        )
+    )
+
+
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over LEARNED cells: Lloyd's k-means assigns the
     inverted lists, then the same probe/serve plan as ann_ivf -- the
@@ -2721,6 +2746,19 @@ ORACLES: dict[str, str] = {
 # the SQL-front-end twin shares the DataFrame variant's oracle
 ORACLES["pricing_summary_sql"] = ORACLES["pricing_summary"]
 
+# composed evaluation: both sides reuse the existing deterministic oracles
+ORACLES["ann_recall"] = (
+    "WITH exact AS (" + ORACLES["knn_cosine"] + "),\n"
+    "ann AS (" + ORACLES["ann_ivf"] + "),\n"
+    """h AS (SELECT e.query_id, count(*) AS n_hits
+             FROM exact e JOIN ann a ON a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id GROUP BY 1),
+      b AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+      SELECT b.query_id, coalesce(h.n_hits, 0) AS n_hits,
+             round(coalesce(h.n_hits, 0) / CAST(b.n_exact AS DOUBLE), 6) AS recall
+      FROM b LEFT JOIN h USING (query_id)"""
+)
+
 
 def _pii_oracle_sql() -> str:
     """Generate the pii_redact oracle FROM PII_PATTERNS so the SQL
@@ -2799,6 +2837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_recall": q_ann_recall,
     "kmeans_cells": q_kmeans_cells,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2917,6 +2956,7 @@ BENCH_QUERIES = [
     "simhash",
     "knn_cosine",
     "ann_lsh",
+    "ann_recall",
     "embedding_quantize",
     "embedding_project",
     "pricing_summary",
