@@ -136,3 +136,30 @@ def test_ivfpq_serve_broadcasts_tables(spark, sf_check):
         assert n_hash_exchanges <= 3, (
             f"{name}: {n_hash_exchanges} hash exchanges\n{plan[:2000]}"
         )
+
+
+def test_repetition_stats_is_map_only(spark, sf_check):
+    """The Gopher repetition metrics are per-row array folds: no
+    Exchange, no Window, no Generate anywhere — the operator must
+    stay scan-speed at any corpus size."""
+    plan = _plan(spark, sf_check, "repetition_stats")
+    assert "Exchange" not in plan, f"repetition_stats shuffles:\n{plan[:2000]}"
+    assert "Window" not in plan and "Generate" not in plan
+
+
+def test_tpch_join_queries_broadcast_dimensions(spark, sf_check):
+    """The Q7/Q8/Q18/Q19 shapes must keep dimension lookups broadcast
+    (no fact-table shuffle for nation/region/part/supplier) and the
+    k-gram/fact joins keyed — a SortMergeJoin against `nation` would
+    mean the filter slicing never pushed to the dimension side."""
+    expect_min_bhj = {
+        "volume_shipping": 3,   # supplier+nation x2 slices
+        "market_share": 3,      # part slice, supplier+nation, cust chain
+        "disjunctive_revenue": 1,  # part
+    }
+    for name, n in expect_min_bhj.items():
+        plan = _plan(spark, sf_check, name)
+        assert plan.count("BroadcastHashJoin") >= n, (
+            f"{name}: expected >= {n} broadcast joins\n{plan[:1500]}"
+        )
+        assert "CartesianProduct" not in plan
