@@ -199,3 +199,40 @@ def test_spark_real_frame_sampling_wav(spark):
     assert all(r.n_bytes == 64 for r in frames)
     # frame 0 is samples 0..31 little-endian
     assert bytes.fromhex(frames[0].frame) == tone[:32].tobytes()
+
+
+# ------------------------------------------------------ property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_round_trip_property(h, w, ch, seed):
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch),
+                                               dtype=np.uint8)
+    expect = img[:, :, 0] if ch == 1 else img
+    assert np.array_equal(png_decode(png_encode(img)), expect)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=arrays(np.int16, st.integers(1, 200),
+                elements=st.integers(-32768, 32767)),
+    channels=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_round_trip_property(data, channels, rate):
+    n = (len(data) // channels) * channels
+    if n == 0:
+        return
+    samples = data[:n].reshape(-1, channels)
+    out, got_rate = wav_decode(wav_encode(samples, rate))
+    assert got_rate == rate and np.array_equal(out, samples)
