@@ -76,3 +76,40 @@ def run_curation(
     curated = curate_documents(spark, sf_dir, min_quality)
     curated.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+def select_pretraining_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = "src0",
+    min_logw: float = 0.0,
+) -> DataFrame:
+    """End-to-end DATA-SELECTION pipeline (the importance-resampling
+    counterpart of curate_documents' cleaning pipeline):
+
+        documents
+          -> exact dedup              (md5 fingerprint, keep min doc_id)
+          -> DSIR importance filter   (target-vs-raw log-likelihood
+                                       ratio >= min_logw: keep raw docs
+                                       at least as target-like as the
+                                       raw average)
+          -> temperature rebalancing  (mT5 alpha=0.5 language shares)
+
+    Returns DataFrame[doc_id, lang, source, dsir_logw] -- the selected
+    mixture, each doc carrying its importance weight. Every stage is
+    an existing tested operator; DSIR trains on the DEDUPED corpus
+    (train-on-clean, the published recipe) and the temperature rates
+    are computed over the POST-SELECTION pool, so small languages are
+    boosted within what the importance filter kept."""
+    from ..operators.curation import temperature_sample
+    from ..operators.dsir import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    docs1 = docs.join(keep, "doc_id", "left_semi")
+
+    w = dsir_weights(docs1, target_source=target_source)
+    sel = w.filter(F.col("dsir_logw") >= min_logw).select("doc_id", "dsir_logw")
+    docs2 = docs1.join(sel.select("doc_id"), "doc_id", "left_semi")
+
+    return temperature_sample(docs2).join(sel, "doc_id")

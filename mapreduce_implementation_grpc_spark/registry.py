@@ -650,6 +650,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(load_table(spark, sf_dir, "documents"))
 
 
+def q_select_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed data-selection pipeline: exact dedup -> DSIR
+    importance threshold (>= 0: at least as target-like as the raw
+    average) -> temperature rebalancing over the selected pool."""
+    from .plans.pipeline import select_pretraining_corpus
+
+    return select_pretraining_corpus(spark, sf_dir)
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation loop: confusion matrix of the NB
     prediction vs the labeled lang (count per (lang, pred_lang))."""
@@ -1591,6 +1600,61 @@ def _curate_documents_sql(min_quality: float = 0.5) -> str:
     """
 
 
+
+def _dsir_sql(rel: str = "documents", target: str = "src0") -> str:
+    """DSIR oracle SQL over an arbitrary documents-shaped relation --
+    shared by the standalone dsir_weights oracle and the composed
+    selection-pipeline oracle (same text, different FROM)."""
+    return f"""
+      WITH t0 AS (SELECT doc_id, source,
+                         list_filter(string_split_regex(trim(lower(
+                           regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+                           w -> w <> '') AS toks
+                  FROM {rel}),
+      tr AS (SELECT doc_id, source, unnest(toks) AS w FROM t0),
+      tc AS (SELECT w,
+                    sum(CASE WHEN source = '{target}' THEN 1 ELSE 0 END) AS ct,
+                    sum(CASE WHEN source = '{target}' THEN 0 ELSE 1 END) AS cr
+             FROM tr GROUP BY 1),
+      tot AS (SELECT sum(ct) AS nt_t, sum(cr) AS nt_r, count(*) AS v FROM tc),
+      ratios AS (SELECT w,
+                        CAST(round(ln((ct + 1) / CAST(nt_t + v AS DOUBLE)), 9) AS DECIMAL(13,9))
+                      - CAST(round(ln((cr + 1) / CAST(nt_r + v AS DOUBLE)), 9) AS DECIMAL(13,9))
+                          AS lr
+                 FROM tc CROSS JOIN tot),
+      hist AS (SELECT doc_id, w, count(*) AS m FROM tr
+               WHERE source <> '{target}' GROUP BY 1, 2),
+      logw AS (SELECT h.doc_id, sum(CAST(h.m AS DECIMAL(10,0)) * r.lr) AS s
+               FROM hist h JOIN ratios r USING (w) GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.source,
+             round(CAST(CAST(l.s AS VARCHAR) AS DOUBLE), 6) AS dsir_logw
+      FROM logw l JOIN {rel} d USING (doc_id)
+    """
+
+
+def _temperature_sql(rel: str = "documents") -> str:
+    """Temperature-membership oracle SQL over an arbitrary
+    documents-shaped relation (mT5 alpha=0.5 shares; decimal-exact
+    normalizer; content-hash membership)."""
+    return f"""
+      WITH c AS (SELECT lang, count(*) AS n_g FROM {rel} GROUP BY 1),
+      n AS (SELECT count(*) AS n_tot FROM {rel}),
+      w AS (SELECT lang, n_g, n_tot,
+                   CAST(round(sqrt(CAST(n_g AS DOUBLE) / CAST(n_tot AS DOUBLE)), 12)
+                        AS DECIMAL(14,12)) AS t
+            FROM c CROSS JOIN n),
+      s AS (SELECT CAST(CAST(sum(t) AS VARCHAR) AS DOUBLE) AS s FROM w),
+      r AS (SELECT lang,
+                   least(CAST(1.0 AS DOUBLE),
+                         ((CAST(CAST(t AS VARCHAR) AS DOUBLE) / s.s) * n_tot) / n_g) AS rate
+            FROM w CROSS JOIN s)
+      SELECT d.doc_id, d.lang, d.source
+      FROM {rel} d JOIN r USING (lang)
+      WHERE CAST(concat('0x', substr(md5(trim(lower(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < r.rate
+    """
+
+
 ORACLES: dict[str, str] = {
     # faithful surface
     "wordcount": _SQL_WORDCOUNT,
@@ -1852,31 +1916,7 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq": _ivfpq_sql(),
     "ann_ivfpq_residual": _ivfpq_residual_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
-    "dsir_weights": """
-      WITH t0 AS (SELECT doc_id, source,
-                         list_filter(string_split_regex(trim(lower(
-                           regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
-                           w -> w <> '') AS toks
-                  FROM documents),
-      tr AS (SELECT doc_id, source, unnest(toks) AS w FROM t0),
-      tc AS (SELECT w,
-                    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
-                    sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cr
-             FROM tr GROUP BY 1),
-      tot AS (SELECT sum(ct) AS nt_t, sum(cr) AS nt_r, count(*) AS v FROM tc),
-      ratios AS (SELECT w,
-                        CAST(round(ln((ct + 1) / CAST(nt_t + v AS DOUBLE)), 9) AS DECIMAL(13,9))
-                      - CAST(round(ln((cr + 1) / CAST(nt_r + v AS DOUBLE)), 9) AS DECIMAL(13,9))
-                          AS lr
-                 FROM tc CROSS JOIN tot),
-      hist AS (SELECT doc_id, w, count(*) AS m FROM tr
-               WHERE source <> 'src0' GROUP BY 1, 2),
-      logw AS (SELECT h.doc_id, sum(CAST(h.m AS DECIMAL(10,0)) * r.lr) AS s
-               FROM hist h JOIN ratios r USING (w) GROUP BY 1)
-      SELECT d.doc_id, d.lang, d.source,
-             round(CAST(CAST(l.s AS VARCHAR) AS DOUBLE), 6) AS dsir_logw
-      FROM logw l JOIN documents d USING (doc_id)
-    """,
+    "dsir_weights": _dsir_sql(),
     "nb_lang_scores": """
       WITH t0 AS (SELECT doc_id, lang,
                          list_filter(string_split_regex(trim(lower(
@@ -1926,23 +1966,7 @@ ORACLES: dict[str, str] = {
       INTERSECT
       SELECT user_id FROM events WHERE event_type = 'signup'
     """,
-    "temperature_sample": """
-      WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
-      n AS (SELECT count(*) AS n_tot FROM documents),
-      w AS (SELECT lang, n_g, n_tot,
-                   CAST(round(sqrt(CAST(n_g AS DOUBLE) / CAST(n_tot AS DOUBLE)), 12)
-                        AS DECIMAL(14,12)) AS t
-            FROM c CROSS JOIN n),
-      s AS (SELECT CAST(CAST(sum(t) AS VARCHAR) AS DOUBLE) AS s FROM w),
-      r AS (SELECT lang,
-                   least(CAST(1.0 AS DOUBLE),
-                         ((CAST(CAST(t AS VARCHAR) AS DOUBLE) / s.s) * n_tot) / n_g) AS rate
-            FROM w CROSS JOIN s)
-      SELECT d.doc_id, d.lang, d.source
-      FROM documents d JOIN r USING (lang)
-      WHERE CAST(concat('0x', substr(md5(trim(lower(regexp_replace(d.text, '[^a-zA-Z0-9\\s]', '', 'g')))), 1, 8)) AS BIGINT)
-            / 4294967296.0 < r.rate
-    """,
+    "temperature_sample": _temperature_sql(),
     "customer_spend_percentiles": """
       WITH s AS (SELECT o_custkey,
                         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS spend
@@ -2746,6 +2770,29 @@ ORACLES: dict[str, str] = {
 # the SQL-front-end twin shares the DataFrame variant's oracle
 ORACLES["pricing_summary_sql"] = ORACLES["pricing_summary"]
 
+# composed data-selection pipeline: dedup keep-set, DSIR over the
+# deduped corpus, threshold, temperature membership over the selected
+# pool -- each stage re-using the standalone oracles' SQL generators
+ORACLES["select_pretraining_corpus"] = (
+    """WITH dedup_keep AS (
+         SELECT min(doc_id) AS doc_id
+         FROM (SELECT doc_id,
+                      md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))) AS fp
+               FROM documents)
+         GROUP BY fp),
+       d1 AS (SELECT d.* FROM documents d JOIN dedup_keep USING (doc_id)),
+       dsirw AS ("""
+    + _dsir_sql("d1")
+    + """),
+       sel AS (SELECT doc_id, dsir_logw FROM dsirw WHERE dsir_logw >= 0.0),
+       d2 AS (SELECT d1.* FROM d1 JOIN sel USING (doc_id)),
+       kept AS ("""
+    + _temperature_sql("d2")
+    + """)
+       SELECT k.doc_id, k.lang, k.source, sel.dsir_logw
+       FROM kept k JOIN sel USING (doc_id)"""
+)
+
 # composed evaluation: both sides reuse the existing deterministic oracles
 ORACLES["ann_recall"] = (
     "WITH exact AS (" + ORACLES["knn_cosine"] + "),\n"
@@ -2849,6 +2896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
+    "select_pretraining_corpus": q_select_pretraining_corpus,
     "nb_lang_scores": q_nb_lang_scores,
     "nb_confusion": q_nb_confusion,
     "late_shipments": q_late_shipments,
@@ -2941,6 +2989,7 @@ BENCH_QUERIES = [
     "temperature_sample",
     "duplicate_spans",
     "dsir_weights",
+    "select_pretraining_corpus",
     "nb_lang_scores",
     "late_shipments",
     "events_quantiles_binned",
