@@ -1219,3 +1219,252 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of order counts per customer,
+    INCLUDING zero-order customers -- the canonical left-outer-join-
+    then-double-aggregate. Canonical Q13 excludes orders by a comment
+    pattern; this schema has no o_comment, so the exclusion is an
+    order-priority predicate applied to the orders side BEFORE the
+    outer join (equivalent to the ON-clause filter, and lets the scan
+    prune). One shuffle on custkey for the join+first aggregate; the
+    second aggregate runs over <=|customers| tiny rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def top_supplier(
+    spark: SparkSession, sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter -- the revenue 'view' plus a scalar max subquery. The view
+    aggregates lineitem once (decimal-exact, so the equality against
+    the max is safe cross-engine); the 1-row max is broadcast and the
+    equality filter evaluates map-side over the tiny per-supplier
+    aggregate. Ties all surface, as in the spec."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            _dec2dbl(F.col("total_rev")).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def small_qty_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#3"
+) -> DataFrame:
+    """TPC-H Q17 shape: yearly-average revenue lost to small-quantity
+    orders -- the correlated AVG subquery per part, decorrelated into a
+    per-part aggregate joined back to the lines. The 0.2*avg threshold
+    is compared WITHOUT division: qty < sum/(5*cnt) <=> 5*qty*cnt < sum
+    (cnt > 0), keeping the predicate in exact integer/decimal math so
+    both engines keep identical rows. lineitem shuffles once on partkey
+    for the aggregate and reuses that partitioning for the join; the
+    brand filter lands on the broadcast part side."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_part = li.groupBy(F.col("p_partkey").alias("agg_partkey")).agg(
+        F.sum(qty).alias("sum_qty"), F.count("*").alias("cnt_qty")
+    )
+    small = li.join(
+        per_part, F.col("l_partkey") == F.col("agg_partkey")
+    ).filter(
+        qty * F.lit(5).cast("decimal(3,0)") * F.col("cnt_qty").cast("decimal(10,0)")
+        < F.col("sum_qty")
+    )
+    total = F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+    return small.agg(
+        (_dec2dbl(total) / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def waiting_suppliers(
+    spark: SparkSession, sf_dir: str, late_days: int = 90, topn: int = 25
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order. Canonical Q21 is an EXISTS plus a
+    NOT-EXISTS self-join on lineitem; the scalable decorrelation is a
+    single per-order aggregate -- count distinct suppliers, count
+    distinct late suppliers, and carry the late supplier key (well-
+    defined exactly when that count is 1) -- so lineitem shuffles ONCE
+    on orderkey instead of three times. 'Late' adapts the missing
+    l_receiptdate/l_commitdate as shipping > late_days after the order
+    date. Top-N by waiting count => TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("late_supp"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("numwait"),
+        )
+        .orderBy(F.desc("numwait"), F.asc("suppkey"))
+        .limit(topn)
+    )
+
+
+def product_profit(
+    spark: SparkSession, sf_dir: str, name_word: str = "red"
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for
+    parts matching a name word. This schema has no partsupp, so the
+    ps_supplycost term becomes a retail-price cost proxy
+    (0.6 * p_retailprice * quantity) -- same expression shape, all
+    decimal so the sum is exact. part is filtered THEN broadcast, so
+    the name predicate prunes lineitem map-side; supplier/nation
+    broadcast; orders joins on orderkey for the year."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_word)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.lit(0.6).cast(
+        "decimal(4,2)"
+    ) * F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(_dec2dbl(F.sum(amount)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can supply each
+    (brand, type, size) combination, excluding flagged suppliers.
+    partsupp is absent, so 'supplies' derives from observed lineitem
+    (partkey, suppkey) pairs; the canonical complaint-comment exclusion
+    becomes a negative account balance, applied as a broadcast
+    ANTI-join (never materializing the excluded rows). The pair
+    distinct and the count-distinct share the partkey-prefixed shuffle;
+    part attributes attach by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    )
+    pairs = li.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    ).distinct()
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+    )
+
+
+def dominant_suppliers(
+    spark: SparkSession, sf_dir: str, name_word: str = "red", year: int = 1997
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding 'excess' share of a part --
+    availqty > half the year's shipped quantity in the canonical query;
+    without partsupp this becomes suppliers who themselves shipped MORE
+    THAN HALF of a matching part's total shipped quantity that year
+    (share > 0.5 in exact decimal: 2*qty > total). Two-level aggregate
+    over one partkey shuffle, then a DISTINCT supplier semi-set joined
+    to the supplier dimension by broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_word)
+    ).select("p_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == year)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("sq"))
+    w_tot = per_ps.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("sq").alias("total_q"), F.count("*").alias("n_supp")
+    )
+    dom = (
+        per_ps.join(w_tot, F.col("l_partkey") == F.col("tp"))
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("sq") * F.lit(2).cast("decimal(2,0)") > F.col("total_q"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        dom.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("suppkey")
+    )

@@ -131,6 +131,60 @@ def _sql_shingles(table: str = "documents") -> str:
 _SQL_SHINGLES = _sql_shingles()
 
 
+def _bpe_ctes(k: int) -> str:
+    """WITH-chain body for k unrolled BPE merge rounds, mirroring
+    operators/bpe.py bit-for-bit: v{i} is the vocab after i merges
+    (double-delimited symbol strings), p{i} the weighted pair counts,
+    b{i} the greedy pick (max count, ties by (l, r) string order).
+    replace() is plain non-overlapping left-to-right in both engines
+    and the doubled delimiter means adjacent matches never share a
+    character, so the unrolled SQL reproduces the iterative trainer
+    exactly."""
+    parts = [
+        f"""wf AS (SELECT w, count(*) AS c
+         FROM (SELECT unnest(toks) AS w FROM ({_SQL_TOKS})) GROUP BY 1),
+  v0 AS (SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS ws, c FROM wf)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""p{i} AS (
+    SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_transform(range(1, len(s)),
+                   j -> struct_pack(l := s[j], r := s[j + 1]))) AS p, c
+          FROM (SELECT list_filter(string_split(ws, '||'), x -> x <> '') AS s, c
+                FROM v{i}))
+    GROUP BY 1, 2),
+  b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+  v{i + 1} AS (SELECT replace(ws,
+                (SELECT '|' || l || '||' || r || '|' FROM b{i}),
+                (SELECT '|' || l || r || '|' FROM b{i})) AS ws, c FROM v{i})"""
+        )
+    return ",\n  ".join(parts)
+
+
+def _bpe_encode_sql(k: int) -> str:
+    """Per-doc BPE token counts with the k trained merges applied as
+    a literal replace chain (scalar merge columns cross-joined in so
+    the list lambda only references plain columns)."""
+    m_cols = ", ".join(
+        f"(SELECT '|' || l || '||' || r || '|' FROM b{i}) AS s{i}, "
+        f"(SELECT '|' || l || r || '|' FROM b{i}) AS t{i}"
+        for i in range(k)
+    )
+    chain = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"
+    for i in range(k):
+        chain = f"replace({chain}, s{i}, t{i})"
+    return f"""
+      WITH {_bpe_ctes(k)},
+      m AS (SELECT {m_cols})
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+             CAST(coalesce(list_sum(list_transform(toks, w ->
+               len(list_filter(string_split({chain}, '||'),
+                               x -> x <> '')))), 0) AS BIGINT) AS n_bpe_tokens
+      FROM ({_SQL_TOKS}) CROSS JOIN m
+    """
+
+
 # ---------------------------------------------------------------------------
 # faithful reference surface (SURVEY.md section 2a)
 # ---------------------------------------------------------------------------
@@ -344,6 +398,59 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("cnt"), F.asc("word"))
     return wc.select(
         "word", "cnt", F.row_number().over(w).cast("long").alias("vocab_id")
+    )
+
+
+BPE_MERGES = 4
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str, topn: int = 50) -> DataFrame:
+    """The BPE-trainer kernel: adjacent-symbol pair frequencies over
+    the word-frequency table (corpus scanned once; the pair stage runs
+    on |vocab| rows). Top-N with deterministic tie-break."""
+    from .operators import bpe
+
+    vocab = bpe.word_freqs(spark, sf_dir).select(
+        bpe.symbolized(F.col("w")).alias("ws"), "c"
+    )
+    return (
+        bpe.pair_counts(vocab)
+        .orderBy(F.desc("pair_freq"), "left", "right")
+        .limit(topn)
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training (Sennrich et al. 2016): BPE_MERGES
+    greedy merge rounds; each round re-counts pairs over the merged
+    vocab and picks the max (1-row collect, k-means driver-loop
+    pattern). Oracle: the rounds unrolled in SQL (_bpe_ctes)."""
+    from .operators import bpe
+
+    merges, _ = bpe.bpe_train(spark, sf_dir, num_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_freq long"
+    ).orderBy("rank")
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merges to every document: per-doc real BPE
+    token count next to the whitespace count. The k learned merges are
+    literal replace() calls -- encode is MAP-ONLY over the corpus."""
+    from .functions.text_stats import with_token_array
+    from .operators import bpe
+
+    merges, _ = bpe.bpe_train(spark, sf_dir, num_merges=BPE_MERGES)
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    n_bpe = F.aggregate(
+        F.transform(F.col("toks"), lambda w: bpe.encoded_len_col(w, merges)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
     )
 
 
@@ -793,6 +900,13 @@ q_volume_shipping = analytics.volume_shipping
 q_market_share = analytics.market_share
 q_large_volume_customers = analytics.large_volume_customers
 q_disjunctive_revenue = analytics.disjunctive_revenue
+q_customer_distribution = analytics.customer_distribution
+q_top_supplier = analytics.top_supplier
+q_small_qty_revenue = analytics.small_qty_revenue
+q_waiting_suppliers = analytics.waiting_suppliers
+q_product_profit = analytics.product_profit
+q_supplier_part_counts = analytics.supplier_part_counts
+q_dominant_suppliers = analytics.dominant_suppliers
 
 
 def q_events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1773,6 +1887,21 @@ ORACLES: dict[str, str] = {
              CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS vocab_id
       FROM ({_SQL_WORDCOUNT}) WHERE cnt >= 5
     """,
+    "bpe_pair_counts": f"""
+      WITH {_bpe_ctes(1)}
+      SELECT l AS "left", r AS "right", cnt AS pair_freq
+      FROM p0 ORDER BY pair_freq DESC, "left", "right" LIMIT 50
+    """,
+    "bpe_merges": f"""
+      WITH {_bpe_ctes(BPE_MERGES)}
+      SELECT * FROM (
+        {" UNION ALL ".join(
+            f'SELECT CAST({i + 1} AS BIGINT) AS "rank", l AS "left", r AS "right", '
+            f'l || r AS merged, cnt AS pair_freq FROM b{i}'
+            for i in range(BPE_MERGES))}
+      ) ORDER BY "rank"
+    """,
+    "bpe_encode": _bpe_encode_sql(BPE_MERGES),
     "inverted_index": f"""
       WITH s AS ({_SQL_SHINGLES}),
       p AS (SELECT DISTINCT doc_id, unnest(shset) AS phrase FROM s)
@@ -2509,6 +2638,104 @@ ORACLES: dict[str, str] = {
          OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#19' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
     """,
+    "customer_distribution": """
+      WITH pc AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN
+          (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """,
+    "top_supplier": """
+      WITH r AS (SELECT l_suppkey AS supplier_no,
+                        sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1996-04-01'
+                 GROUP BY 1)
+      SELECT s_suppkey AS suppkey, s_name AS name,
+             CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+      FROM r JOIN supplier ON s_suppkey = supplier_no
+      WHERE total_rev = (SELECT max(total_rev) FROM r)
+      ORDER BY suppkey
+    """,
+    "small_qty_revenue": """
+      WITH j AS (SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                        CAST(l_extendedprice AS DECIMAL(12,2)) AS ep
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE p_brand = 'Brand#3'),
+      pp AS (SELECT l_partkey AS agg_partkey, sum(qty) AS sum_qty,
+                    count(*) AS cnt_qty
+             FROM j GROUP BY 1)
+      SELECT CAST(CAST(sum(ep) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+             count(*) AS n_lines
+      FROM j JOIN pp ON l_partkey = agg_partkey
+      WHERE qty * CAST(5 AS DECIMAL(3,0)) * CAST(cnt_qty AS DECIMAL(10,0)) < sum_qty
+    """,
+    "waiting_suppliers": """
+      WITH lo AS (SELECT l_orderkey, l_suppkey,
+                         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE o_orderstatus = 'F'),
+      per AS (SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+                     max(CASE WHEN late THEN l_suppkey END) AS late_supp
+              FROM lo GROUP BY 1)
+      SELECT s_suppkey AS suppkey, s_name AS name, count(*) AS numwait
+      FROM per JOIN supplier ON s_suppkey = late_supp
+      WHERE n_supp >= 2 AND n_late = 1
+      GROUP BY 1, 2
+      ORDER BY numwait DESC, suppkey ASC
+      LIMIT 25
+    """,
+    "product_profit": """
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                         - CAST(p_retailprice AS DECIMAL(12,2))
+                           * CAST(0.6 AS DECIMAL(4,2))
+                           * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+               AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+      ORDER BY nation, o_year DESC
+    """,
+    "supplier_part_counts": """
+      WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+      SELECT p_brand AS brand, p_type AS type, p_size AS size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM pairs JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_size <= 25
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, brand, type, size
+    """,
+    "dominant_suppliers": """
+      WITH j AS (SELECT l_partkey, l_suppkey,
+                        CAST(l_quantity AS DECIMAL(12,2)) AS qty
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1997),
+      ps AS (SELECT l_partkey, l_suppkey, sum(qty) AS sq FROM j GROUP BY 1, 2),
+      tot AS (SELECT l_partkey AS tp, sum(sq) AS total_q, count(*) AS n_supp
+              FROM ps GROUP BY 1),
+      dom AS (SELECT DISTINCT l_suppkey FROM ps JOIN tot ON l_partkey = tp
+              WHERE n_supp >= 2 AND sq * CAST(2 AS DECIMAL(2,0)) > total_q)
+      SELECT s_suppkey AS suppkey, s_name AS name, n_name AS nation
+      FROM dom JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY suppkey
+    """,
     "volume_shipping": """
       WITH two AS (SELECT n_nationkey, n_name FROM nation
                    WHERE n_name IN ('NATION_1', 'NATION_2'))
@@ -2852,6 +3079,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_perplexity": q_doc_perplexity,
@@ -2921,6 +3151,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "large_volume_customers": q_large_volume_customers,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "product_profit": q_product_profit,
+    "supplier_part_counts": q_supplier_part_counts,
+    "dominant_suppliers": q_dominant_suppliers,
     "cheapest_supplier": q_cheapest_supplier,
     "nation_market_share": q_nation_market_share,
     "events_last_per_user": q_events_last_per_user,
@@ -3014,6 +3251,9 @@ BENCH_QUERIES = [
     "market_share",
     "large_volume_customers",
     "disjunctive_revenue",
+    "customer_distribution",
+    "waiting_suppliers",
+    "product_profit",
     "revenue_forecast",
     "shipping_priority",
     "top_customers",
