@@ -428,3 +428,36 @@ def streaming_dsir_filter(
     if min_logw is not None:
         scored = scored.filter(F.col("dsir_logw") >= min_logw)
     return scored
+
+
+def streaming_bpe_encode(
+    docs_stream: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize an unbounded document stream with a BATCH-trained BPE
+    merge table (operators.bpe.bpe_train) — the tokenize-at-ingest
+    shape: train the subword vocabulary once on a frozen corpus, then
+    every arriving document is encoded by the same frozen rules.
+
+    The merge list is tiny (k rules) and embeds as literal replace()
+    calls, so encoding is a stateless per-row Project: append mode, no
+    watermark, no state store, and per-microbatch cost is the map-only
+    batch plan over that batch's rows. Because encoded_len_col is pure
+    expression logic, stream and batch outputs agree code-for-code
+    (tested in test_bpe.py)."""
+    from ..operators.bpe import encoded_len_col
+    from ..operators.normalize import normalized_col as _norm
+    from ..operators.tokenize import tokens_col
+
+    toks = tokens_col(_norm(text_col))
+    n_bpe = F.aggregate(
+        F.transform(toks, lambda w: encoded_len_col(w, merges)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return docs_stream.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+    )
