@@ -41,12 +41,15 @@ from ..sources.catalog import load_table
 SEP = "||"
 
 
-def word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def word_freqs_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over normalized whitespace tokens -- the single
     corpus scan; everything else in BPE training iterates on this."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = tokenize(docs.select(normalized_col("text").alias("norm")), "norm")
+    words = tokenize(docs.select(normalized_col(text_col).alias("norm")), "norm")
     return words.groupBy(F.col("word").alias("w")).agg(F.count("*").alias("c"))
+
+
+def word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_freqs_df(load_table(spark, sf_dir, "documents"))
 
 
 def symbolized(col) -> F.Column:
@@ -82,13 +85,14 @@ def merge_pattern(left: str, right: str) -> tuple[str, str]:
     return f"|{left}{SEP}{right}|", f"|{left}{right}|"
 
 
-def bpe_train(
-    spark: SparkSession, sf_dir: str, num_merges: int = 4
+def train_merges(
+    freqs: DataFrame, num_merges: int = 4
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
-    """Learn `num_merges` merge rules. Returns (merges, final vocab);
-    merges are (rank, left, right, merged, pair_freq). Deterministic:
-    ties broken by (left, right) string order, identical in DuckDB."""
-    vocab = word_freqs(spark, sf_dir).withColumn(
+    """Learn `num_merges` merge rules from a (w, c) word-frequency
+    table. Returns (merges, final vocab); merges are (rank, left,
+    right, merged, pair_freq). Deterministic: ties broken by
+    (left, right) string order, identical in DuckDB."""
+    vocab = freqs.withColumn(
         "ws", symbolized(F.col("w"))
     ).select("ws", "c").localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
@@ -108,6 +112,12 @@ def bpe_train(
             "ws", F.replace(F.col("ws"), F.lit(search), F.lit(repl))
         )
     return merges, vocab
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, num_merges: int = 4
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    return train_merges(word_freqs(spark, sf_dir), num_merges)
 
 
 def encoded_len_col(word_col, merges: list[tuple[int, str, str, str, int]]):

