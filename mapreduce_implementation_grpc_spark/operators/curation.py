@@ -84,6 +84,45 @@ def decontaminate(
     )
 
 
+def eval_overlap_report(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = DECONTAM_NGRAM_K,
+) -> DataFrame:
+    """The eval-side complement of `decontaminate`: for each EVAL doc,
+    how much of it the training corpus has already seen — distinct
+    k-gram count, how many of those appear anywhere in train, and the
+    leaked fraction. This is the leakage report benchmark owners
+    publish alongside a decontamination pass (a 0.9-leaked eval doc
+    makes its benchmark score meaningless even after the train side
+    is scrubbed).
+
+    Plan: eval is the small side (~1e5 docs vs a 100 TB corpus), so
+    its distinct shingle set broadcasts; the corpus is scanned ONCE
+    with the shuffle-free flat shingle builder and only MATCHED
+    shingles reach the distinct (a vanishing fraction). The per-doc
+    report then joins eval's own shingles against that tiny hit set
+    by broadcast — the corpus never shuffles at all."""
+    ev_sh = shingle_rows_flat(eval_docs, text_col, k).distinct()
+    ev_set = ev_sh.select("sh").distinct()
+    train_sh = shingle_rows_flat(train_docs, text_col, k)
+    hit_set = (
+        train_sh.join(F.broadcast(ev_set), "sh").select("sh").distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    marked = ev_sh.join(F.broadcast(hit_set), "sh", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.coalesce(F.sum("hit"), F.lit(0).cast("long")).alias("n_shared"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("leak_frac"),
+    )
+
+
 def _longest_equal_run(arr):
     """Length of the longest run of equal adjacent elements in a
     string array, as a single aggregate() fold (prev, current-run,

@@ -51,6 +51,7 @@ from .operators.dedup import (
 from .operators.curation import (
     PII_PATTERNS,
     decontaminate,
+    eval_overlap_report,
     mixture_sample,
     pii_redact,
     repetition_stats,
@@ -467,6 +468,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
     train_docs = docs.filter(F.col("doc_id") % 20 != 0)
     return decontaminate(train_docs, eval_docs)
+
+
+def q_eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side leakage report: per held-out doc (doc_id % 20 == 0),
+    its distinct 6-grams, how many the train slice contains anywhere,
+    and the leaked fraction. Corpus side never shuffles (broadcast
+    probe -> tiny hit set -> broadcast back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return eval_overlap_report(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1959,6 +1972,22 @@ ORACLES: dict[str, str] = {
       SELECT tr.doc_id, count(*) AS n_shared_ngrams
       FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id
     """,
+    "eval_overlap_report": f"""
+      WITH toks AS ({_SQL_TOKS}),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(toks) - 4),
+                 i -> array_to_string(list_slice(toks, i, i + 5), ' ')))) AS sh
+        FROM toks WHERE len(toks) >= 6),
+      ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 = 0),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 <> 0)
+      SELECT ev.doc_id, count(*) AS n_shingles,
+             CAST(count(tr.sh) AS BIGINT) AS n_shared,
+             round(CAST(count(tr.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS leak_frac
+      FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+      GROUP BY ev.doc_id
+    """,
     "repetition_stats": f"""
       WITH toks AS ({_SQL_TOKS}),
       t AS (SELECT doc_id, unnest(toks) AS tok,
@@ -3096,6 +3125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_lang": q_top_terms_per_lang,
     # curation / filtering
     "decontaminate": q_decontaminate,
+    "eval_overlap_report": q_eval_overlap_report,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "mixture_sample": q_mixture_sample,
