@@ -1,0 +1,92 @@
+"""PageRank over the customer--supplier purchase graph.
+
+The reference engine has no graph operators (SURVEY.md section 2a);
+this is extension surface alongside the other iterative algorithms
+(label propagation, Lloyd's k-means): power-iteration ranking over a
+relation-derived graph, the shape used for site/domain authority
+weighting in web-corpus curation (e.g. seed-quality scores in
+Common-Crawl-style pipelines).
+
+Graph: nodes are customers and suppliers ('c<id>' / 's<id>'); an
+undirected edge links a customer to every supplier they bought from
+(distinct pairs via lineitem x orders). Rank update is the standard
+damped sum r' = 0.15 + 0.85 * sum(r_u / deg_u) over in-neighbors.
+
+Scale design:
+- the edge list is built ONCE (one distinct over the fact join),
+  carries its degree, and is lazily checkpointed; each power
+  iteration is one join (ranks are |V| rows, broadcastable at any
+  realistic vertex count -- but planned as a plain key join so the
+  same code works when |V| outgrows a broadcast) plus one grouped
+  sum with map-side partials;
+- iteration count is a constant (power iteration converges
+  geometrically; rank ORDER stabilizes long before values), so the
+  whole loop is a fixed-depth plan -- no driver-side collects at all;
+- cross-engine exactness uses the lm_score recipe: each edge
+  contribution is rounded to 9 decimals and summed as DECIMAL
+  (associative, partitioning-independent), then string-routed back
+  to double -- so every iteration is bit-identical in Spark and
+  DuckDB and the unrolled-SQL oracle (registry._pagerank_ctes)
+  hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+DAMPING = 0.85
+TELEPORT = 0.15
+
+
+def purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized edge list [src, dst, d(egree of src)]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("dsrc")).agg(F.count("*").alias("d"))
+    return (
+        e.join(deg, F.col("src") == F.col("dsrc"))
+        .select("src", "dst", "d")
+        .localCheckpoint(eager=False)
+    )
+
+
+def pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """DataFrame[node, r] after `iters` damped power iterations from
+    uniform r0 = 1.0. Deterministic and engine-portable (see module
+    docstring); serve with an orderBy+limit for a top-k report."""
+    ewd = purchase_graph(spark, sf_dir)
+    ranks = ewd.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0).alias("r")
+    )
+    for _ in range(iters):
+        contrib = ewd.join(ranks, F.col("src") == F.col("node")).select(
+            "dst",
+            F.round(F.col("r") / F.col("d"), 9).cast("decimal(12,9)").alias("term"),
+        )
+        sums = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("term").alias("s")
+        )
+        ranks = sums.select(
+            "node",
+            (
+                F.lit(TELEPORT)
+                + F.lit(DAMPING) * F.col("s").cast("string").cast("double")
+            ).alias("r"),
+        )
+    return ranks

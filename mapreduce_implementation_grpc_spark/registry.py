@@ -186,6 +186,27 @@ def _bpe_encode_sql(k: int) -> str:
     """
 
 
+def _pagerank_ctes(iters: int) -> str:
+    """Unrolled damped power iterations over the purchase graph,
+    mirroring operators/pagerank.py: per-edge contributions rounded
+    to 9dp and summed as DECIMAL (the lm_score exactness recipe), so
+    every iteration's rank vector is bit-identical to Spark's."""
+    parts = ["""e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+  deg AS (SELECT src AS dsrc, count(*) AS d FROM e GROUP BY 1),
+  ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg ON e.src = deg.dsrc),
+  r0 AS (SELECT dsrc AS node, CAST(1.0 AS DOUBLE) AS r FROM deg)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""r{t} AS (
+    SELECT ed.dst AS node,
+           CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+             * CAST(CAST(sum(CAST(round(rr.r / ed.d, 9) AS DECIMAL(12,9)))
+                         AS VARCHAR) AS DOUBLE) AS r
+    FROM ed JOIN r{t - 1} rr ON ed.src = rr.node GROUP BY 1)""")
+    return ",\n  ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # faithful reference surface (SURVEY.md section 2a)
 # ---------------------------------------------------------------------------
@@ -479,6 +500,24 @@ def q_eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eval_overlap_report(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+PAGERANK_ITERS = 3
+
+
+def q_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 power iterations) over the customer-supplier
+    purchase graph; top-100 authority report with deterministic
+    tie-break. No driver collects: the whole loop is one fixed-depth
+    lazy plan (see operators/pagerank.py for the scale notes)."""
+    from .operators.pagerank import pagerank
+
+    r = pagerank(spark, sf_dir, iters=PAGERANK_ITERS)
+    return (
+        r.orderBy(F.desc("r"), F.asc("node"))
+        .limit(100)
+        .select("node", F.round("r", 6).alias("rank"))
     )
 
 
@@ -1988,6 +2027,11 @@ ORACLES: dict[str, str] = {
       FROM ev LEFT JOIN tr ON ev.sh = tr.sh
       GROUP BY ev.doc_id
     """,
+    "purchase_pagerank": f"""
+      WITH {_pagerank_ctes(PAGERANK_ITERS)}
+      SELECT node, round(r, 6) AS "rank"
+      FROM r{PAGERANK_ITERS} ORDER BY r DESC, node ASC LIMIT 100
+    """,
     "repetition_stats": f"""
       WITH toks AS ({_SQL_TOKS}),
       t AS (SELECT doc_id, unnest(toks) AS tok,
@@ -3126,6 +3170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curation / filtering
     "decontaminate": q_decontaminate,
     "eval_overlap_report": q_eval_overlap_report,
+    "purchase_pagerank": q_purchase_pagerank,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "mixture_sample": q_mixture_sample,
@@ -3285,6 +3330,7 @@ BENCH_QUERIES = [
     "customer_distribution",
     "waiting_suppliers",
     "product_profit",
+    "purchase_pagerank",
     "revenue_forecast",
     "shipping_priority",
     "top_customers",

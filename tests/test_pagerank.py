@@ -1,0 +1,55 @@
+"""PageRank over the purchase graph: structural sanity + determinism
+(exactness vs DuckDB is covered by the registry-wide oracle parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_grpc_spark.operators.pagerank import (
+    pagerank,
+    purchase_graph,
+)
+from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+
+def test_rank_lower_bound_and_node_count(spark, sf_smoke):
+    g = purchase_graph(spark, sf_smoke)
+    n_nodes = g.select("src").distinct().count()
+    r = pagerank(spark, sf_smoke, iters=3)
+    rows = r.collect()
+    assert len(rows) == n_nodes
+    # teleport term is a hard floor
+    assert all(row["r"] >= 0.15 for row in rows)
+
+
+def test_hub_suppliers_outrank_leaf_customers(spark, sf_smoke):
+    # suppliers aggregate rank from hundreds of customers; the top of
+    # the report must be supplier nodes
+    top = QUERIES["purchase_pagerank"](spark, sf_smoke).limit(10).collect()
+    assert all(row["node"].startswith("s") for row in top)
+
+
+def test_deterministic_across_runs(spark, sf_smoke):
+    a = {r["node"]: r["rank"] for r in QUERIES["purchase_pagerank"](spark, sf_smoke).collect()}
+    b = {r["node"]: r["rank"] for r in QUERIES["purchase_pagerank"](spark, sf_smoke).collect()}
+    assert a == b
+
+
+def test_degree_monotone_within_suppliers(spark, sf_smoke):
+    # among supplier nodes, rank should correlate with degree: the
+    # max-degree supplier must rank at least as high as the min-degree
+    g = purchase_graph(spark, sf_smoke)
+    deg = {
+        r["src"]: r["d"]
+        for r in g.select("src", "d").distinct().collect()
+        if r["src"].startswith("s")
+    }
+    ranks = {
+        r["node"]: r["r"]
+        for r in pagerank(spark, sf_smoke, iters=3).collect()
+        if r["node"].startswith("s")
+    }
+    hi = max(deg, key=deg.get)
+    lo = min(deg, key=deg.get)
+    if deg[hi] > deg[lo]:
+        assert ranks[hi] >= ranks[lo]
