@@ -163,3 +163,39 @@ def test_tpch_join_queries_broadcast_dimensions(spark, sf_check):
             f"{name}: expected >= {n} broadcast joins\n{plan[:1500]}"
         )
         assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_avoids_distinct_expand(spark, sf_check):
+    """Q21's per-order aggregate is a manual two-level groupBy; the
+    mixed distinct-aggregate form would plan an Expand x3 replay of
+    the joined fact (measured 1.9x slower) — pin its absence."""
+    plan = _plan(spark, sf_check, "waiting_suppliers")
+    assert "Expand" not in plan, f"waiting_suppliers re-grew an Expand:\n{plan[:2000]}"
+
+
+def test_bpe_encode_corpus_pass_is_map_only(spark, sf_check):
+    """After training (which runs at plan-build time), applying the
+    merge rules to documents is literal replace() calls: the served
+    plan must hold no Exchange and no join — scan-speed tokenization."""
+    plan = _plan(spark, sf_check, "bpe_encode")
+    assert "Exchange" not in plan, f"bpe_encode shuffles:\n{plan[:2000]}"
+    assert "Join" not in plan
+
+
+def test_pagerank_has_no_cartesian_and_bounded_joins(spark, sf_check):
+    """Three power iterations = exactly three rank joins over the
+    checkpointed edge list + the degree join; any cartesian or an
+    unexpected join-count jump means an iteration stopped reusing the
+    edge table."""
+    plan = _plan(spark, sf_check, "purchase_pagerank")
+    assert "CartesianProduct" not in plan
+    joins = plan.count("Join")
+    assert joins <= 8, f"purchase_pagerank join blowup ({joins}):\n{plan[:2000]}"
+
+
+def test_eval_overlap_corpus_side_never_shuffles(spark, sf_check):
+    """The train-corpus side must reach its broadcast probe join with
+    no hash Exchange below it (same contract as decontaminate)."""
+    plan = _plan(spark, sf_check, "eval_overlap_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
