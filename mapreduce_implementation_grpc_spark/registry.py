@@ -503,6 +503,18 @@ def q_eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-banded fuzzy vocabulary match: every word pair within
+    Levenshtein distance 2, found via deletion-neighborhood buckets
+    (keyed join, never all-pairs) + exact-distance filter. The oracle
+    is the NAIVE all-pairs SQL, so hash parity proves the banding
+    loses no pair."""
+    from .operators import bpe
+    from .operators.fuzzy import fuzzy_word_pairs
+
+    return fuzzy_word_pairs(bpe.word_freqs(spark, sf_dir))
+
+
 PAGERANK_ITERS = 3
 
 
@@ -2027,6 +2039,16 @@ ORACLES: dict[str, str] = {
       FROM ev LEFT JOIN tr ON ev.sh = tr.sh
       GROUP BY ev.doc_id
     """,
+    "fuzzy_word_pairs": f"""
+      WITH t AS ({_SQL_TOKS}),
+      u AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1)
+      SELECT a.w AS w1, b.w AS w2,
+             CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
+             a.c AS c1, b.c AS c2
+      FROM u a JOIN u b ON a.w < b.w
+      WHERE levenshtein(a.w, b.w) <= 2
+    """,
     "purchase_pagerank": f"""
       WITH {_pagerank_ctes(PAGERANK_ITERS)}
       SELECT node, round(r, 6) AS "rank"
@@ -3171,6 +3193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
+    "fuzzy_word_pairs": q_fuzzy_word_pairs,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "mixture_sample": q_mixture_sample,
