@@ -36,8 +36,17 @@ def curate_documents(
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. exact dedup: keep the canonical (min doc_id) of each
-    #    identical-content group
-    keep_exact = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    #    identical-content group. The keep-set is a SMALL id list
+    #    consumed by three downstream subplans (cluster signatures,
+    #    the anti-join, the final annotate) -- checkpoint it lazily so
+    #    the md5 aggregate runs once. (docs1 itself is deliberately
+    #    NOT checkpointed: materializing the whole corpus is not a
+    #    100 TB pattern; the extra scans are parquet-speed.)
+    keep_exact = (
+        exact_dedup(docs)
+        .select(F.col("keep_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
     docs1 = docs.join(keep_exact, "doc_id", "left_semi")
 
     # 2. near-dup removal: within each MinHash cluster keep only the
@@ -105,11 +114,25 @@ def select_pretraining_corpus(
     from ..operators.dsir import dsir_weights
 
     docs = load_table(spark, sf_dir, "documents")
-    keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    # the dedup keep-set and the DSIR-selected set are each consumed
+    # by MULTIPLE downstream subplans (DSIR training scans docs1
+    # several times; temperature rates scan docs2; the final join
+    # reuses sel) -- lazily checkpointing these two SMALL id-sets pays
+    # the dedup aggregate and the DSIR training exactly once
+    # (measured 3.5x at sf0.1: 7.5 s -> 2.2 s warm)
+    keep = (
+        exact_dedup(docs)
+        .select(F.col("keep_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
     docs1 = docs.join(keep, "doc_id", "left_semi")
 
     w = dsir_weights(docs1, target_source=target_source)
-    sel = w.filter(F.col("dsir_logw") >= min_logw).select("doc_id", "dsir_logw")
+    sel = (
+        w.filter(F.col("dsir_logw") >= min_logw)
+        .select("doc_id", "dsir_logw")
+        .localCheckpoint(eager=False)
+    )
     docs2 = docs1.join(sel.select("doc_id"), "doc_id", "left_semi")
 
     return temperature_sample(docs2).join(sel, "doc_id")
