@@ -692,14 +692,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=5)
 
 
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity-search quality eval: recall of the IVF ANN probe
-    against exact brute-force kNN, per query (|ann cap exact| /
-    |exact|). Both sides are deterministic plans already in the
-    registry, so the whole evaluation is oracle-checkable -- the
-    standard way to choose n_probe/cells before shipping an index."""
+def _recall_df(spark, sf_dir, ann) -> DataFrame:
     exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    ann = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
         exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -715,6 +709,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nh / F.col("n_exact").cast("double"), 6).alias("recall"),
         )
     )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search quality eval: recall of the IVF ANN probe
+    against exact brute-force kNN, per query (|ann cap exact| /
+    |exact|). Both sides are deterministic plans already in the
+    registry, so the whole evaluation is oracle-checkable -- the
+    standard way to choose n_probe/cells before shipping an index."""
+    ann = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_df(spark, sf_dir, ann)
+
+
+ANN_SWEEP_PROBES = (1, 2, 4)
+
+
+def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-n_probe TUNING CURVE: per-query IVF recall at
+    n_probe in {1, 2, 4} in one result (recall must be monotone
+    non-decreasing in n_probe -- more probed cells only add
+    candidates). This is the table an index operator reads to pick
+    the latency/recall point before shipping; every branch reuses the
+    deterministic IVF plan so the whole sweep stays hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for np_ in ANN_SWEEP_PROBES:
+        ann = ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=5, n_probe=np_)
+        r = _recall_df(spark, sf_dir, ann.select("query_id", "neighbor_id"))
+        r = r.select(F.lit(np_).cast("long").alias("n_probe"), "*")
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3116,16 +3140,29 @@ ORACLES["select_pretraining_corpus"] = (
 )
 
 # composed evaluation: both sides reuse the existing deterministic oracles
-ORACLES["ann_recall"] = (
-    "WITH exact AS (" + ORACLES["knn_cosine"] + "),\n"
-    "ann AS (" + ORACLES["ann_ivf"] + "),\n"
-    """h AS (SELECT e.query_id, count(*) AS n_hits
+def _recall_block(ivf_sql: str) -> str:
+    return (
+        "WITH exact AS (" + ORACLES["knn_cosine"] + "),\n"
+        "ann AS (" + ivf_sql + "),\n"
+        """h AS (SELECT e.query_id, count(*) AS n_hits
              FROM exact e JOIN ann a ON a.query_id = e.query_id
               AND a.neighbor_id = e.neighbor_id GROUP BY 1),
       b AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
       SELECT b.query_id, coalesce(h.n_hits, 0) AS n_hits,
              round(coalesce(h.n_hits, 0) / CAST(b.n_exact AS DOUBLE), 6) AS recall
       FROM b LEFT JOIN h USING (query_id)"""
+    )
+
+
+ORACLES["ann_recall"] = _recall_block(ORACLES["ann_ivf"])
+
+# the probe-count sweep re-parameterizes the IVF block's `pr <= N`
+# routing predicate; everything else is byte-identical
+ORACLES["ann_recall_sweep"] = "\nUNION ALL\n".join(
+    f"SELECT CAST({np} AS BIGINT) AS n_probe, r.* FROM ("
+    + _recall_block(ORACLES["ann_ivf"].replace("pr <= 2", f"pr <= {np}"))
+    + ") r"
+    for np in (1, 2, 4)
 )
 
 
@@ -3213,6 +3250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
+    "ann_recall_sweep": q_ann_recall_sweep,
     "kmeans_cells": q_kmeans_cells,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "embedding_dup_pairs": q_embedding_dup_pairs,

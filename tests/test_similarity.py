@@ -150,3 +150,22 @@ def test_semantic_dedup_oracle_parity(spark, sf_check):
         registry.ORACLES["semantic_dedup"],
         sf_check,
     )
+
+
+def test_ann_recall_sweep_monotone_in_probes(spark, sf_smoke):
+    """More probed cells can only ADD candidates, so per-probe mean
+    recall must be non-decreasing across the sweep."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    rows = (
+        QUERIES["ann_recall_sweep"](spark, sf_smoke)
+        .groupBy("n_probe")
+        .agg(F.avg("recall").alias("mean_recall"))
+        .orderBy("n_probe")
+        .collect()
+    )
+    means = [r["mean_recall"] for r in rows]
+    assert len(means) == 3
+    assert all(a <= b + 1e-12 for a, b in zip(means, means[1:]))
