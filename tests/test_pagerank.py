@@ -53,3 +53,11 @@ def test_degree_monotone_within_suppliers(spark, sf_smoke):
     lo = min(deg, key=deg.get)
     if deg[hi] > deg[lo]:
         assert ranks[hi] >= ranks[lo]
+
+
+def test_broadcast_gate_fallback_is_identical(spark, sf_smoke):
+    """The shuffle-join fallback (web-scale path) must produce the
+    exact same rank vector as the broadcast-ranks default."""
+    a = sorted(map(tuple, pagerank(spark, sf_smoke, broadcast_ranks=True).collect()))
+    b = sorted(map(tuple, pagerank(spark, sf_smoke, broadcast_ranks=False).collect()))
+    assert a == b and len(a) > 0
