@@ -82,10 +82,49 @@ def pagerank(
     same loop plans a plain key join (edge list shuffles per
     iteration, the vanilla Pregel cost) with no driver-side rank
     materialization."""
+    return _power_iterate(purchase_graph(spark, sf_dir), None, iters, broadcast_ranks)
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    seeds: DataFrame,
+    iters: int = 3,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass lands only on the `seeds`
+    node set (DataFrame[node]) instead of uniformly -- the standard
+    graph-proximity recommendation primitive ('which suppliers are
+    close to THIS customer segment'). Same exactness recipe and scale
+    gate as `pagerank`; the per-node teleport indicator is a 0/1
+    double joined once (broadcast -- seed sets are small by nature),
+    so non-seed nodes earn rank only through incoming walk mass."""
     ewd = purchase_graph(spark, sf_dir)
-    ranks = ewd.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1.0).alias("r")
+    ind = (
+        ewd.select("src").distinct()
+        .join(F.broadcast(seeds.select(F.col("node"), F.lit(1.0).alias("i1"))),
+              F.col("src") == F.col("node"), "left")
+        .select(F.col("src").alias("inode"),
+                F.coalesce(F.col("i1"), F.lit(0.0)).alias("ind"))
+        .localCheckpoint(eager=False)
     )
+    return _power_iterate(ewd, ind, iters, broadcast_ranks)
+
+
+def _power_iterate(
+    ewd: DataFrame,
+    ind: DataFrame | None,
+    iters: int,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    """Shared damped power iteration; `ind` is the per-node teleport
+    indicator (None = uniform 1.0, classic PageRank)."""
+    if ind is None:
+        ranks = ewd.select("src").distinct().select(
+            F.col("src").alias("node"), F.lit(1.0).alias("r")
+        )
+    else:
+        ranks = ind.select(F.col("inode").alias("node"), F.col("ind").alias("r"))
     for _ in range(iters):
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = ewd.join(rside, F.col("src") == F.col("node")).select(
@@ -95,11 +134,12 @@ def pagerank(
         sums = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.sum("term").alias("s")
         )
-        ranks = sums.select(
-            "node",
-            (
-                F.lit(TELEPORT)
-                + F.lit(DAMPING) * F.col("s").cast("string").cast("double")
-            ).alias("r"),
-        )
+        walk = F.lit(DAMPING) * F.col("s").cast("string").cast("double")
+        if ind is None:
+            ranks = sums.select("node", (F.lit(TELEPORT) + walk).alias("r"))
+        else:
+            ranks = (
+                sums.join(F.broadcast(ind), F.col("node") == F.col("inode"))
+                .select("node", (F.lit(TELEPORT) * F.col("ind") + walk).alias("r"))
+            )
     return ranks

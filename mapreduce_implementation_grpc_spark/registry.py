@@ -186,24 +186,37 @@ def _bpe_encode_sql(k: int) -> str:
     """
 
 
-def _pagerank_ctes(iters: int) -> str:
+def _pagerank_ctes(iters: int, seeds_sql: str | None = None) -> str:
     """Unrolled damped power iterations over the purchase graph,
     mirroring operators/pagerank.py: per-edge contributions rounded
     to 9dp and summed as DECIMAL (the lm_score exactness recipe), so
-    every iteration's rank vector is bit-identical to Spark's."""
+    every iteration's rank vector is bit-identical to Spark's.
+    With `seeds_sql` (a SELECT yielding a `node` column) the teleport
+    mass lands only on the seed set -- personalized PageRank."""
     parts = ["""e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
   e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
   deg AS (SELECT src AS dsrc, count(*) AS d FROM e GROUP BY 1),
-  ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg ON e.src = deg.dsrc),
-  r0 AS (SELECT dsrc AS node, CAST(1.0 AS DOUBLE) AS r FROM deg)"""]
+  ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg ON e.src = deg.dsrc)"""]
+    if seeds_sql is None:
+        parts.append("r0 AS (SELECT dsrc AS node, CAST(1.0 AS DOUBLE) AS r FROM deg)")
+    else:
+        parts.append(f"""seeds AS ({seeds_sql}),
+  ind AS (SELECT deg.dsrc AS inode,
+                 CASE WHEN seeds.node IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS ind
+          FROM deg LEFT JOIN seeds ON deg.dsrc = seeds.node),
+  r0 AS (SELECT inode AS node, ind AS r FROM ind)""")
+    tele = ("CAST(0.15 AS DOUBLE)" if seeds_sql is None
+            else "CAST(0.15 AS DOUBLE) * ind.ind")
+    tail = "" if seeds_sql is None else " JOIN ind ON s.node = ind.inode"
     for t in range(1, iters + 1):
         parts.append(f"""r{t} AS (
-    SELECT ed.dst AS node,
-           CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
-             * CAST(CAST(sum(CAST(round(rr.r / ed.d, 9) AS DECIMAL(12,9)))
-                         AS VARCHAR) AS DOUBLE) AS r
-    FROM ed JOIN r{t - 1} rr ON ed.src = rr.node GROUP BY 1)""")
+    SELECT s.node, {tele} + CAST(0.85 AS DOUBLE) * s.sm AS r
+    FROM (SELECT ed.dst AS node,
+                 CAST(CAST(sum(CAST(round(rr.r / ed.d, 9) AS DECIMAL(12,9)))
+                           AS VARCHAR) AS DOUBLE) AS sm
+          FROM ed JOIN r{t - 1} rr ON ed.src = rr.node GROUP BY 1) s{tail})""")
     return ",\n  ".join(parts)
 
 
@@ -516,6 +529,29 @@ def q_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAGERANK_ITERS = 3
+PPR_SEGMENT = "BUILDING"
+
+
+def q_segment_affinity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport mass on one market segment's
+    customers; the top-50 SUPPLIER nodes by resulting rank are the
+    suppliers most proximate to that segment in the purchase graph --
+    graph-walk recommendation, oracle-exact (unrolled CTEs with a
+    seeded teleport)."""
+    from .operators.pagerank import personalized_pagerank
+
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_mktsegment") == PPR_SEGMENT).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node")
+    )
+    r = personalized_pagerank(spark, sf_dir, seeds, iters=PAGERANK_ITERS)
+    return (
+        r.filter(F.col("node").startswith("s"))
+        .orderBy(F.desc("r"), F.asc("node"))
+        .limit(50)
+        .select("node", F.round("r", 6).alias("rank"))
+    )
+
 
 
 def q_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2063,6 +2099,14 @@ ORACLES: dict[str, str] = {
       FROM ev LEFT JOIN tr ON ev.sh = tr.sh
       GROUP BY ev.doc_id
     """,
+    "segment_affinity_suppliers": f"""
+      WITH {_pagerank_ctes(PAGERANK_ITERS, seeds_sql=(
+          "SELECT DISTINCT 'c' || c_custkey AS node FROM customer "
+          "WHERE c_mktsegment = '" + PPR_SEGMENT + "'"))}
+      SELECT node, round(r, 6) AS "rank"
+      FROM r{PAGERANK_ITERS} WHERE node LIKE 's%'
+      ORDER BY r DESC, node ASC LIMIT 50
+    """,
     "fuzzy_word_pairs": f"""
       WITH t AS ({_SQL_TOKS}),
       u AS (SELECT w, count(*) AS c
@@ -3230,6 +3274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
+    "segment_affinity_suppliers": q_segment_affinity_suppliers,
     "fuzzy_word_pairs": q_fuzzy_word_pairs,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,

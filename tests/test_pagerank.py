@@ -61,3 +61,28 @@ def test_broadcast_gate_fallback_is_identical(spark, sf_smoke):
     a = sorted(map(tuple, pagerank(spark, sf_smoke, broadcast_ranks=True).collect()))
     b = sorted(map(tuple, pagerank(spark, sf_smoke, broadcast_ranks=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ppr_with_all_seeds_equals_classic(spark, sf_smoke):
+    """Personalized PageRank degenerates to classic PageRank when the
+    seed set is every node — pins that the seeded teleport math is the
+    same recipe, not a diverging reimplementation."""
+    from mapreduce_implementation_grpc_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    g = purchase_graph(spark, sf_smoke)
+    all_nodes = g.select(F.col("src").alias("node")).distinct()
+    a = sorted(map(tuple, pagerank(spark, sf_smoke, iters=3).collect()))
+    b = sorted(map(tuple, personalized_pagerank(spark, sf_smoke, all_nodes, iters=3).collect()))
+    assert a == b
+
+
+def test_ppr_empty_seed_set_is_all_zero(spark, sf_smoke):
+    from mapreduce_implementation_grpc_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    empty = spark.createDataFrame([], "node string")
+    rows = personalized_pagerank(spark, sf_smoke, empty, iters=2).collect()
+    assert rows and all(r["r"] == 0.0 for r in rows)
