@@ -461,3 +461,21 @@ def streaming_bpe_encode(
         F.size(toks).cast("long").alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
     )
+
+
+def streaming_decode_features(
+    docs_stream: DataFrame, text_col: str = "text", real_codec: bool = False
+) -> DataFrame:
+    """Ingest-time multimodal featurization: the Arrow-batched decode
+    (multimodal.binary_ops.decode_features, a stateless mapInPandas)
+    composed onto an unbounded stream unchanged -- payloads are
+    feature-extracted as they arrive, so the corpus lands already
+    vectorized. Append mode, no watermark, no state store; the Python
+    boundary stays batch-crossing (one Arrow transfer per microbatch
+    partition batch), never per-row. Batch/stream parity is pinned by
+    test (the decode is a pure function of the payload bytes)."""
+    from ..multimodal.binary_ops import decode_features, with_binary_payload
+
+    return decode_features(
+        with_binary_payload(docs_stream, text_col), real_codec=real_codec
+    )
