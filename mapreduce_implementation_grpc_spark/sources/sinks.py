@@ -37,3 +37,13 @@ def write_word_counts_text(df: DataFrame, path: str) -> None:
     df.select(F.concat_ws(" ", F.col("word"), F.col("cnt").cast("string")).alias("value")).write.mode(
         "overwrite"
     ).text(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Columnar ORC sink (Spark built-in; same predicate-pushdown and
+    column-pruning story as parquet -- the choice between them is an
+    ecosystem question, not a capability one)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

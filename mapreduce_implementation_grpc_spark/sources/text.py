@@ -73,3 +73,9 @@ def task_id_col(key: Column, num_tasks: int = 4) -> Column:
 
 def with_task_id(df: DataFrame, key: str = "doc_id", num_tasks: int = 4) -> DataFrame:
     return df.withColumn("task_id", task_id_col(F.col(key), num_tasks))
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan: filter pushdown + column pruning apply as
+    with parquet (plan-shape asserted in tests/test_sources_sinks)."""
+    return spark.read.orc(path)

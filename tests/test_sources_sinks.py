@@ -82,3 +82,28 @@ def test_csv_and_jsonl_sources(spark, tmp_path):
     (jl_dir / "a.jsonl").write_text('{"id": 3, "name": "gamma"}\n{"id": 4, "name": null}\n')
     got2 = sorted(map(tuple, read_jsonl_table(spark, str(jl_dir), schema).collect()))
     assert got2 == [(3, "gamma"), (4, None)]
+
+
+def test_orc_roundtrip_partitioned_and_pruned(spark, tmp_path, sf_smoke):
+    """ORC sink/scan round trip: partitioned write, identical rows
+    back, and the scan plan keeps column pruning + filter pushdown
+    (the same contract the parquet scans are linted for)."""
+    from mapreduce_implementation_grpc_spark.sources.sinks import write_orc
+    from mapreduce_implementation_grpc_spark.sources.text import read_orc_table
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by=["lang"])
+
+    back = read_orc_table(spark, out)
+    want = sorted(map(tuple, docs.collect()))
+    got = sorted(
+        (r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()
+    )
+    assert got == want
+
+    pruned = back.filter(back["n_chars"] > 100).select("doc_id")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "n_chars" in plan and "text" not in plan
+    assert "PushedFilters: [" in plan or "pushedFilters" in plan.lower()
