@@ -163,6 +163,35 @@ def _bpe_ctes(k: int) -> str:
     return ",\n  ".join(parts)
 
 
+def _bpe_compression_sql(k: int) -> str:
+    """Per-language rollup of the BPE encode CTEs (tokenizer parity)."""
+    m_cols = ", ".join(
+        f"(SELECT '|' || l || '||' || r || '|' FROM b{i}) AS s{i}, "
+        f"(SELECT '|' || l || r || '|' FROM b{i}) AS t{i}"
+        for i in range(k)
+    )
+    chain = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"
+    for i in range(k):
+        chain = f"replace({chain}, s{i}, t{i})"
+    return f"""
+      WITH {_bpe_ctes(k)},
+      m AS (SELECT {m_cols}),
+      per_doc AS (
+        SELECT lang,
+               CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+                    AS BIGINT) AS nc,
+               CAST(coalesce(list_sum(list_transform(toks, w ->
+                 len(list_filter(string_split({chain}, '||'),
+                                 x -> x <> '')))), 0) AS BIGINT) AS nb
+        FROM ({_sql_toks()}) CROSS JOIN m)
+      SELECT lang, CAST(sum(nc) AS BIGINT) AS total_chars,
+             CAST(sum(nb) AS BIGINT) AS total_bpe_tokens,
+             round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE), 6)
+               AS chars_per_token
+      FROM per_doc GROUP BY lang ORDER BY lang
+    """
+
+
 def _bpe_encode_sql(k: int) -> str:
     """Per-doc BPE token counts with the k trained merges applied as
     a literal replace chain (scalar merge columns cross-joined in so
@@ -526,6 +555,49 @@ def q_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.fuzzy import fuzzy_word_pairs
 
     return fuzzy_word_pairs(bpe.word_freqs(spark, sf_dir))
+
+
+def q_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-parity report: chars-per-BPE-token by language. The
+    fairness metric tokenizer owners publish (a language with a much
+    higher ratio is under-served by the learned merges and pays more
+    tokens for the same text). Composes the trained encode with a
+    one-shuffle rollup; the ratio is a division of two exact counts,
+    so it is bit-identical cross-engine."""
+    from .functions.text_stats import with_token_array
+    from .operators import bpe
+
+    merges, _ = bpe.bpe_train(spark, sf_dir, num_merges=BPE_MERGES)
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    n_bpe = F.aggregate(
+        F.transform(F.col("toks"), lambda w: bpe.encoded_len_col(w, merges)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    n_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    per_doc = docs.select("lang", n_bpe.alias("nb"), n_chars.alias("nc"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("nc").alias("total_chars"),
+            F.sum("nb").alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "total_chars",
+            "total_bpe_tokens",
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.col("total_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
 
 
 PAGERANK_ITERS = 3
@@ -2026,6 +2098,7 @@ ORACLES: dict[str, str] = {
       ) ORDER BY "rank"
     """,
     "bpe_encode": _bpe_encode_sql(BPE_MERGES),
+    "bpe_compression_by_lang": _bpe_compression_sql(BPE_MERGES),
     "inverted_index": f"""
       WITH s AS ({_SQL_SHINGLES}),
       p AS (SELECT DISTINCT doc_id, unnest(shset) AS phrase FROM s)
@@ -3258,6 +3331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "bpe_compression_by_lang": q_bpe_compression_by_lang,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_perplexity": q_doc_perplexity,

@@ -85,7 +85,7 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         # IVFADC: coarse + residual codebooks train at build time
         "ann_ivfpq_residual",
         # BPE: the greedy merge loop collects a top pair per round
-        "bpe_merges", "bpe_encode",
+        "bpe_merges", "bpe_encode", "bpe_compression_by_lang",
     }
     for name, fn in registry.QUERIES.items():
         if name in EAGER:
