@@ -1474,3 +1474,42 @@ def dominant_suppliers(
         )
         .orderBy("suppkey")
     )
+
+
+def purchase_attribution(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """First-touch attribution: every purchase attributed to the FIRST
+    event of its session (lag-gap sessions, same 30-min rule as
+    events_sessionize) -- the marketing-analytics query behind 'which
+    entry point drives revenue'. Window-only plan: the running-sum
+    session id and the session's first touch both hang off the single
+    (user_id, ts) sort, so the whole query is ONE shuffle on user_id
+    -- the naive form self-joins purchases back to a sessions table.
+    The second window partitions by (user_id, session_id): user_id
+    hash partitioning already satisfies that clustering, so Catalyst
+    inserts only a sort, not a second Exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(starts).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        sess.withColumn("first_touch", F.first("event_type").over(w2))
+        .withColumn("first_ts", F.first("ts").over(w2))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_s"),
+            "value",
+            "first_touch",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+        )
+    )

@@ -1103,6 +1103,7 @@ q_waiting_suppliers = analytics.waiting_suppliers
 q_product_profit = analytics.product_profit
 q_supplier_part_counts = analytics.supplier_part_counts
 q_dominant_suppliers = analytics.dominant_suppliers
+q_purchase_attribution = analytics.purchase_attribution
 
 
 def q_events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3120,6 +3121,29 @@ ORACLES: dict[str, str] = {
              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2
     """,
+    "purchase_attribution": """
+      WITH s AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      s2 AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+                 AS session_id FROM s),
+      s3 AS (SELECT *, first_value(event_type) OVER w2 AS first_touch,
+                    first_value(ts) OVER w2 AS first_ts
+             FROM s2
+             WINDOW w2 AS (PARTITION BY user_id, session_id
+                           ORDER BY ts ASC, event_id ASC))
+      SELECT event_id AS purchase_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_s, value,
+             first_touch,
+             strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS session_start_s
+      FROM s3 WHERE event_type = 'purchase'
+    """,
     "events_sessionize": """
       WITH g AS (
         SELECT user_id,
@@ -3422,6 +3446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "user_retention": q_user_retention,
     "events_sessionize": q_events_sessionize,
+    "purchase_attribution": q_purchase_attribution,
     "events_json_stats": q_events_json_stats,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,

@@ -199,3 +199,12 @@ def test_eval_overlap_corpus_side_never_shuffles(spark, sf_check):
     plan = _plan(spark, sf_check, "eval_overlap_report")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_purchase_attribution_is_single_shuffle(spark, sf_check):
+    """Both attribution windows hang off the user_id sort: the
+    (user_id, session_id) window must reuse the user_id hash
+    partitioning — one Exchange total, no self-join."""
+    plan = _plan(spark, sf_check, "purchase_attribution")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan
