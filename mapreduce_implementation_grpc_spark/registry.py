@@ -1106,6 +1106,25 @@ q_dominant_suppliers = analytics.dominant_suppliers
 q_purchase_attribution = analytics.purchase_attribution
 
 
+def q_attribution_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution REPORT: purchases and revenue rolled up by the
+    session's first-touch channel -- what a growth team actually
+    reads. One extra tiny aggregate over the single-shuffle
+    attribution plan; revenue summed as decimal (exact)."""
+    att = analytics.purchase_attribution(spark, sf_dir)
+    return (
+        att.groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            analytics._dec2dbl(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+            ).alias("total_revenue"),
+        )
+        .orderBy(F.desc("n_purchases"), "first_touch")
+    )
+
+
+
 def q_events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature attach: each event joined (as-of) to the
     per-user stats of the latest fully COMPLETED hour before it --
@@ -3144,6 +3163,14 @@ ORACLES: dict[str, str] = {
              strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS session_start_s
       FROM s3 WHERE event_type = 'purchase'
     """,
+    "attribution_summary": f"""
+      WITH att AS ({{ATTRIBUTION}})
+      SELECT first_touch, count(*) AS n_purchases,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               AS total_revenue
+      FROM att GROUP BY first_touch
+      ORDER BY n_purchases DESC, first_touch
+    """,
     "events_sessionize": """
       WITH g AS (
         SELECT user_id,
@@ -3278,6 +3305,10 @@ ORACLES["select_pretraining_corpus"] = (
     + """)
        SELECT k.doc_id, k.lang, k.source, sel.dsir_logw
        FROM kept k JOIN sel USING (doc_id)"""
+)
+
+ORACLES["attribution_summary"] = ORACLES["attribution_summary"].replace(
+    "{ATTRIBUTION}", ORACLES["purchase_attribution"]
 )
 
 # composed evaluation: both sides reuse the existing deterministic oracles
@@ -3447,6 +3478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_retention": q_user_retention,
     "events_sessionize": q_events_sessionize,
     "purchase_attribution": q_purchase_attribution,
+    "attribution_summary": q_attribution_summary,
     "events_json_stats": q_events_json_stats,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
