@@ -504,7 +504,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_stats import with_token_array
     from .operators import bpe
 
-    merges, _ = bpe.bpe_train(spark, sf_dir, num_merges=BPE_MERGES)
+    merges = bpe.trained_merges(spark, sf_dir, num_merges=BPE_MERGES)
     docs = with_token_array(load_table(spark, sf_dir, "documents"))
     n_bpe = F.aggregate(
         F.transform(F.col("toks"), lambda w: bpe.encoded_len_col(w, merges)),
@@ -567,7 +567,7 @@ def q_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_stats import with_token_array
     from .operators import bpe
 
-    merges, _ = bpe.bpe_train(spark, sf_dir, num_merges=BPE_MERGES)
+    merges = bpe.trained_merges(spark, sf_dir, num_merges=BPE_MERGES)
     docs = with_token_array(load_table(spark, sf_dir, "documents"))
     n_bpe = F.aggregate(
         F.transform(F.col("toks"), lambda w: bpe.encoded_len_col(w, merges)),
