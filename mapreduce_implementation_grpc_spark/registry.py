@@ -192,6 +192,45 @@ def _bpe_compression_sql(k: int) -> str:
     """
 
 
+def _bpe_pack_sql(k: int, budget: int = 256) -> str:
+    """pack_sequences over real trained-BPE counts (oracle twin of
+    q_pack_sequences_bpe): the encode CTEs feed the per-shard
+    prefix-sum block layout."""
+    m_cols = ", ".join(
+        f"(SELECT '|' || l || '||' || r || '|' FROM b{i}) AS s{i}, "
+        f"(SELECT '|' || l || r || '|' FROM b{i}) AS t{i}"
+        for i in range(k)
+    )
+    chain = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"
+    for i in range(k):
+        chain = f"replace({chain}, s{i}, t{i})"
+    return f"""
+      WITH {_bpe_ctes(k)},
+      m AS (SELECT {m_cols}),
+      n AS (
+        SELECT doc_id, source,
+               CAST(coalesce(list_sum(list_transform(toks, w ->
+                 len(list_filter(string_split({chain}, '||'),
+                                 x -> x <> '')))), 0) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split_regex(trim(lower(
+                       regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+                       w -> w <> '') AS toks
+              FROM documents) CROSS JOIN m),
+      p AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prefix
+        FROM n)
+      SELECT doc_id, source, n_tokens,
+             CAST(prefix // {budget} AS BIGINT) AS bin_id,
+             CAST(prefix % {budget} AS BIGINT) AS offset
+      FROM p
+    """
+
+
 def _bpe_encode_sql(k: int) -> str:
     """Per-doc BPE token counts with the k trained merges applied as
     a literal replace chain (scalar merge columns cross-joined in so
@@ -597,6 +636,40 @@ def q_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
         .orderBy("lang")
+    )
+
+
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataFrame:
+    """Sequence packing by the TRAINED tokenizer's real token counts
+    (train BPE -> measure each doc -> lay head-to-tail into
+    budget-token blocks) -- the packing a training job actually does,
+    vs pack_sequences' length heuristic. Same scale-safe per-shard
+    window; the count column is the map-only encode."""
+    from pyspark.sql import Window
+
+    from .functions.text_stats import with_token_array
+    from .operators import bpe
+
+    merges = bpe.trained_merges(spark, sf_dir, num_merges=BPE_MERGES)
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    n_bpe = F.aggregate(
+        F.transform(F.col("toks"), lambda w: bpe.encoded_len_col(w, merges)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    base = docs.select("doc_id", "source", n_bpe.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(prefix / budget).cast("long").alias("bin_id"),
+        (prefix % budget).cast("long").alias("offset"),
     )
 
 
@@ -2119,6 +2192,7 @@ ORACLES: dict[str, str] = {
     """,
     "bpe_encode": _bpe_encode_sql(BPE_MERGES),
     "bpe_compression_by_lang": _bpe_compression_sql(BPE_MERGES),
+    "pack_sequences_bpe": _bpe_pack_sql(BPE_MERGES),
     "inverted_index": f"""
       WITH s AS ({_SQL_SHINGLES}),
       p AS (SELECT DISTINCT doc_id, unnest(shset) AS phrase FROM s)
@@ -3387,6 +3461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "bpe_compression_by_lang": q_bpe_compression_by_lang,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_perplexity": q_doc_perplexity,

@@ -86,6 +86,7 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         "ann_ivfpq_residual",
         # BPE: the greedy merge loop collects a top pair per round
         "bpe_merges", "bpe_encode", "bpe_compression_by_lang",
+        "pack_sequences_bpe",
     }
     for name, fn in registry.QUERIES.items():
         if name in EAGER:
