@@ -479,3 +479,45 @@ def streaming_decode_features(
     return decode_features(
         with_binary_payload(docs_stream, text_col), real_codec=real_codec
     )
+
+
+def dedup_append_sink(spark, path: str, text_col: str = "text"):
+    """foreachBatch sink factory: continuous corpus building with
+    EXACT unbounded dedup — each microbatch is fingerprinted
+    (md5 of normalized text), deduped within the batch (keep the min
+    doc_id, the batch operator's rule), anti-joined against the
+    fingerprints already WRITTEN, and appended.
+
+    This is the complement of streaming_dedup: that operator keeps
+    its seen-set in the state store bounded by a watermark (exact
+    within the horizon); here the seen-set IS the output table, so
+    dedup is exact over the whole stream's life and state survives
+    restarts for free. Cost per batch is O(table-scan of one
+    fingerprint column + batch) — at 100 TB the table side is a
+    single column read that partition-prunes if the table is
+    fingerprint-bucketed. Append of a batch is not atomic in plain
+    parquet (at-least-once delivery can replay a partially-written
+    batch); parquet_upsert_sink shows the converging rewrite, and a
+    table format's transactional append removes the caveat."""
+    from pyspark.sql.window import Window as _W
+
+    from ..operators.normalize import normalized_col as _norm
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = _W.partitionBy("fingerprint").orderBy("doc_id")
+        batch = (
+            batch_df.withColumn("fingerprint", F.md5(_norm(text_col)))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = spark.read.parquet(path).select("fingerprint")
+        except Exception:
+            seen = None
+        new = batch if seen is None else batch.join(
+            seen, "fingerprint", "left_anti"
+        )
+        new.write.mode("append").parquet(path)
+
+    return sink

@@ -354,3 +354,47 @@ def test_streaming_dsir_filter_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from dsir_stream").collect()
     }
     assert got == want and set(got) == {10, 11}
+
+
+def test_dedup_append_sink_exact_across_batches(spark, tmp_path):
+    """Continuous corpus building: duplicates arriving in LATER
+    microbatches (beyond any watermark horizon) must still be dropped,
+    because the seen-set is the output table itself."""
+    from mapreduce_implementation_grpc_spark.streaming import dedup_append_sink
+
+    src = str(tmp_path / "dedup_src")
+    out = str(tmp_path / "dedup_out")
+    # batch 1: two distinct docs + an intra-batch dup (doc 3 == doc 1)
+    _write_docs(src, [
+        (1, "2024-01-01 10:00:00", "alpha beta gamma"),
+        (2, "2024-01-01 10:01:00", "delta epsilon"),
+        (3, "2024-01-01 10:02:00", "alpha beta gamma"),
+    ])
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(src)
+    q = (
+        stream.writeStream.foreachBatch(dedup_append_sink(spark, out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # batch 2 (separate trigger): one cross-batch dup + one new doc
+    with open(os.path.join(src, "more.json"), "w") as f:
+        for doc_id, ts, text in [
+            (4, "2024-01-02 09:00:00", "alpha beta gamma"),   # dup of 1, next day
+            (5, "2024-01-02 09:01:00", "zeta eta theta"),
+        ]:
+            f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n")
+    q2 = (
+        stream.writeStream.foreachBatch(dedup_append_sink(spark, out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    table = spark.read.parquet(out)
+    rows = {r["doc_id"] for r in table.collect()}
+    fps = [r["fingerprint"] for r in table.collect()]
+    assert rows == {1, 2, 5}            # 3 (intra-batch) and 4 (cross-batch) dropped
+    assert len(fps) == len(set(fps))    # fingerprints unique in the table
