@@ -66,3 +66,27 @@ def test_variants_contain_word_and_are_distinct(spark):
     # 1-del: bca, aca, aba, abc (4 distinct); 2-del from those
     assert {"bca", "aca", "aba", "abc"} <= set(v)
     assert "ab" in v and "ca" in v
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1, max_size=12, unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=_words)
+def test_band_matches_brute_force_hypothesis(spark, words):
+    """Random small-alphabet vocabularies maximize accidental
+    near-collisions — the adversarial regime for the deletion band."""
+    freqs = spark.createDataFrame([(w, 1) for w in words], "w string, c long")
+    got = {
+        (r.w1, r.w2, r.dist)
+        for r in fuzzy_word_pairs(freqs, max_dist=2).collect()
+    }
+    want = {(a, b, d) for (a, b, d, _, _) in _brute(dict.fromkeys(words, 1), 2)}
+    assert got == want
