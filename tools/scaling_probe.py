@@ -233,12 +233,46 @@ def run_bpe_suite(docs) -> dict:
     }
 
 
+def run_pagerank_suite(spark, n_edges: int) -> dict:
+    """Synthetic bipartite purchase graph (hash-derived, no driver
+    data): scale claim to verify is per-iteration cost ~linear in
+    edges for both the broadcast-ranks gate and the key-join
+    fallback, with the gap between them = the per-iteration shuffle
+    of the edge list."""
+    from mapreduce_implementation_grpc_spark.operators.pagerank import (
+        _power_iterate,
+    )
+
+    n_c, n_s = max(100, n_edges // 50), max(10, n_edges // 5000)
+    base = spark.range(n_edges).select(
+        F.concat(F.lit("c"), F.pmod(F.xxhash64("id"), F.lit(n_c))).alias("src"),
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_s))).alias("dst"),
+    ).distinct()
+    e = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("dsrc")).agg(F.count("*").alias("d"))
+    ewd = (
+        e.join(F.broadcast(deg), F.col("src") == F.col("dsrc"))
+        .select("src", "dst", "d")
+        .localCheckpoint(eager=False)
+    )
+    n = ewd.count()
+    out = {"edges": n}
+    for label, bc in (("bcast", True), ("keyjoin", False)):
+        t0 = time.perf_counter()
+        _full_eval(_power_iterate(ewd, None, 3, bc))
+        out[f"pagerank3_{label}_s"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "synth"
     default_sizes = {
         "synth": [5000, 50000, 250000],
         "emb": [5000, 50000, 500000],
         "bpe": [5000, 50000, 250000],
+        "pagerank": [100000, 1000000, 5000000],
     }.get(mode, [1, 10, 50])
     sizes = [int(m) for m in sys.argv[2:]] or default_sizes
     spark = get_spark(app_name="scaling-probe")
@@ -252,6 +286,12 @@ def main() -> None:
         for s in sizes:
             print(json.dumps({"mode": mode, "size": s,
                               **run_bpe_suite(synth_corpus(spark, s))}))
+        spark.stop()
+        return
+    if mode == "pagerank":
+        for s in sizes:
+            print(json.dumps({"mode": mode, "size": s,
+                              **run_pagerank_suite(spark, s)}))
         spark.stop()
         return
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
