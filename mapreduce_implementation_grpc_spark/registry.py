@@ -792,6 +792,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf_dir, "documents"), max_iter=20)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: membership is decided per
+    NEAR-DUP CLUSTER, not per document, so two near-duplicates can
+    never straddle the split and leak training text into validation
+    (the published split-hygiene rule behind benchmark-decontamination
+    practice). Singletons form their own cluster (cluster = doc_id);
+    the split is a content-free hash of the cluster id -- deterministic
+    under any partitioning. ~1/16 of clusters go to val.
+    EAGER: cluster propagation runs at build time."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(
+        load_table(spark, sf_dir, "documents"), max_iter=20
+    ).select("doc_id", F.col("cluster").alias("cl"))
+    assigned = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cl"), F.col("doc_id")).alias("cluster")
+    )
+    bucket = F.substring(F.md5(F.col("cluster").cast("string")), 1, 1)
+    return assigned.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket == "0", F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
 def q_dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT ngram-Jaccard pair graph:
     the same iterative min-label propagation as dedup_clusters, but
@@ -2564,6 +2588,16 @@ ORACLES: dict[str, str] = {
     """,
     # connected components over the SQL-reproducible ngram-Jaccard
     # edges: recursive CTE = transitive min-label closure
+    "leakage_safe_split": f"""
+      WITH cl AS ({_dedup_clusters_sql()}),
+      assigned AS (
+        SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+      SELECT doc_id, cluster,
+             CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 1) = '0'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM assigned
+    """,
     "dedup_clusters_jaccard": f"""
       WITH RECURSIVE base AS (
         WITH sh AS ({_SQL_SHINGLES}),
@@ -3491,6 +3525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": q_dedup_clusters,
+    "leakage_safe_split": q_leakage_safe_split,
     "dedup_clusters_jaccard": q_dedup_clusters_jaccard,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,

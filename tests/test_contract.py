@@ -77,6 +77,7 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         # iterative algorithms: training / propagation rounds are jobs
         # by nature, and kmeans seeds / centroid rows live driver-side
         "dedup_clusters", "dedup_clusters_jaccard", "curate_documents",
+        "leakage_safe_split",
         "kmeans_cells", "ann_ivf_kmeans",
         # product quantization: per-subspace Lloyd fits at build time
         "pq_codes", "pq_search", "ann_ivfpq",

@@ -109,3 +109,24 @@ def test_oracle_parity(spark, sf_check, name):
     assert_matches_oracle(
         registry.QUERIES[name](spark, sf_check), registry.ORACLES[name], sf_check
     )
+
+
+def test_leakage_safe_split_never_straddles_near_dups(spark, sf_check):
+    """The split's whole point: every MinHash near-dup pair must land
+    on the SAME side, and both split values must be non-empty."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    split = QUERIES["leakage_safe_split"](spark, sf_check)
+    pairs = minhash_near_dup_pairs(load_table(spark, sf_check, "documents"))
+    a = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddling = pairs.join(a, "doc_a").join(b, "doc_b").filter("sa <> sb")
+    assert straddling.count() == 0
+    sides = {r["split"] for r in split.select("split").distinct().collect()}
+    assert sides == {"train", "val"}
