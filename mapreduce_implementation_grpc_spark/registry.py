@@ -673,6 +673,69 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str, budget: int = 256) ->
     )
 
 
+BM25_QUERY = ("spark", "join", "fast")
+
+
+def _eq_lit(t: str):
+    """Single-arg HOF lambda factory: a two-parameter lambda would be
+    treated by PySpark as an (element, index) function."""
+    return lambda x: x == F.lit(t)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str, k1: float = 1.2,
+                b: float = 0.75, topn: int = 50) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 top-k for a fixed query -- the
+    sparse complement of the ANN dense-retrieval suite (hybrid search
+    runs both and fuses). Plan: one corpus pass computes per-doc term
+    frequencies and length from the materialized token array; the
+    collection statistics (N, per-term df, avg doc length) are ONE
+    tiny aggregate broadcast back (scalar-subquery pattern), so there
+    is no shuffle proportional to the corpus beyond the single stats
+    aggregate; top-k is TakeOrderedAndProject.
+
+    Cross-engine exactness: idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    is rounded to 9dp (the lm_score ln recipe); every other factor is
+    arithmetic on identical doubles; contributions are summed as a
+    FIXED-ORDER expression chain (query terms are literals), not an
+    aggregation, so no reassociation can occur; final score rounds
+    to 6dp."""
+    from .functions.text_stats import with_token_array
+
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_lit(t))).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    score = F.lit(0.0)
+    for i in range(len(BM25_QUERY)):
+        df_ = F.col(f"df_{i}").cast("double")
+        idf = F.round(F.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0), 9)
+        tf = F.col(f"tf_{i}").cast("double")
+        denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(topn)
+    )
+
+
 PAGERANK_ITERS = 3
 PPR_SEGMENT = "BUILDING"
 
@@ -2217,6 +2280,22 @@ ORACLES: dict[str, str] = {
     "bpe_encode": _bpe_encode_sql(BPE_MERGES),
     "bpe_compression_by_lang": _bpe_compression_sql(BPE_MERGES),
     "pack_sequences_bpe": _bpe_pack_sql(BPE_MERGES),
+    "bm25_topk": f"""
+      WITH t AS ({_SQL_TOKS}),
+      pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_0,
+               CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_1,
+               CAST(len(list_filter(toks, x -> x = 'fast')) AS BIGINT) AS tf_2
+             FROM t),
+      st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+              CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+              CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+              CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+             FROM pd)
+      SELECT doc_id, round(CAST(0.0 AS DOUBLE) + (round(ln((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 9) * (CAST(tf_0 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (CAST(tf_0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) + round(ln((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 9) * (CAST(tf_1 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (CAST(tf_1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) + round(ln((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 9) * (CAST(tf_2 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (CAST(tf_2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6) AS bm25
+      FROM pd CROSS JOIN st
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    """,
     "inverted_index": f"""
       WITH s AS ({_SQL_SHINGLES}),
       p AS (SELECT DISTINCT doc_id, unnest(shset) AS phrase FROM s)
@@ -3498,6 +3577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_topk": q_bm25_topk,
     "doc_perplexity": q_doc_perplexity,
     "doc_tf_cosine": q_doc_tf_cosine,
     # training-data shaping

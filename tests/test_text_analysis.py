@@ -130,3 +130,22 @@ def test_nb_max_vocab_gate(spark):
     # the label set and scores stay log-probabilities
     assert tiny and all(r.pred_lang in {"en", "fr", "de"} for r in tiny.values())
     assert all(r.nb_score < 0 for r in tiny.values())
+
+
+def test_bm25_ranks_matching_docs_first(spark, sf_smoke):
+    """BM25 sanity: every doc in the top-10 must contain at least one
+    query term, scores are positive there, and a doc with zero query
+    terms scores exactly 0 (idf * 0 terms)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.registry import BM25_QUERY, QUERIES
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    top = QUERIES["bm25_topk"](spark, sf_smoke).limit(10).collect()
+    assert top and all(r["bm25"] > 0 for r in top)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_smoke, "documents").collect()
+    }
+    for r in top:
+        assert any(t in docs[r["doc_id"]].split() for t in BM25_QUERY)
