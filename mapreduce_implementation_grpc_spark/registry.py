@@ -979,6 +979,42 @@ def _recall_df(spark, sf_dir, ann) -> DataFrame:
     )
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str, k_each: int = 50,
+                      topn: int = 20, rrf_k: int = 60) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-50 and the dense cosine top-50 (document vector 0 as the
+    query embedding) -- score = sum over systems of 1/(60 + rank), the
+    standard fusion that needs no score calibration. Both input
+    rankings are deterministic plans already in the registry; fusion
+    is a full-outer join of two <=50-row lists, so the fused stage
+    costs nothing at any corpus size. Exact cross-engine: ranks are
+    integers, each term is one double division, and the two terms add
+    in fixed order (expression, not aggregation)."""
+    from pyspark.sql import Window
+
+    bm = q_bm25_topk(spark, sf_dir, topn=k_each)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = bm.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    den = knn_brute_force(emb, q0, k=k_each).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_den")
+    )
+    kd = F.lit(float(rrf_k))
+    one = F.lit(1.0)
+    fused = lex.join(den, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(one / (kd + F.col("r_lex").cast("double")), F.lit(0.0))
+            + F.coalesce(one / (kd + F.col("r_den").cast("double")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(topn)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-search quality eval: recall of the IVF ANN probe
     against exact brute-force kNN, per query (|ann cap exact| /
@@ -3498,6 +3534,29 @@ ORACLES["attribution_summary"] = ORACLES["attribution_summary"].replace(
     "{ATTRIBUTION}", ORACLES["purchase_attribution"]
 )
 
+ORACLES["hybrid_rrf_topk"] = f"""
+  WITH lexb AS (SELECT * FROM ({ORACLES["bm25_topk"]})),
+  lex AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+          FROM lexb),
+  q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+         WHERE vec_id = 0),
+  sden AS (SELECT e.vec_id AS doc_id,
+                  round(list_cosine_similarity(q0.qvec,
+                        CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+           FROM q0, embeddings e WHERE e.vec_id <> 0),
+  denr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r_den
+           FROM sden),
+  den AS (SELECT doc_id, r_den FROM denr WHERE r_den <= 50)
+  SELECT doc_id,
+         round(coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r_lex AS DOUBLE)), CAST(0 AS DOUBLE))
+               + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r_den AS DOUBLE)), CAST(0 AS DOUBLE)), 6)
+           AS rrf
+  FROM lex FULL OUTER JOIN den USING (doc_id)
+  ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
 # composed evaluation: both sides reuse the existing deterministic oracles
 def _recall_block(ivf_sql: str) -> str:
     return (
@@ -3578,6 +3637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "doc_perplexity": q_doc_perplexity,
     "doc_tf_cosine": q_doc_tf_cosine,
     # training-data shaping
