@@ -3806,6 +3806,8 @@ BENCH_QUERIES = [
     "knn_cosine",
     "ann_lsh",
     "ann_recall",
+    "bm25_topk",
+    "hybrid_rrf_topk",
     "embedding_quantize",
     "embedding_project",
     "pricing_summary",
