@@ -979,6 +979,37 @@ def _recall_df(spark, sf_dir, ann) -> DataFrame:
     )
 
 
+def q_bm25_snippets(spark: SparkSession, sf_dir: str, topn: int = 20,
+                    ctx: int = 30, width: int = 80) -> DataFrame:
+    """Search-result presentation: for each BM25 top-doc, an 80-char
+    snippet centered on the FIRST query-term occurrence (instr
+    positions; absent terms rank as +infinity via a sentinel). All
+    expression-level string ops -- the snippet stage adds zero
+    shuffles to the ranked join."""
+    far = F.lit(1_000_000_000)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    top = q_bm25_topk(spark, sf_dir, topn=topn)
+    pos_cols = [
+        F.when(F.instr(F.col("text"), F.lit(t)) > 0,
+               F.instr(F.col("text"), F.lit(t))).otherwise(far)
+        for t in BM25_QUERY
+    ]
+    first_pos = F.least(*pos_cols)
+    start = F.greatest(first_pos - F.lit(ctx), F.lit(1))
+    return (
+        top.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "bm25",
+            F.when(first_pos < far,
+                   F.substr(F.col("text"), start, F.lit(width)))
+            .otherwise(F.substr(F.col("text"), F.lit(1), F.lit(width)))
+            .alias("snippet"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str, k_each: int = 50,
                       topn: int = 20, rrf_k: int = 60) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
@@ -3557,6 +3588,19 @@ ORACLES["hybrid_rrf_topk"] = f"""
   ORDER BY rrf DESC, doc_id ASC LIMIT 20
 """
 
+ORACLES["bm25_snippets"] = f"""
+  WITH top AS (SELECT * FROM ({ORACLES["bm25_topk"]})
+               ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+  j AS (SELECT top.doc_id, top.bm25, d.text,
+               least(CASE WHEN instr(text, 'spark') > 0 THEN instr(text, 'spark') ELSE 1000000000 END, CASE WHEN instr(text, 'join') > 0 THEN instr(text, 'join') ELSE 1000000000 END, CASE WHEN instr(text, 'fast') > 0 THEN instr(text, 'fast') ELSE 1000000000 END) AS first_pos
+        FROM top JOIN documents d ON top.doc_id = d.doc_id)
+  SELECT doc_id, bm25,
+         CASE WHEN first_pos < 1000000000
+              THEN substr(text, CAST(greatest(first_pos - 30, 1) AS BIGINT), 80)
+              ELSE substr(text, 1, 80) END AS snippet
+  FROM j ORDER BY bm25 DESC, doc_id ASC
+"""
+
 # composed evaluation: both sides reuse the existing deterministic oracles
 def _recall_block(ivf_sql: str) -> str:
     return (
@@ -3638,6 +3682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "bm25_snippets": q_bm25_snippets,
     "doc_perplexity": q_doc_perplexity,
     "doc_tf_cosine": q_doc_tf_cosine,
     # training-data shaping
