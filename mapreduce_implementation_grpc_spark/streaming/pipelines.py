@@ -521,3 +521,70 @@ def dedup_append_sink(spark, path: str, text_col: str = "text"):
         new.write.mode("append").parquet(path)
 
     return sink
+
+
+def streaming_bm25_scores(
+    docs_stream: DataFrame,
+    stats: dict,
+    query: tuple[str, ...],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score arriving documents against a fixed query with FROZEN
+    collection statistics -- the serve half of BM25: idf and average
+    length come from a batch snapshot (`stats` = {"n_docs", "sum_dl",
+    "df": [...]}, one tiny driver-side dict), so scoring is a
+    stateless per-row Project over the stream. Refreshing the
+    snapshot periodically is the standard search-engine pattern
+    (statistics drift slowly; scores need no recomputation of the
+    corpus). Append mode, no state store."""
+    import math
+
+    from ..operators.normalize import normalized_col as _norm
+    from ..operators.tokenize import tokens_col
+
+    toks = tokens_col(_norm(text_col))
+    n = float(stats["n_docs"])
+    avgdl = float(stats["sum_dl"]) / n
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    for i, t in enumerate(query):
+        df_ = float(stats["df"][i])
+        idf = round(math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0), 9)
+        tf = F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))).cast("double")
+        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+        score = score + F.lit(idf) * (tf * (k1 + 1.0)) / denom
+    return docs_stream.select(
+        "doc_id", F.round(score, 6).alias("bm25")
+    )
+
+
+def bm25_collection_stats(spark, sf_dir: str, query: tuple[str, ...]) -> dict:
+    """Batch snapshot of the collection statistics streaming_bm25_scores
+    freezes: one aggregate over the corpus."""
+    from ..functions.text_stats import with_token_array
+    from ..sources.catalog import load_table
+
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
+    row = docs.select(
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t)))
+            .cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(query)
+        ],
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query))
+        ],
+    ).collect()[0]
+    return {
+        "n_docs": row["n_docs"],
+        "sum_dl": row["sum_dl"],
+        "df": [row[f"df_{i}"] for i in range(len(query))],
+    }

@@ -398,3 +398,36 @@ def test_dedup_append_sink_exact_across_batches(spark, tmp_path):
     fps = [r["fingerprint"] for r in table.collect()]
     assert rows == {1, 2, 5}            # 3 (intra-batch) and 4 (cross-batch) dropped
     assert len(fps) == len(set(fps))    # fingerprints unique in the table
+
+
+def test_streaming_bm25_matches_batch(spark, tmp_path, sf_smoke):
+    """Frozen-statistics BM25 over a stream of the SAME corpus must
+    reproduce the batch bm25 ranking scores doc-for-doc."""
+    from mapreduce_implementation_grpc_spark.registry import BM25_QUERY, QUERIES
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+    from mapreduce_implementation_grpc_spark.streaming import (
+        bm25_collection_stats,
+        streaming_bm25_scores,
+    )
+
+    stats = bm25_collection_stats(spark, sf_smoke, BM25_QUERY)
+    src = str(tmp_path / "bm25_docs")
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(docs.schema).json(src)
+    q = (
+        streaming_bm25_scores(stream, stats, BM25_QUERY)
+        .writeStream.format("memory")
+        .queryName("bm25_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.bm25 for r in spark.sql("select * from bm25_stream").collect()
+    }
+    want = {r.doc_id: r.bm25 for r in QUERIES["bm25_topk"](spark, sf_smoke).collect()}
+    # batch query returns the top-50; every one of those scores must
+    # match the streamed score exactly
+    assert want and all(got[d] == s for d, s in want.items())
