@@ -307,21 +307,110 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(10) decile boundaries of order value: each decile's row
+def orders_price_deciles(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 1024
+) -> DataFrame:
+    """ntile(10) decile summary of order value: each decile's row
     count and min/max price -- the distribution-summary shape for
-    curriculum bucketing / data balancing. The global ntile runs over
-    orders ONCE (single sort); the per-decile rollup is a tiny
-    aggregation on top."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    tiled = orders.select(
-        F.col("o_totalprice"), F.ntile(10).over(w).alias("decile")
+    curriculum bucketing / data balancing.
+
+    Scale design: a naive ``ntile(10) OVER (ORDER BY price)`` plans
+    an Exchange SinglePartition + global Sort over EVERY order row
+    (the reference's single-reducer bug, O15, reborn), so no raw
+    fact row may cross a single-partition exchange here. Instead:
+
+    1. aggregate to the (price, cnt) distribution -- one partial-agg
+       shuffle keyed on price;
+    2. exact global rank range [s, e] of each price run via a
+       two-level cumulative sum: a value-range bucket id (monotone in
+       price, so bucket order == price order), per-bucket totals
+       (<= n_buckets aggregate rows; the only single-partition window
+       in the plan runs over THAT), plus a within-bucket running sum
+       partitioned by bucket;
+    3. the 10 ntile intervals in closed form from the 1-row count
+       aggregate (ntile over N rows: the first N%10 tiles get
+       floor(N/10)+1 rows, the rest floor(N/10));
+    4. a 10-row broadcast interval join distribution x deciles, then
+       the per-decile rollup: overlap sizes sum to the tile counts
+       and min/max price come from the overlapping runs.
+
+    Tie-break note: the oracle's ntile orders by (price, o_orderkey),
+    but a price run occupies a contiguous rank range regardless of
+    how ties are ordered inside it, so per-decile count/min/max are
+    identical -- the hash match against the naive ntile SQL proves
+    the decomposition exact."""
+    prices = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    dist = prices.groupBy("o_totalprice").agg(F.count("*").alias("cnt"))
+    stats = prices.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    return tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
-        F.count("*").alias("n_orders"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
+    # monotone non-decreasing bucket id (IEEE subtraction/division by
+    # a positive constant round monotonically): equal prices share a
+    # bucket, so bucket order refines to price order
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("hi") <= F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        )
+    )
+    # lazy-checkpoint the distribution: three downstream branches
+    # (within-bucket cumsum, bucket offsets, N for the tile bounds)
+    # reuse it, and without the checkpoint each would re-scan orders
+    db = (
+        dist.crossJoin(F.broadcast(stats))
+        .select("o_totalprice", "cnt", bucket.cast("long").alias("bkt"))
+        .localCheckpoint(eager=False)
+    )
+    bc = db.groupBy("bkt").agg(F.sum("cnt").alias("bcnt"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.select(
+        "bkt", F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("boff")
+    )
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = (
+        db.withColumn("lbefore", F.coalesce(F.sum("cnt").over(wl), F.lit(0)))
+        .join(F.broadcast(boff), "bkt")
+        .select(
+            "o_totalprice",
+            (F.col("boff") + F.col("lbefore") + F.lit(1)).alias("s"),
+            (F.col("boff") + F.col("lbefore") + F.col("cnt")).alias("e"),
+        )
+    )
+    base = F.floor(F.col("n") / 10)
+    rem = F.col("n") % 10
+    start = (F.col("decile") - 1) * base + F.least(F.col("decile") - 1, rem) + 1
+    deciles = (
+        db.agg(F.sum("cnt").alias("n"))
+        .select("n", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            start.alias("d_start"),
+            (start + base + F.when(F.col("decile") <= rem, 1).otherwise(0) - 1).alias(
+                "d_end"
+            ),
+        )
+        .filter(F.col("d_end") >= F.col("d_start"))
+    )
+    return (
+        runs.join(
+            F.broadcast(deciles),
+            (F.col("s") <= F.col("d_end")) & (F.col("e") >= F.col("d_start")),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum(
+                F.least(F.col("e"), F.col("d_end"))
+                - F.greatest(F.col("s"), F.col("d_start"))
+                + F.lit(1)
+            ).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
     )
 
 

@@ -43,19 +43,77 @@ def _plan(spark, sf_check, name: str) -> str:
     )
 
 
+# the node that FEEDS a single-partition exchange must already have
+# reduced the stream: an aggregate (partial or final -- both emit
+# grouped rows, not raw facts) or a limit. r3's orders_price_deciles
+# bug (global ntile Sort over every raw order row) slipped through a
+# weaker whole-plan regex because an unrelated partial agg appeared
+# elsewhere in the plan -- hence this child-subtree check.
+_REDUCED_CHILD = re.compile(
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate)\("
+    r"|(Local|Global)Limit|CollectLimit|TakeOrderedAndProject"
+)
+
+
+# unary row-preserving-or-narrowing nodes: seeing one below the
+# exchange doesn't decide anything -- keep walking to what produced
+# the rows (Filter/Project over an aggregate is still reduced rows;
+# Filter/Project over a FileScan is still raw facts)
+_TRANSPARENT = re.compile(r"^\*?(\(\d+\)\s*)?(Project|Filter|ColumnarToRow|InputAdapter)\b")
+
+
+def single_partition_violations(plan: str) -> list[str]:
+    """Every `Exchange SinglePartition` whose feeding subtree (walked
+    through narrow unary nodes -- an exchange is unary) is NOT rooted
+    at an aggregate or limit node."""
+    lines = plan.splitlines()
+    bad = []
+    for idx, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line or "ReusedExchange" in line:
+            continue
+        j = idx + 1
+        while j < len(lines):
+            node = lines[j].lstrip(" :+-")
+            if _REDUCED_CHILD.search(node):
+                break
+            if _TRANSPARENT.match(node):
+                j += 1
+                continue
+            bad.append(node.strip() or line.strip())
+            break
+        else:
+            bad.append(line.strip())
+    return bad
+
+
 @pytest.mark.parametrize("name", LINTABLE)
 def test_no_shuffled_cartesian_and_no_single_partition(spark, sf_check, name):
     plan = _plan(spark, sf_check, name)
     assert "CartesianProduct" not in plan, f"{name}: shuffled cartesian product"
     assert "Coalesce 1" not in plan, f"{name}: coalesce(1) over data"
-    if "Exchange SinglePartition" in plan:
-        # a single-partition exchange is only acceptable as the k-row
-        # merge of already-reduced partials: a global aggregate with a
-        # map-side partial phase. Anything else re-creates the
-        # reference's single-reducer bug (O15).
-        assert re.search(r"partial_(count|sum|min|max|avg)", plan), (
-            f"{name}: SinglePartition exchange without map-side partial agg"
-        )
+    bad = single_partition_violations(plan)
+    assert not bad, (
+        f"{name}: SinglePartition exchange fed by unreduced rows: {bad}"
+    )
+
+
+def test_single_partition_rule_catches_global_fact_sort(spark, sf_check):
+    """Regression guard for the lint itself: the r3
+    orders_price_deciles shape (global ntile window over raw order
+    rows) must be flagged even when a downstream aggregate
+    contributes partial_* nodes to the same plan."""
+    from pyspark.sql import Window, functions as F
+
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_check, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    tiled = orders.select(F.col("o_totalprice"), F.ntile(10).over(w).alias("decile"))
+    buggy = tiled.groupBy("decile").agg(F.count("*").alias("n_orders"))
+    plan = buggy._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" in plan  # the shape under test
+    assert re.search(r"partial_(count|sum|min|max|avg)", plan)  # old rule passed it
+    assert single_partition_violations(plan), "lint no longer catches the O15 shape"
 
 
 @pytest.mark.parametrize("name", LINTABLE)
