@@ -41,8 +41,17 @@ DAMPING = 0.85
 TELEPORT = 0.15
 
 
-def purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized edge list [src, dst, d(egree of src)]."""
+def purchase_graph(
+    spark: SparkSession, sf_dir: str, broadcast_small: bool = True
+) -> DataFrame:
+    """Symmetrized edge list [src, dst, d(egree of src)].
+
+    `broadcast_small` is the same |V|-scale gate as `broadcast_ranks`
+    below: the degree table is exactly |V| rows, so at web scale
+    (where the caller passes broadcast_ranks=False) the degree join
+    must also plan as a plain key join -- an ungated F.broadcast here
+    would silently assume |V| fits one executor even on the
+    "no-broadcast" path."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     e0 = (
@@ -57,8 +66,9 @@ def purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = e.groupBy(F.col("src").alias("dsrc")).agg(F.count("*").alias("d"))
+    dside = F.broadcast(deg) if broadcast_small else deg
     return (
-        e.join(F.broadcast(deg), F.col("src") == F.col("dsrc"))
+        e.join(dside, F.col("src") == F.col("dsrc"))
         .select("src", "dst", "d")
         .localCheckpoint(eager=False)
     )
@@ -82,7 +92,8 @@ def pagerank(
     same loop plans a plain key join (edge list shuffles per
     iteration, the vanilla Pregel cost) with no driver-side rank
     materialization."""
-    return _power_iterate(purchase_graph(spark, sf_dir), None, iters, broadcast_ranks)
+    ewd = purchase_graph(spark, sf_dir, broadcast_small=broadcast_ranks)
+    return _power_iterate(ewd, None, iters, broadcast_ranks)
 
 
 def personalized_pagerank(
@@ -97,9 +108,11 @@ def personalized_pagerank(
     graph-proximity recommendation primitive ('which suppliers are
     close to THIS customer segment'). Same exactness recipe and scale
     gate as `pagerank`; the per-node teleport indicator is a 0/1
-    double joined once (broadcast -- seed sets are small by nature),
-    so non-seed nodes earn rank only through incoming walk mass."""
-    ewd = purchase_graph(spark, sf_dir)
+    double joined once (the SEED side is broadcast -- seed sets are
+    small by nature; the |V|-row indicator itself goes through the
+    broadcast_ranks gate inside the iteration), so non-seed nodes
+    earn rank only through incoming walk mass."""
+    ewd = purchase_graph(spark, sf_dir, broadcast_small=broadcast_ranks)
     ind = (
         ewd.select("src").distinct()
         .join(F.broadcast(seeds.select(F.col("node"), F.lit(1.0).alias("i1"))),
@@ -138,8 +151,10 @@ def _power_iterate(
         if ind is None:
             ranks = sums.select("node", (F.lit(TELEPORT) + walk).alias("r"))
         else:
+            # the indicator is |V| rows -- same scale gate as ranks
+            iside = F.broadcast(ind) if broadcast_ranks else ind
             ranks = (
-                sums.join(F.broadcast(ind), F.col("node") == F.col("inode"))
+                sums.join(iside, F.col("node") == F.col("inode"))
                 .select("node", (F.lit(TELEPORT) * F.col("ind") + walk).alias("r"))
             )
     return ranks
