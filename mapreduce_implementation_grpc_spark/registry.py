@@ -157,8 +157,8 @@ def _bpe_ctes(k: int) -> str:
     GROUP BY 1, 2),
   b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
   v{i + 1} AS (SELECT replace(ws,
-                (SELECT '|' || l || '||' || r || '|' FROM b{i}),
-                (SELECT '|' || l || r || '|' FROM b{i})) AS ws, c FROM v{i})"""
+                coalesce((SELECT '|' || l || '||' || r || '|' FROM b{i}), ''),
+                coalesce((SELECT '|' || l || r || '|' FROM b{i}), '')) AS ws, c FROM v{i})"""
         )
     return ",\n  ".join(parts)
 
@@ -166,8 +166,8 @@ def _bpe_ctes(k: int) -> str:
 def _bpe_compression_sql(k: int) -> str:
     """Per-language rollup of the BPE encode CTEs (tokenizer parity)."""
     m_cols = ", ".join(
-        f"(SELECT '|' || l || '||' || r || '|' FROM b{i}) AS s{i}, "
-        f"(SELECT '|' || l || r || '|' FROM b{i}) AS t{i}"
+        f"coalesce((SELECT '|' || l || '||' || r || '|' FROM b{i}), '') AS s{i}, "
+        f"coalesce((SELECT '|' || l || r || '|' FROM b{i}), '') AS t{i}"
         for i in range(k)
     )
     chain = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"
@@ -197,8 +197,8 @@ def _bpe_pack_sql(k: int, budget: int = 256) -> str:
     q_pack_sequences_bpe): the encode CTEs feed the per-shard
     prefix-sum block layout."""
     m_cols = ", ".join(
-        f"(SELECT '|' || l || '||' || r || '|' FROM b{i}) AS s{i}, "
-        f"(SELECT '|' || l || r || '|' FROM b{i}) AS t{i}"
+        f"coalesce((SELECT '|' || l || '||' || r || '|' FROM b{i}), '') AS s{i}, "
+        f"coalesce((SELECT '|' || l || r || '|' FROM b{i}), '') AS t{i}"
         for i in range(k)
     )
     chain = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"
@@ -236,8 +236,8 @@ def _bpe_encode_sql(k: int) -> str:
     a literal replace chain (scalar merge columns cross-joined in so
     the list lambda only references plain columns)."""
     m_cols = ", ".join(
-        f"(SELECT '|' || l || '||' || r || '|' FROM b{i}) AS s{i}, "
-        f"(SELECT '|' || l || r || '|' FROM b{i}) AS t{i}"
+        f"coalesce((SELECT '|' || l || '||' || r || '|' FROM b{i}), '') AS s{i}, "
+        f"coalesce((SELECT '|' || l || r || '|' FROM b{i}), '') AS t{i}"
         for i in range(k)
     )
     chain = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"

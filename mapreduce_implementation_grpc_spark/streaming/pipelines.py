@@ -511,9 +511,17 @@ def dedup_append_sink(spark, path: str, text_col: str = "text"):
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # first batch: the sink table doesn't exist yet. Catch ONLY
+        # the path-not-found analysis error -- a corrupt footer or
+        # permission failure must fail the batch, not silently
+        # disable cross-batch dedup and append duplicates.
+        from pyspark.errors import AnalysisException
+
         try:
             seen = spark.read.parquet(path).select("fingerprint")
-        except Exception:
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             seen = None
         new = batch if seen is None else batch.join(
             seen, "fingerprint", "left_anti"
@@ -539,8 +547,6 @@ def streaming_bm25_scores(
     snapshot periodically is the standard search-engine pattern
     (statistics drift slowly; scores need no recomputation of the
     corpus). Append mode, no state store."""
-    import math
-
     from ..operators.normalize import normalized_col as _norm
     from ..operators.tokenize import tokens_col
 
@@ -551,10 +557,18 @@ def streaming_bm25_scores(
     score = F.lit(0.0)
     for i, t in enumerate(query):
         df_ = float(stats["df"][i])
-        idf = round(math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0), 9)
+        # compute AND round the idf SPARK-side: F.round is HALF_UP,
+        # matching the batch q_bm25_topk and the DuckDB oracle --
+        # Python's round() is half-to-even and would break
+        # stream/batch score parity on a log value tied at the 10th
+        # decimal; the log itself also runs in the JVM so even a
+        # 1-ulp libm-vs-Math.log divergence can't flip the rounding.
+        # (The argument is pure IEEE +-/ arithmetic: bit-identical
+        # wherever it's evaluated.)
+        idf = F.round(F.log(F.lit((n - df_ + 0.5) / (df_ + 0.5) + 1.0)), 9)
         tf = F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))).cast("double")
         denom = tf + k1 * (1.0 - b + b * dl / avgdl)
-        score = score + F.lit(idf) * (tf * (k1 + 1.0)) / denom
+        score = score + idf * (tf * (k1 + 1.0)) / denom
     return docs_stream.select(
         "doc_id", F.round(score, 6).alias("bm25")
     )

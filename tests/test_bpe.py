@@ -180,3 +180,35 @@ def test_streaming_bpe_encode_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 3
     # merged symbols shrink the count: 'lowest' = lo|w|est -> 3 < 6 chars
     assert got[1][1] < sum(len(w) for w in "low lower lowest newest".split())
+
+
+def test_degenerate_corpus_oracle_noops_instead_of_nulling(spark):
+    """A corpus that exhausts before BPE_MERGES rounds: the Spark
+    trainer breaks out of its loop, and the unrolled oracle's empty
+    b{i} scalar subqueries must degrade to a no-op replace (via the
+    coalesce guard) -- NOT null out every later vocab CTE. Runs the
+    real oracle SQL against a 2-word documents view and compares to
+    train_merges on the same words."""
+    import duckdb
+
+    from mapreduce_implementation_grpc_spark import registry
+
+    # tokens: ab x3, cd x2 -> merge1 (a,b,3), merge2 (c,d,2), then dry
+    text = "ab ab ab cd cd"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'en' AS lang, "
+        f"'{text}' AS text"
+    )
+    orows = con.execute(registry.ORACLES["bpe_merges"]).fetchall()
+
+    merges, _ = bpe.train_merges(
+        spark.createDataFrame([("ab", 3), ("cd", 2)], "w string, c long"),
+        num_merges=registry.BPE_MERGES,
+    )
+    assert len(merges) == 2 < registry.BPE_MERGES  # the degenerate case is real
+    assert [tuple(m) for m in merges] == [tuple(r) for r in orows]
+
+    # and the downstream encode/compression oracles must not null out
+    enc = con.execute(registry.ORACLES["bpe_compression_by_lang"]).fetchall()
+    assert enc and all(v is not None for row in enc for v in row)
