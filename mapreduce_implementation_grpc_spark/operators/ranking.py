@@ -1,0 +1,93 @@
+"""Distributed exact global ranking -- row_number/percent_rank over
+an arbitrarily large table WITHOUT a single-partition sort.
+
+The naive form (`row_number() OVER (ORDER BY k)` with no PARTITION BY)
+plans `Exchange SinglePartition -> Sort` over every input row: the
+reference's single-reducer bug (greeter_server.cc:105-110, O15) in
+window-function clothing, and the one plan shape the repo's plan lint
+forbids over unreduced rows. This operator computes the identical
+numbers with a two-level scheme (the same one plans/analytics.py's
+orders_price_deciles uses for its rank ranges):
+
+1. a VALUE-RANGE bucket id, monotone in the sort key (IEEE
+   subtraction / division by a positive constant round monotonically,
+   so `floor((k - lo)/w)` never inverts an ordering, and equal keys
+   always share a bucket);
+2. per-bucket row counts -> cumulative offsets. Only this
+   <= n_buckets-row AGGREGATE table ever crosses a single-partition
+   exchange;
+3. a within-bucket `row_number` window partitioned by bucket id (one
+   hash shuffle, parallel per-bucket sorts);
+4. global row number = bucket offset + local row number.
+
+Descending keys are handled by negating the key (exact for doubles
+and for longs up to 2^53), so one ascending code path serves both.
+
+Scale: one pass for the key stats, one partial-agg'd shuffle for the
+bucket counts, one hash shuffle for the per-bucket sort. Skewed key
+distributions put many rows in one bucket (one big sort task) --
+n_buckets trades skew resistance against offset-table size; heavy
+single-VALUE skew is inherent to ranking (ties must meet anyway).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_row_number(
+    df: DataFrame,
+    key: str,
+    tiebreaks: Sequence[Column] = (),
+    ascending: bool = True,
+    n_buckets: int = 1024,
+    out_col: str = "rn",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Append the exact global `row_number() OVER (ORDER BY key
+    [DESC], *tiebreaks)` as `out_col` (and optionally the total row
+    count as `total_col`, for percent_rank/cume_dist arithmetic)
+    without any single-partition exchange over `df`'s rows.
+
+    `key` must be a non-null numeric column; `tiebreaks` are
+    F.asc/F.desc columns applied after the key, exactly as in a
+    window ORDER BY."""
+    ak = F.col(key).cast("double")
+    if not ascending:
+        ak = -ak
+    base = df.withColumn("_ak", ak)
+    stats = base.agg(F.min("_ak").alias("_lo"), F.max("_ak").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1), F.floor((F.col("_ak") - F.col("_lo")) / width)
+        )
+    )
+    bk = (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("_bkt", bucket.cast("long"))
+        .drop("_lo", "_hi")
+        .localCheckpoint(eager=False)  # counts + ranked both read it
+    )
+    counts = bk.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_all).alias("_tot"),
+    )
+    w_local = Window.partitionBy("_bkt").orderBy(F.asc("_ak"), *tiebreaks)
+    ranked = (
+        bk.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, F.col("_off") + F.col("_lrn"))
+    )
+    if total_col is not None:
+        ranked = ranked.withColumn(total_col, F.col("_tot"))
+    return ranked.drop("_ak", "_bkt", "_lrn", "_off", "_tot")

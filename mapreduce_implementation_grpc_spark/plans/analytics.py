@@ -950,6 +950,39 @@ def customer_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_spend_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as customer_spend_percentiles, but the global rank
+    comes from operators/ranking.with_global_row_number instead of an
+    unpartitioned window: for when the per-customer aggregate is
+    ITSELF huge (a 100 TB corpus has ~1e9 customers), no
+    single-partition exchange may carry it. percent_rank/cume_dist
+    reduce to (rn-1)/(N-1) and rn/N because the ordering tuple
+    (spend, custkey) is unique -- the shared-oracle hash match proves
+    the decomposition."""
+    from ..operators.ranking import with_global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        _dec2dbl(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("spend")
+    )
+    r = with_global_row_number(
+        spend,
+        "spend",
+        tiebreaks=[F.asc("o_custkey")],
+        out_col="_rn",
+        total_col="_n",
+    )
+    pct = F.when(
+        F.col("_n") > 1, (F.col("_rn") - 1) / (F.col("_n") - 1)
+    ).otherwise(F.lit(0.0))
+    return r.select(
+        F.col("o_custkey").alias("custkey"),
+        "spend",
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(F.col("_rn") / F.col("_n"), 6).alias("cume"),
+    )
+
+
 def order_priority_backlog(
     spark: SparkSession, sf_dir: str, late_days: int = 60
 ) -> DataFrame:

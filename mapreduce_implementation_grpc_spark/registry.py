@@ -504,6 +504,21 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vocab_ids without the unpartitioned rank window: exact ids
+    from operators/ranking.with_global_row_number (two-level bucketed
+    ranking -- no single-partition exchange over the vocab), for
+    vocabularies too large for a one-task sort. Shares vocab_ids'
+    oracle: the hash match proves the decomposition exact."""
+    from .operators.ranking import with_global_row_number
+
+    wc = word_count(corpus_from_documents(spark, sf_dir)).filter(F.col("cnt") >= 5)
+    ranked = with_global_row_number(
+        wc, "cnt", tiebreaks=[F.asc("word")], ascending=False, out_col="vocab_id"
+    )
+    return ranked.select("word", "cnt", F.col("vocab_id").cast("long").alias("vocab_id"))
+
+
 BPE_MERGES = 4
 
 
@@ -3656,6 +3671,13 @@ ORACLES["nb_confusion"] = (
 )
 
 
+# the *_scalable variants are plan-level rewrites (distributed exact
+# ranking) of the same queries -- sharing the oracle is the point:
+# the hash match proves the rewrite exact
+ORACLES["vocab_ids_scalable"] = ORACLES["vocab_ids"]
+ORACLES["customer_spend_percentiles_scalable"] = ORACLES["customer_spend_percentiles"]
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
     "wordcount": q_wordcount,
@@ -3690,6 +3712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "ngram_counts": q_ngram_counts,
     "vocab_ids": q_vocab_ids,
+    "vocab_ids_scalable": q_vocab_ids_scalable,
     "inverted_index": q_inverted_index,
     "bigram_pmi": q_bigram_pmi,
     "top_terms_per_lang": q_top_terms_per_lang,
@@ -3737,6 +3760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_shipments": q_late_shipments,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "customer_spend_percentiles": q_customer_spend_percentiles,
+    "customer_spend_percentiles_scalable": analytics.customer_spend_percentiles_scalable,
     "temperature_sample": q_temperature_sample,
     "orders_grouping_sets": q_orders_grouping_sets,
     "purchase_and_signup_users": q_purchase_and_signup_users,

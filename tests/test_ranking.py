@@ -1,0 +1,62 @@
+"""operators/ranking.with_global_row_number: exactness vs the naive
+unpartitioned window, plus the plan shape that justifies it (no
+global sort / no single-partition exchange over the ranked rows)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_grpc_spark.operators.ranking import (
+    with_global_row_number,
+)
+from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+
+CASES = [
+    # (rows, ascending) -- ties, negatives, single value, skew
+    ([(1.0, "a"), (1.0, "b"), (2.0, "a"), (0.5, "z")], True),
+    ([(1.0, "a"), (1.0, "b"), (2.0, "a"), (0.5, "z")], False),
+    ([(-3.5, "x"), (-3.5, "y"), (7.0, "x"), (0.0, "q"), (0.0, "a")], True),
+    ([(4.0, "only")], True),
+    ([(9.0, c) for c in "abcdefgh"], False),  # every row the same key
+]
+
+
+@pytest.mark.parametrize("rows,asc", CASES)
+def test_matches_naive_window(spark, rows, asc):
+    df = spark.createDataFrame(rows, "k double, t string")
+    got = with_global_row_number(
+        df, "k", tiebreaks=[F.asc("t")], ascending=asc, n_buckets=4
+    )
+    w = Window.orderBy(F.asc("k") if asc else F.desc("k"), F.asc("t"))
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_total_col(spark):
+    df = spark.createDataFrame([(float(i), str(i)) for i in range(17)], "k double, t string")
+    out = with_global_row_number(df, "k", total_col="n").select("n").distinct().collect()
+    assert [r["n"] for r in out] == [17]
+
+
+@pytest.mark.parametrize(
+    "name", ["customer_spend_percentiles_scalable", "vocab_ids_scalable"]
+)
+def test_scalable_variants_have_no_global_sort(spark, sf_check, name):
+    """The whole point of the variants: no `Sort [...], true` (global
+    sort => Exchange rangepartitioning or SinglePartition of the
+    ranked table) anywhere in the executed plan. The shared-oracle
+    hash match (driver + tools/check_correctness) proves they still
+    return identical numbers."""
+    plan = (
+        QUERIES[name](spark, sf_check)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), plan[:1500]
+    assert "rangepartitioning" not in plan
