@@ -458,6 +458,49 @@ def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 150.0) -> Da
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the dense daily pivot back to long form -- one
+    (day, event_type, n) row per cell, INCLUDING the zero cells the
+    sparse groupBy form never materializes (that density is what
+    downstream models want from a melt). Spark's native unpivot is a
+    narrow Expand over the pivoted aggregate: no extra shuffle beyond
+    the pivot's own."""
+    return events_pivot_daily(spark, sf_dir).unpivot(
+        "day", list(EVENT_TYPES), "event_type", "n"
+    )
+
+
+def user_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially decayed activity value (EWMA-style,
+    alpha = 1/2): the most recent event contributes value/2, the one
+    before value/4, ... -- the recency-weighted engagement feature of
+    ranking/curation pipelines, computed EXACTLY:
+
+    - the decay factor is a power of two, so v * 0.5^k is pure IEEE
+      exponent arithmetic -- no rounding, bit-identical in any engine;
+    - each term is then rounded to 9 decimals and summed as DECIMAL
+      (associative -> partition-independent), string-routed back to
+      double: the lm_score/pagerank exactness recipe.
+
+    Scale: one window shuffle on user_id (high cardinality, uniform)
+    + one grouped sum with map-side partials over the same key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    term = F.round(
+        F.col("v") * F.pow(F.lit(0.5), F.row_number().over(w)), 9
+    ).cast("decimal(20,9)")
+    return (
+        ev.withColumn("term", term)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(_dec2dbl(F.sum("term")), 6).alias("decayed_value"),
+        )
+    )
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one row per day, one count column per event type. The
     pivot values are declared explicitly -- with them, Spark skips the

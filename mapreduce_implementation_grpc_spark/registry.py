@@ -853,6 +853,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked exact dedup (operators/dedup.keep_best_dedup):
+    among exact duplicates keep the cleanest raw copy, not the
+    smallest id -- one digest-keyed window shuffle."""
+    from .operators.dedup import keep_best_dedup
+
+    return keep_best_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_unpivot(spark, sf_dir)
+
+
+def q_user_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.user_activity_decay(spark, sf_dir)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -2533,6 +2550,45 @@ ORACLES: dict[str, str] = {
              min(doc_id) AS keep_doc_id, count(*) AS n_dups
       FROM documents GROUP BY 1
     """,
+    "dedup_keep_best": f"""
+      WITH s AS (
+        SELECT doc_id,
+               md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))) AS fp_md5,
+               round(
+                 least(len(toks) / 50.0, 1.0) * 0.35
+                 + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                          / greatest(length(text), 1)) * 0.25
+                 + (len(list_distinct(toks)) / greatest(len(toks), 1)) * 0.2
+                 + least(len(list_filter(toks, t -> t IN ('the','a','and','of','is'))) / 5.0, 1.0) * 0.2
+               , 6) AS quality
+        FROM ({_SQL_TOKS})),
+      r AS (SELECT fp_md5, doc_id, quality,
+                   row_number() OVER (PARTITION BY fp_md5 ORDER BY quality DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY fp_md5) AS n_dups
+            FROM s)
+      SELECT fp_md5, doc_id AS keep_doc_id, quality, n_dups FROM r WHERE rn = 1
+    """,
+    "events_unpivot": """
+      WITH p AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY 1)
+      UNPIVOT p ON click, error, purchase, signup, view INTO NAME event_type VALUE n
+    """,
+    "user_activity_decay": """
+      WITH r AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, count(*) AS n_events,
+             round(CAST(CAST(sum(CAST(round(v * power(0.5, rn), 9) AS DECIMAL(20,9)))
+                        AS VARCHAR) AS DOUBLE), 6) AS decayed_value
+      FROM r GROUP BY 1
+    """,
     "ngram_jaccard": f"""
       WITH sh AS ({_SQL_SHINGLES}),
       e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
@@ -3729,6 +3785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup
     "documents_sample": q_documents_sample,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_best": q_dedup_keep_best,
     "incremental_dedup": q_incremental_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,
@@ -3759,6 +3816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_confusion": q_nb_confusion,
     "late_shipments": q_late_shipments,
     "events_anomaly_zscore": q_events_anomaly_zscore,
+    "user_activity_decay": q_user_activity_decay,
     "customer_spend_percentiles": q_customer_spend_percentiles,
     "customer_spend_percentiles_scalable": analytics.customer_spend_percentiles_scalable,
     "temperature_sample": q_temperature_sample,
@@ -3812,6 +3870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "events_hopping": q_events_hopping,
     "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
     "orders_running_total": q_orders_running_total,
     "customers_without_orders": q_customers_without_orders,
     "brands_shipped": q_brands_shipped,
@@ -3896,4 +3955,11 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "events_json_stats",
+    # r4: the distributed-ranking rewrites (orders_price_deciles lost
+    # its single-partition fact sort; the *_scalable variants rank via
+    # the two-level bucket scheme) -- benched so the cost of the
+    # scale-correct plans is measured, not assumed
+    "orders_price_deciles",
+    "customer_spend_percentiles_scalable",
+    "vocab_ids_scalable",
 ]
