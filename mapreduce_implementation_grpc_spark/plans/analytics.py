@@ -458,6 +458,41 @@ def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 150.0) -> Da
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def user_activity_decay_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOLD form of user_activity_decay: per user, left-fold the
+    chronologically ordered values through decayed = (decayed + v)/2.
+    Same quantity as the window form's sum of v_i * 0.5^k_i, but as
+    the O(1)-state recursion a STREAMING operator can maintain --
+    streaming/pipelines.streaming_user_activity_decay is bit-exact
+    against this (identical IEEE op sequence), and the DuckDB
+    list_reduce oracle folds in the same order, so this form is
+    hash-checkable too. The two batch forms agree to float
+    reassociation (the fold re-rounds one addition per event; the
+    window form rounds each term to 9dp once).
+
+    Scale note: collect_list buffers one user's history per group --
+    bounded by per-user event counts (thousands), not stream length;
+    the streaming twin needs only the folded (decayed, n) pair."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    hist = F.array_sort(F.collect_list(F.struct("ts", "event_id", "v")))
+    return (
+        ev.groupBy("user_id")
+        .agg(hist.alias("h"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.aggregate(
+                    "h", F.lit(0.0), lambda acc, x: (acc + x["v"]) * F.lit(0.5)
+                ),
+                6,
+            ).alias("decayed_value"),
+        )
+    )
+
+
 def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the dense daily pivot back to long form -- one
     (day, event_type, n) row per cell, INCLUDING the zero cells the

@@ -870,6 +870,10 @@ def q_user_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.user_activity_decay(spark, sf_dir)
 
 
+def q_user_activity_decay_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.user_activity_decay_fold(spark, sf_dir)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -2589,6 +2593,14 @@ ORACLES: dict[str, str] = {
                         AS VARCHAR) AS DOUBLE), 6) AS decayed_value
       FROM r GROUP BY 1
     """,
+    "user_activity_decay_fold": """
+      SELECT user_id, count(*) AS n_events,
+             round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(CAST(value AS DOUBLE) ORDER BY ts, event_id)),
+               (acc, v) -> (acc + v) * 0.5), 6) AS decayed_value
+      FROM events GROUP BY 1
+    """,
     "ngram_jaccard": f"""
       WITH sh AS ({_SQL_SHINGLES}),
       e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
@@ -3817,6 +3829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_shipments": q_late_shipments,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "user_activity_decay": q_user_activity_decay,
+    "user_activity_decay_fold": q_user_activity_decay_fold,
     "customer_spend_percentiles": q_customer_spend_percentiles,
     "customer_spend_percentiles_scalable": analytics.customer_spend_percentiles_scalable,
     "temperature_sample": q_temperature_sample,

@@ -77,6 +77,64 @@ def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_user_activity_decay(events: DataFrame) -> DataFrame:
+    """Stateful online twin of
+    plans.analytics.user_activity_decay_fold: per-user recency-decayed
+    activity with O(1) state. Each arriving event (in (ts, event_id)
+    order) updates decayed = (decayed + value) * 0.5 -- the recursion
+    whose unrolling is the batch form's sum of v_i * 0.5^k_i.
+
+    Bit-exactness contract: against the FOLD batch form the stream is
+    bit-identical (same IEEE op sequence, HALF_UP rounding mirroring
+    F.round -- Python's round() is half-to-even and is deliberately
+    NOT used). Against the window+decimal registry form it agrees to
+    float reassociation only, because every new event retroactively
+    halves all old weights -- an online exact-decimal fold would need
+    unbounded per-event state. Output mode 'update'."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("decayed_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("decayed", DoubleType()), StructField("n", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        d, n = state.get if state.exists else (0.0, 0)
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            d = (d + float(v)) * 0.5
+            n += 1
+        state.update((d, n))
+        # repr() is the shortest round-trip decimal -- the same string
+        # java.math.BigDecimal.valueOf sees, so HALF_UP here == F.round
+        rounded = float(
+            Decimal(repr(d)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "decayed_value": [rounded]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -57,3 +57,61 @@ def test_state_accumulates_across_microbatches(spark, tmp_path):
         assert rows[2].n_events == 1 and rows[2].total_value == 1.0
     finally:
         q.stop()
+
+
+def test_decay_state_bit_exact_vs_fold_batch(spark, tmp_path):
+    """streaming_user_activity_decay across 2 microbatches must be
+    BIT-identical to the fold-form batch query over the union of the
+    batches: same IEEE op sequence, HALF_UP rounding mirroring
+    F.round. (The window+decimal registry form agrees only to float
+    reassociation -- documented, not asserted here.)"""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_user_activity_decay,
+    )
+
+    b1 = [(1, "2024-01-01 10:00:00", 1, 2.5), (2, "2024-01-01 10:01:00", 1, 1.1),
+          (3, "2024-01-01 10:00:30", 2, 7.25)]
+    b2 = [(4, "2024-01-01 11:00:00", 1, 0.3), (5, "2024-01-01 11:01:00", 2, 3.7),
+          (6, "2024-01-01 11:02:00", 3, 9.125)]
+    src = str(tmp_path / "ev_decay")
+    _write_batch(src, b1, "b1.json")
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    out = streaming_user_activity_decay(stream)
+    q = (out.writeStream.format("memory").queryName("decay")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        _write_batch(src, b2, "b2.json")
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {r.user_id: (r.n_events, r.decayed_value) for r in spark.sql(
+                "SELECT user_id, max_by(n_events, n_events) AS n_events, "
+                "max_by(decayed_value, n_events) AS decayed_value "
+                "FROM decay GROUP BY user_id").collect()}
+            if got.get(1, (0,))[0] == 3 and len(got) == 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        [(e, ts, u, v) for e, ts, u, v in b1 + b2],
+        "event_id long, ts string, user_id long, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+             F.col("value").alias("v"))
+    hist = F.array_sort(F.collect_list(F.struct("ts", "event_id", "v")))
+    want = {
+        r.user_id: (r.n_events, r.decayed_value)
+        for r in batch.groupBy("user_id")
+        .agg(hist.alias("h"), F.count("*").alias("n_events"))
+        .select("user_id", "n_events",
+                F.round(F.aggregate("h", F.lit(0.0),
+                                    lambda a, x: (a + x["v"]) * F.lit(0.5)), 6)
+                .alias("decayed_value"))
+        .collect()
+    }
+    assert got == want and len(want) == 3
