@@ -751,6 +751,71 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str, k1: float = 1.2,
     )
 
 
+def q_prf_rerank(spark: SparkSession, sf_dir: str, n_feedback: int = 10,
+                 topn: int = 20) -> DataFrame:
+    """Pseudo-relevance-feedback rerank (Rocchio-style): BM25
+    retrieves 50 candidates; the top n_feedback docs' embedding
+    CENTROID becomes the dense pseudo-query; candidates re-rank by
+    cosine to it -- the classic sparse-retrieve -> dense-rerank
+    composition (the other fusion besides hybrid_rrf_topk's rank
+    fusion).
+
+    Scale: the candidate list is 50 rows (lazily checkpointed so the
+    corpus-wide BM25 pass runs once, not once per consumer); the
+    centroid is a 64-row decimal-exact aggregate of 10 vectors folded
+    to a 1-row array and broadcast; the rerank window orders 50 rows.
+    Nothing corpus-sized shuffles beyond BM25's own stats aggregate.
+
+    Exactness: centroid dims use the label_centroids recipe
+    (DECIMAL(27,12) sums -> string-route -> /n -> round 6); cosine is
+    the element-order fold that is bit-identical to DuckDB's
+    list_cosine_similarity (functions/vectors.py)."""
+    from pyspark.sql import Window
+
+    from .functions.vectors import dot_col, l2_norm_col
+
+    cand = q_bm25_topk(spark, sf_dir).localCheckpoint(eager=False)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    fb = cand.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(n_feedback)
+    dims = (
+        fb.join(emb, "doc_id")
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(27,12)")).cast("string").cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    cvec = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+    scored = (
+        cand.join(emb, "doc_id")
+        .crossJoin(F.broadcast(cvec))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(
+                dot_col("embedding", "cvec")
+                / (l2_norm_col("embedding") * l2_norm_col("cvec")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+    )
+
+
 PAGERANK_ITERS = 3
 PPR_SEGMENT = "BUILDING"
 
@@ -3671,6 +3736,26 @@ ORACLES["hybrid_rrf_topk"] = f"""
   ORDER BY rrf DESC, doc_id ASC LIMIT 20
 """
 
+ORACLES["prf_rerank"] = f"""
+  WITH bm AS (SELECT * FROM ({ORACLES["bm25_topk"]})),
+  fb AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+  fv AS (SELECT CAST(e.embedding AS DOUBLE[]) AS dvec
+         FROM embeddings e JOIN fb ON e.vec_id = fb.doc_id),
+  i AS (SELECT dvec, unnest(range(1, len(dvec) + 1)) AS idx FROM fv),
+  f AS (SELECT idx, dvec[idx] AS v FROM i),
+  c AS (SELECT idx,
+               round(CAST(CAST(sum(CAST(v AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE)
+                     / count(*), 6) AS c
+        FROM f GROUP BY idx),
+  cv AS (SELECT list(c ORDER BY idx) AS cvec FROM c),
+  s AS (SELECT bm.doc_id, bm.bm25,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv.cvec), 6)
+                 AS cosine
+        FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN cv),
+  r AS (SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rn FROM s)
+  SELECT doc_id, bm25, cosine, CAST(rn AS BIGINT) AS "rank" FROM r WHERE rn <= 20
+"""
+
 ORACLES["bm25_snippets"] = f"""
   WITH top AS (SELECT * FROM ({ORACLES["bm25_topk"]})
                ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
@@ -3772,6 +3857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "prf_rerank": q_prf_rerank,
     "bm25_snippets": q_bm25_snippets,
     "doc_perplexity": q_doc_perplexity,
     "doc_tf_cosine": q_doc_tf_cosine,
