@@ -943,6 +943,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join at Jaccard >= 0.8 via lossless
+    prefix filtering (operators/setjoin.py); oracle is the naive
+    all-pairs SQL, so the hash match proves completeness."""
+    from .operators.setjoin import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -2666,6 +2675,26 @@ ORACLES: dict[str, str] = {
                (acc, v) -> (acc + v) * 0.5), 6) AS decayed_value
       FROM events GROUP BY 1
     """,
+    # oracle = all-pairs scan, restricted ONLY by the size lemma
+    # (J >= t  =>  t*|b| <= |a| <= |b|/t: intersect <= min size,
+    # union >= max size, so J <= min/max), which is independent of
+    # the prefix filter under test -- the hash match still proves the
+    # prefix candidate generation lossless, and the 4x pair cut keeps
+    # the quadratic oracle runnable at sweep SFs.
+    "jaccard_prefix_pairs": f"""
+      WITH g AS (SELECT doc_id, shset AS st FROM ({_SQL_SHINGLES})
+                 WHERE len(shset) > 0),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS inter,
+              CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS BIGINT)
+                AS union_sz
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(a.st) * 5 >= len(b.st) * 4
+              AND len(b.st) * 5 >= len(a.st) * 4)
+      SELECT doc_a, doc_b, inter, union_sz,
+             round(CAST(inter AS DOUBLE) / union_sz, 6) AS jaccard
+      FROM p WHERE 5 * inter >= 4 * union_sz
+    """,
     "ngram_jaccard": f"""
       WITH sh AS ({_SQL_SHINGLES}),
       e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
@@ -3886,6 +3915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "incremental_dedup": q_incremental_dedup,
     "ngram_jaccard": q_ngram_jaccard,
+    "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": q_dedup_clusters,
     "leakage_safe_split": q_leakage_safe_split,

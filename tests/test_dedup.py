@@ -130,3 +130,58 @@ def test_leakage_safe_split_never_straddles_near_dups(spark, sf_check):
     assert straddling.count() == 0
     sides = {r["split"] for r in split.select("split").distinct().collect()}
     assert sides == {"train", "val"}
+
+
+def test_jaccard_prefix_join_is_lossless_vs_brute_force(spark):
+    """Prefix filtering must drop NO qualifying pair: compare against
+    a brute-force all-pairs Jaccard on a crafted corpus with planted
+    near-dups, exact dups, and unrelated docs. (The registry oracle
+    proves the same at corpus scale; this pins it on adversarial
+    shapes: identical sets, sets differing by one shingle, subset
+    relations.)"""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.dedup import (
+        shingle_rows_flat,
+    )
+    from mapreduce_implementation_grpc_spark.operators.setjoin import (
+        jaccard_prefix_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                   # exact dup of 1
+            (3, base + " lambda"),                       # near-dup (one extra)
+            (4, "alpha beta gamma delta epsilon zeta"),  # prefix subset
+            (5, "one two three four five six seven"),    # unrelated
+            (6, "one two three four five six seven"),    # dup of 5
+            (7, "xx yy"),                                # too short: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.inter, r.union_sz, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, t_num=4, t_den=5).collect()
+    )
+
+    sh = shingle_rows_flat(docs).distinct()
+    sets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("st"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("st").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("st").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    want = sorted(
+        (r.doc_a, r.doc_b, r.inter, r.union_sz, r.jaccard)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", inter.alias("inter"),
+            (F.size("sa").cast("long") + F.size("sb") - inter).alias("union_sz"),
+        )
+        .filter(5 * F.col("inter") >= 4 * F.col("union_sz"))
+        .select("doc_a", "doc_b", "inter", "union_sz",
+                F.round(F.col("inter") / F.col("union_sz"), 6).alias("jaccard"))
+        .collect()
+    )
+    assert got == want
+    assert (1, 2) in {(x[0], x[1]) for x in got}  # the planted exact dup found
