@@ -1062,6 +1062,55 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cells(load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3)
 
 
+def q_cluster_topics(spark: SparkSession, sf_dir: str, topn: int = 5,
+                     min_count: int = 5) -> DataFrame:
+    """Topic labeling of embedding clusters: k-means cells (the
+    trained quantizer) joined to the documents' tokens, then each
+    cell's top terms by LIFT = p(word|cell)/p(word) -- the
+    cluster-inspection report of corpus-curation workflows ('what is
+    in this cell I am about to drop/keep'). EAGER: reuses
+    q_kmeans_cells' Lloyd fit at build time.
+
+    Plan: the join is vec_id==doc_id (uniform keys); the lift
+    denominators are three aggregates of the (cell, word) count table
+    (per-cell totals, per-word totals, grand total) joined back --
+    all post-aggregation sizes; top-n per cell is a window over the
+    filtered count table."""
+    from pyspark.sql import Window
+
+    from .functions.text_stats import with_token_array
+
+    cells = q_kmeans_cells(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("cell").cast("long").alias("cell")
+    )
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode("toks").alias("word")).join(
+        cells, "doc_id"
+    )
+    cw = words.groupBy("cell", "word").agg(F.count("*").alias("cnt"))
+    cw = cw.localCheckpoint(eager=False)  # 3 aggregates + the join reuse it
+    ct = cw.groupBy("cell").agg(F.sum("cnt").alias("ctot"))
+    wt = cw.groupBy("word").agg(F.sum("cnt").alias("wtot"))
+    g = cw.agg(F.sum("cnt").alias("gtot"))
+    lift = F.round(
+        (F.col("cnt").cast("double") / F.col("ctot"))
+        / (F.col("wtot").cast("double") / F.col("gtot")),
+        6,
+    )
+    scored = (
+        cw.filter(F.col("cnt") >= min_count)
+        .join(F.broadcast(ct), "cell")
+        .join(wt, "word")
+        .crossJoin(F.broadcast(g))
+        .select("cell", "word", "cnt", lift.alias("lift"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("lift"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN. Oracle-checked end-to-end: centroids
     are exact decimal-sum means, so DuckDB reproduces the identical
@@ -2695,6 +2744,25 @@ ORACLES: dict[str, str] = {
              round(CAST(inter AS DOUBLE) / union_sz, 6) AS jaccard
       FROM p WHERE 5 * inter >= 4 * union_sz
     """,
+    "cluster_topics": f"""
+      WITH km AS ({_kmeans_cells_sql()}),
+      t AS ({_SQL_TOKS}),
+      w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+      j AS (SELECT km.cell, w.word FROM w JOIN km ON w.doc_id = km.vec_id),
+      cw AS (SELECT cell, word, count(*) AS cnt FROM j GROUP BY 1, 2),
+      ct AS (SELECT cell, sum(cnt) AS ctot FROM cw GROUP BY 1),
+      wt AS (SELECT word, sum(cnt) AS wtot FROM cw GROUP BY 1),
+      g AS (SELECT sum(cnt) AS gtot FROM cw),
+      s AS (SELECT cw.cell, cw.word, CAST(cw.cnt AS BIGINT) AS cnt,
+              round((CAST(cnt AS DOUBLE) / ctot) / (CAST(wtot AS DOUBLE) / gtot), 6)
+                AS lift
+            FROM cw JOIN ct USING (cell) JOIN wt USING (word) CROSS JOIN g
+            WHERE cnt >= 5),
+      r AS (SELECT *, row_number() OVER (PARTITION BY cell
+              ORDER BY lift DESC, word ASC) AS rn FROM s)
+      SELECT cell, word, cnt, lift, CAST(rn AS BIGINT) AS "rank"
+      FROM r WHERE rn <= 5
+    """,
     "ngram_jaccard": f"""
       WITH sh AS ({_SQL_SHINGLES}),
       e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
@@ -3929,6 +3997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "ann_recall_sweep": q_ann_recall_sweep,
     "kmeans_cells": q_kmeans_cells,
+    "cluster_topics": q_cluster_topics,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,

@@ -30,6 +30,7 @@ EAGER_ITERATIVE = {
     "curate_documents",
     "kmeans_cells",
     "ann_ivf_kmeans",
+    "cluster_topics",
 }
 LINTABLE = sorted(set(registry.QUERIES) - EAGER_ITERATIVE)
 
