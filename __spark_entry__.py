@@ -14,7 +14,8 @@ tests/test_contract.py::test_lazy_queries_build_cheaply). The
 iterative algorithms -- ``dedup_clusters``, ``dedup_clusters_jaccard``,
 ``curate_documents``, ``kmeans_cells``, ``ann_ivf_kmeans``,
 ``pq_codes``, ``pq_search``, ``ann_ivfpq``, ``ann_ivfpq_residual``,
-``semantic_dedup``, ``bpe_merges``, ``bpe_encode`` --
+``semantic_dedup``, ``bpe_merges``, ``bpe_encode``,
+``cluster_topics`` --
 run their training/propagation rounds at DataFrame-CONSTRUCTION time
 (inherent to iteration: each round's result feeds the next plan);
 the returned DataFrame is then cheap to act on.
