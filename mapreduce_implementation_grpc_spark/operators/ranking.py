@@ -5,26 +5,33 @@ The naive form (`row_number() OVER (ORDER BY k)` with no PARTITION BY)
 plans `Exchange SinglePartition -> Sort` over every input row: the
 reference's single-reducer bug (greeter_server.cc:105-110, O15) in
 window-function clothing, and the one plan shape the repo's plan lint
-forbids over unreduced rows. This operator computes the identical
-numbers with a two-level scheme (the same one plans/analytics.py's
-orders_price_deciles uses for its rank ranges):
+forbids over unreduced rows. This module computes the identical
+numbers with a two-level scheme:
 
 1. a VALUE-RANGE bucket id, monotone in the sort key (IEEE
    subtraction / division by a positive constant round monotonically,
    so `floor((k - lo)/w)` never inverts an ordering, and equal keys
    always share a bucket);
-2. per-bucket row counts -> cumulative offsets. Only this
+2. per-bucket totals -> cumulative offsets. Only this
    <= n_buckets-row AGGREGATE table ever crosses a single-partition
    exchange;
-3. a within-bucket `row_number` window partitioned by bucket id (one
-   hash shuffle, parallel per-bucket sorts);
-4. global row number = bucket offset + local row number.
+3. a within-bucket window partitioned by bucket id (one hash
+   shuffle, parallel per-bucket sorts);
+4. global position = bucket offset + within-bucket position.
 
-Descending keys are handled by negating the key (exact for doubles
-and for longs up to 2^53), so one ascending code path serves both.
+`bucketize_by_key` + `bucket_offsets` are the shared machinery;
+`with_global_row_number` composes them for per-row ranks, and
+plans/analytics.orders_price_deciles composes them cnt-WEIGHTED for
+rank ranges over a grouped distribution.
+
+Key precision: the sort key is compared as DOUBLE on both paths
+(ascending casts, descending negates), exact for doubles and for
+integer keys up to 2^53 -- long keys beyond that can collapse to the
+same double and fall through to the tiebreaks, where the naive window
+would order them by the exact integer.
 
 Scale: one pass for the key stats, one partial-agg'd shuffle for the
-bucket counts, one hash shuffle for the per-bucket sort. Skewed key
+bucket totals, one hash shuffle for the per-bucket window. Skewed key
 distributions put many rows in one bucket (one big sort task) --
 n_buckets trades skew resistance against offset-table size; heavy
 single-VALUE skew is inherent to ranking (ties must meet anyway).
@@ -36,6 +43,53 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def bucketize_by_key(
+    df: DataFrame,
+    key: str,
+    ascending: bool = True,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Append `_ak` (the key as an ascending double) and `_bkt` (a
+    value-range bucket id, monotone non-decreasing in `_ak`; equal
+    keys always share a bucket). The input is lazily checkpointed --
+    the stats aggregate and every downstream consumer read ONE
+    materialization of the lineage instead of recomputing it."""
+    ak = F.col(key).cast("double")
+    if not ascending:
+        ak = -ak
+    base = df.withColumn("_ak", ak).localCheckpoint(eager=False)
+    stats = base.agg(F.min("_ak").alias("_lo"), F.max("_ak").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1), F.floor((F.col("_ak") - F.col("_lo")) / width)
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("_bkt", bucket.cast("long"))
+        .drop("_lo", "_hi")
+    )
+
+
+def bucket_offsets(bucketed: DataFrame, weight: Column | None = None) -> DataFrame:
+    """Per-bucket cumulative offsets [_bkt, _off, _tot]: _off = total
+    weight of all LOWER buckets, _tot = grand total. `weight` defaults
+    to row counts. The only single-partition windows run over this
+    <= n_buckets-row aggregate -- never over the bucketed rows."""
+    agg = F.count("*") if weight is None else F.sum(weight)
+    totals = bucketed.groupBy("_bkt").agg(agg.cast("long").alias("_bcnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_bcnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bcnt").over(w_all).alias("_tot"),
+    )
 
 
 def with_global_row_number(
@@ -52,36 +106,12 @@ def with_global_row_number(
     count as `total_col`, for percent_rank/cume_dist arithmetic)
     without any single-partition exchange over `df`'s rows.
 
-    `key` must be a non-null numeric column; `tiebreaks` are
+    `key` must be a non-null numeric column (see the module docstring
+    for the 2^53 caveat on huge integer keys); `tiebreaks` are
     F.asc/F.desc columns applied after the key, exactly as in a
     window ORDER BY."""
-    ak = F.col(key).cast("double")
-    if not ascending:
-        ak = -ak
-    base = df.withColumn("_ak", ak)
-    stats = base.agg(F.min("_ak").alias("_lo"), F.max("_ak").alias("_hi"))
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
-    bucket = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1), F.floor((F.col("_ak") - F.col("_lo")) / width)
-        )
-    )
-    bk = (
-        base.crossJoin(F.broadcast(stats))
-        .withColumn("_bkt", bucket.cast("long"))
-        .drop("_lo", "_hi")
-        .localCheckpoint(eager=False)  # counts + ranked both read it
-    )
-    counts = bk.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_bkt").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = counts.select(
-        "_bkt",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(w_all).alias("_tot"),
-    )
+    bk = bucketize_by_key(df, key, ascending=ascending, n_buckets=n_buckets)
+    offsets = bucket_offsets(bk)
     w_local = Window.partitionBy("_bkt").orderBy(F.asc("_ak"), *tiebreaks)
     ranked = (
         bk.withColumn("_lrn", F.row_number().over(w_local))

@@ -339,53 +339,35 @@ def orders_price_deciles(
     how ties are ordered inside it, so per-decile count/min/max are
     identical -- the hash match against the naive ntile SQL proves
     the decomposition exact."""
+    from ..operators.ranking import bucket_offsets, bucketize_by_key
+
     prices = load_table(spark, sf_dir, "orders").select("o_totalprice")
     dist = prices.groupBy("o_totalprice").agg(F.count("*").alias("cnt"))
-    stats = prices.agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
-    )
-    # monotone non-decreasing bucket id (IEEE subtraction/division by
-    # a positive constant round monotonically): equal prices share a
-    # bucket, so bucket order refines to price order
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
-    bucket = F.when(F.col("hi") <= F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
-        )
-    )
-    # lazy-checkpoint the distribution: three downstream branches
-    # (within-bucket cumsum, bucket offsets, N for the tile bounds)
-    # reuse it, and without the checkpoint each would re-scan orders
-    db = (
-        dist.crossJoin(F.broadcast(stats))
-        .select("o_totalprice", "cnt", bucket.cast("long").alias("bkt"))
-        .localCheckpoint(eager=False)
-    )
-    bc = db.groupBy("bkt").agg(F.sum("cnt").alias("bcnt"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    boff = bc.select(
-        "bkt", F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("boff")
-    )
+    # shared two-level machinery (operators/ranking.py), cnt-WEIGHTED:
+    # the distribution is lazily checkpointed inside bucketize, so the
+    # within-bucket cumsum, the offsets, and the N aggregate all read
+    # one materialization instead of re-scanning orders
+    db = bucketize_by_key(dist, "o_totalprice", n_buckets=n_buckets)
+    boff = bucket_offsets(db, weight=F.col("cnt"))
     wl = (
-        Window.partitionBy("bkt")
-        .orderBy("o_totalprice")
+        Window.partitionBy("_bkt")
+        .orderBy("_ak")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     runs = (
         db.withColumn("lbefore", F.coalesce(F.sum("cnt").over(wl), F.lit(0)))
-        .join(F.broadcast(boff), "bkt")
+        .join(F.broadcast(boff), "_bkt")
         .select(
             "o_totalprice",
-            (F.col("boff") + F.col("lbefore") + F.lit(1)).alias("s"),
-            (F.col("boff") + F.col("lbefore") + F.col("cnt")).alias("e"),
+            (F.col("_off") + F.col("lbefore") + F.lit(1)).alias("s"),
+            (F.col("_off") + F.col("lbefore") + F.col("cnt")).alias("e"),
         )
     )
     base = F.floor(F.col("n") / 10)
     rem = F.col("n") % 10
     start = (F.col("decile") - 1) * base + F.least(F.col("decile") - 1, rem) + 1
     deciles = (
-        db.agg(F.sum("cnt").alias("n"))
+        boff.agg(F.max("_tot").alias("n"))  # grand total = N order rows
         .select("n", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"))
         .select(
             F.col("decile").cast("long").alias("decile"),

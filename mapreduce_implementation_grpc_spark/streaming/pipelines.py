@@ -90,7 +90,16 @@ def streaming_user_activity_decay(events: DataFrame) -> DataFrame:
     NOT used). Against the window+decimal registry form it agrees to
     float reassociation only, because every new event retroactively
     halves all old weights -- an online exact-decimal fold would need
-    unbounded per-event state. Output mode 'update'."""
+    unbounded per-event state. Output mode 'update'.
+
+    Ordering contract -- ENFORCED, not assumed: the fold is only
+    correct if each user's events arrive in (ts, event_id) order
+    ACROSS microbatches (within a batch the operator sorts). The
+    state therefore carries the last folded (ts, event_id); an
+    out-of-order arrival raises and fails the batch LOUDLY instead of
+    silently folding a stale event at the newest-event weight and
+    diverging from the batch twin forever. Sources that can reorder
+    need the watermark-buffered operators instead."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
@@ -110,17 +119,34 @@ def streaming_user_activity_decay(events: DataFrame) -> DataFrame:
         ]
     )
     state_schema = StructType(
-        [StructField("decayed", DoubleType()), StructField("n", LongType())]
+        [
+            StructField("decayed", DoubleType()),
+            StructField("n", LongType()),
+            StructField("last_ts_us", LongType()),
+            StructField("last_event_id", LongType()),
+        ]
     )
 
     def update(key, pdfs, state: GroupState):
-        d, n = state.get if state.exists else (0.0, 0)
+        d, n, last_us, last_id = (
+            state.get if state.exists else (0.0, 0, -(2**63), -(2**63))
+        )
         pdf = pd.concat(list(pdfs))
         pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
+        for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if (ts_us, int(eid)) <= (last_us, last_id):
+                raise ValueError(
+                    f"streaming_user_activity_decay: out-of-order event "
+                    f"(user {key[0]}, event_id {int(eid)}, ts {ts}) arrived "
+                    f"after state already folded ts_us={last_us} -- the "
+                    f"in-order fold contract is broken; use a watermarked "
+                    f"operator for reordering sources"
+                )
+            last_us, last_id = ts_us, int(eid)
             d = (d + float(v)) * 0.5
             n += 1
-        state.update((d, n))
+        state.update((d, n, last_us, last_id))
         # repr() is the shortest round-trip decimal -- the same string
         # java.math.BigDecimal.valueOf sees, so HALF_UP here == F.round
         rounded = float(

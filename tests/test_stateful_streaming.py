@@ -115,3 +115,32 @@ def test_decay_state_bit_exact_vs_fold_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_decay_rejects_cross_batch_out_of_order_loudly(spark, tmp_path):
+    """An event older than what the state already folded must FAIL
+    the batch (ValueError surfaced as a StreamingQueryException), not
+    silently fold at the newest-event weight and diverge from the
+    batch twin forever."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_user_activity_decay,
+    )
+
+    src = str(tmp_path / "ev_ooo")
+    _write_batch(src, [(1, "2024-01-01 10:00:00", 1, 2.5)], "b1.json")
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    out = streaming_user_activity_decay(stream)
+    q = (out.writeStream.format("memory").queryName("decay_ooo")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        # batch 2 delivers an EARLIER event for the same user
+        _write_batch(src, [(2, "2024-01-01 09:00:00", 1, 1.0)], "b2.json")
+        with pytest.raises(StreamingQueryException, match="out-of-order"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
