@@ -107,3 +107,24 @@ def test_orc_roundtrip_partitioned_and_pruned(spark, tmp_path, sf_smoke):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "n_chars" in plan and "text" not in plan
     assert "PushedFilters: [" in plan or "pushedFilters" in plan.lower()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A 100 TB table accretes columns over time: older files lack
+    them. mergeSchema reads the union schema with nulls for the
+    missing columns, and a query touching only the ORIGINAL columns
+    still prunes its scan to them."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.mode("append").parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(out)
+
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    pruned = back.select("id", "name")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "score" not in plan  # old-column query never reads the new one
