@@ -931,6 +931,46 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_unpivot(spark, sf_dir)
 
 
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Deterministic weighted sampling without replacement, per
+    stratum (Efraimidis-Spirakis A-ES): each doc draws u from a
+    CONTENT-FREE hash of its id (portable md5 -> (0,1)), gets key =
+    ln(u)/quality, and the top-k keys per lang are the sample --
+    inclusion probability proportional to the quality weight, fully
+    reproducible (no RNG state, same sample in any engine or rerun).
+    The quality-weighted step up from stratified_sample's uniform
+    slices: the curation move 'keep k docs per language, preferring
+    clean ones'.
+
+    Exactness: u is exact integer arithmetic; ln runs JVM-side and is
+    rounded to 9dp before the /quality division (the BM25-idf
+    recipe); zero-quality docs are filtered (their key would be
+    -inf). Scale: per-doc map work + one top-k window per lang
+    partition."""
+    from pyspark.sql import Window
+
+    from .functions.text_stats import quality_score_col, with_token_array
+    from .operators.dedup import portable_hash32
+
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    u = (portable_hash32(F.col("doc_id").cast("string")) + 1).cast("double") / F.lit(
+        float(2**32 + 1)
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score_col("text", toks=F.col("toks")).alias("quality"),
+        F.round(F.log(u), 9).alias("lnu"),
+    ).filter(F.col("quality") > 0)
+    key = F.col("lnu") / F.col("quality")
+    w = Window.partitionBy("lang").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "lang", "quality", "rank")
+    )
+
+
 def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (the Deequ-style data-quality report): per
     column, row count, null count, and EXACT distinct count -- the
@@ -2730,6 +2770,26 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY 1)
       UNPIVOT p ON click, error, purchase, signup, view INTO NAME event_type VALUE n
     """,
+    "weighted_doc_sample": f"""
+      WITH q AS (
+        SELECT doc_id, lang,
+               round(
+                 least(len(toks) / 50.0, 1.0) * 0.35
+                 + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                          / greatest(length(text), 1)) * 0.25
+                 + (len(list_distinct(toks)) / greatest(len(toks), 1)) * 0.2
+                 + least(len(list_filter(toks, t -> t IN ('the','a','and','of','is'))) / 5.0, 1.0) * 0.2
+               , 6) AS quality,
+               round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                        / 4294967297.0), 9) AS lnu
+        FROM ({_SQL_TOKS})),
+      r AS (SELECT doc_id, lang, quality,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY lnu / quality DESC, doc_id ASC) AS rn
+            FROM q WHERE quality > 0)
+      SELECT doc_id, lang, quality, CAST(rn AS BIGINT) AS "rank"
+      FROM r WHERE rn <= 20
+    """,
     "events_profile": """
       SELECT 'event_id' AS "column", count(*) AS n_rows,
              count(*) - count(event_id) AS n_nulls,
@@ -4057,6 +4117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_confusion": q_nb_confusion,
     "late_shipments": q_late_shipments,
     "events_anomaly_zscore": q_events_anomaly_zscore,
+    "weighted_doc_sample": q_weighted_doc_sample,
     "events_profile": q_events_profile,
     "user_activity_decay": q_user_activity_decay,
     "user_activity_decay_fold": q_user_activity_decay_fold,

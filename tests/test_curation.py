@@ -286,3 +286,46 @@ def test_temperature_sample_rebalances_toward_small_groups(spark):
         for r in temperature_sample(docs.repartition(13)).groupBy("lang").count().collect()
     }
     assert again == got
+
+
+def test_weighted_doc_sample_matches_python_mirror(spark, sf_smoke):
+    """Differential: the Spark A-ES sample equals a pure-Python
+    Efraimidis-Spirakis implementation using the same md5-derived u
+    and the same quality weights (taken from the green quality_score
+    query) -- pins the ranking formula, the tie-break, and the
+    hash-to-(0,1) mapping."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    got = [
+        (r.doc_id, r.lang, r.quality, r.rank)
+        for r in QUERIES["weighted_doc_sample"](spark, sf_smoke).collect()
+    ]
+
+    quality = {
+        r.doc_id: r.quality
+        for r in QUERIES["quality_score"](spark, sf_smoke).collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    per_lang = defaultdict(list)
+    for doc_id, q in quality.items():
+        if q <= 0:
+            continue
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967297.0
+        key = round(math.log(u), 9) / q
+        per_lang[langs[doc_id]].append((key, doc_id, q))
+    want = []
+    for lang, rows in per_lang.items():
+        rows.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (key, doc_id, q) in enumerate(rows[:20], start=1):
+            want.append((doc_id, lang, q, rank))
+    assert sorted(got) == sorted(want) and len(got) > 0
