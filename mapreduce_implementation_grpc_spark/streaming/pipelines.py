@@ -615,6 +615,65 @@ def dedup_append_sink(spark, path: str, text_col: str = "text"):
     return sink
 
 
+def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
+    """foreachBatch sink: continuous NEAR-duplicate dedup -- the LSH
+    complement of dedup_append_sink's exact fingerprints. The sink
+    table keeps each ACCEPTED doc (at `path`/docs) plus its MinHash
+    band keys (at `path`/bands); an arriving doc is dropped when any
+    of its band keys already exists -- the same banded collision rule
+    as the batch minhash_near_dup_pairs (band_key_rows is shared
+    code), with the same probabilistic profile.
+
+    Within-batch semantics (deterministic): a doc is also dropped if
+    it collides with a smaller-doc_id doc of the SAME batch --
+    pessimistic on collision chains (if b collided with kept a, and c
+    collides only with dropped b, c is dropped too: a band collision
+    means probably-duplicate content regardless of which copy won).
+
+    Scale: per batch, one anti-join of the batch's band keys against
+    the band table (keyed on (band_id, band_hash) -- the table side
+    partition-prunes if bucketed on the hash) and one tiny
+    within-batch self-join; appends are batch-sized."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import band_key_rows, minhash_signatures
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signatures(batch_df.select("doc_id", text_col), text_col)
+        keys = band_key_rows(sigs).localCheckpoint(eager=False)
+        try:
+            seen = spark.read.parquet(f"{path}/bands").select("band_id", "band_hash")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            seen = None
+        hits_table = (
+            keys.join(seen, ["band_id", "band_hash"], "left_semi")
+            if seen is not None
+            else keys.limit(0)
+        )
+        hits_batch = (
+            keys.alias("a")
+            .join(
+                keys.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+        )
+        dropped = (
+            hits_table.select("doc_id").unionByName(hits_batch).distinct()
+        )
+        kept = batch_df.join(dropped, "doc_id", "left_anti")
+        kept.write.mode("append").parquet(f"{path}/docs")
+        keys.join(dropped, "doc_id", "left_anti").write.mode("append").parquet(
+            f"{path}/bands"
+        )
+
+    return sink
+
+
 def streaming_bm25_scores(
     docs_stream: DataFrame,
     stats: dict,

@@ -431,3 +431,55 @@ def test_streaming_bm25_matches_batch(spark, tmp_path, sf_smoke):
     # batch query returns the top-50; every one of those scores must
     # match the streamed score exactly
     assert want and all(got[d] == s for d, s in want.items())
+
+
+def test_near_dedup_append_sink_drops_band_collisions_across_batches(spark, tmp_path):
+    """Continuous NEAR-dup dedup: a later batch's lightly-edited copy
+    of an accepted doc must be dropped (band-key collision against
+    the sink's band table), an unrelated doc kept, and a within-batch
+    near-dup pair resolved to the smaller doc_id."""
+    from mapreduce_implementation_grpc_spark.streaming import near_dedup_append_sink
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong potions under a pale winter moon tonight")
+    edited = base.replace("tonight", "today")          # ~0.9 shingle jaccard
+    other = ("completely different content about spark shuffles and "
+             "parquet footers with no overlapping trigrams at all here")
+    other_edit = other.replace("here", "anywhere")
+
+    src = str(tmp_path / "nd_src")
+    out = str(tmp_path / "nd_out")
+    _write_docs(src, [
+        (1, "2024-01-01 10:00:00", base),
+        (2, "2024-01-01 10:01:00", other),
+    ])
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(src)
+    q = (
+        stream.writeStream.foreachBatch(near_dedup_append_sink(spark, out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    with open(os.path.join(src, "more.json"), "w") as f:
+        for doc_id, ts, text in [
+            (3, "2024-01-02 09:00:00", edited),      # near-dup of accepted 1
+            (4, "2024-01-02 09:01:00", "totally fresh unrelated sentence "
+                                       "mentioning neither foxes nor shuffles"),
+            (5, "2024-01-02 09:02:00", other_edit),  # near-dup of accepted 2
+        ]:
+            f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n")
+    q2 = (
+        stream.writeStream.foreachBatch(near_dedup_append_sink(spark, out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert kept == {1, 2, 4}
+    # band table only holds ACCEPTED docs' keys
+    band_docs = {r["doc_id"] for r in spark.read.parquet(f"{out}/bands").collect()}
+    assert band_docs == kept
