@@ -128,3 +128,38 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     pruned = back.select("id", "name")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "score" not in plan  # old-column query never reads the new one
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """Incremental recompute: rewriting one lang partition must leave
+    the other partitions' data files physically untouched (same file
+    set on disk) -- at 100 TB, re-curating one slice cannot cost a
+    full-table rewrite."""
+    import glob
+
+    from mapreduce_implementation_grpc_spark.sources.sinks import (
+        overwrite_partitions,
+        write_parquet,
+    )
+
+    out = str(tmp_path / "by_lang")
+    full = spark.createDataFrame(
+        [(1, "en", "aa"), (2, "en", "bb"), (3, "fr", "cc"), (4, "de", "dd")],
+        ["doc_id", "lang", "text"],
+    )
+    write_parquet(full, out, partition_by=["lang"])
+    fr_before = sorted(glob.glob(f"{out}/lang=fr/*.parquet"))
+    de_before = sorted(glob.glob(f"{out}/lang=de/*.parquet"))
+
+    # re-curate ONLY the en slice (doc 2 dropped, doc 5 added)
+    en_v2 = spark.createDataFrame(
+        [(1, "en", "aa"), (5, "en", "ee")], ["doc_id", "lang", "text"]
+    )
+    overwrite_partitions(en_v2, out, partition_by=["lang"])
+
+    assert sorted(glob.glob(f"{out}/lang=fr/*.parquet")) == fr_before
+    assert sorted(glob.glob(f"{out}/lang=de/*.parquet")) == de_before
+    back = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert back == {1, 5, 3, 4}
+    # and the session config was restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
