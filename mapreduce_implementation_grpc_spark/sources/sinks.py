@@ -65,3 +65,33 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact a small-files parquet table (the failure mode of every
+    per-batch append sink: one file per microbatch) into
+    ceil(total_bytes / target_file_bytes) files. Returns the new file
+    count. Non-atomic on a plain filesystem (a concurrent reader can
+    see the table mid-rewrite) -- a table format's transactional
+    rewrite is the production answer; this is the mechanics.
+
+    Scale: one read + one round-robin repartition + one write; no
+    driver-side data movement (sizes come from the file listing)."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(jvm_path, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+    return n_files

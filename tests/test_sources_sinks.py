@@ -163,3 +163,24 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
     assert back == {1, 5, 3, 4}
     # and the session config was restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_compact_parquet_merges_small_files_losslessly(spark, tmp_path):
+    """Five per-batch appends -> many tiny files; compaction folds
+    them to the target count with identical rows."""
+    from mapreduce_implementation_grpc_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "many_small")
+    for b in range(5):
+        spark.createDataFrame(
+            [(b * 10 + i, f"doc {b}-{i}") for i in range(4)], ["doc_id", "text"]
+        ).coalesce(1).write.mode("append").parquet(out)
+    import glob
+    before_files = glob.glob(f"{out}/*.parquet")
+    assert len(before_files) >= 5
+    before_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    n = compact_parquet(spark, out, target_file_bytes=10**9)
+    after_files = glob.glob(f"{out}/*.parquet")
+    assert n == 1 and len(after_files) == 1
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before_rows
