@@ -4266,4 +4266,12 @@ BENCH_QUERIES = [
     "orders_price_deciles",
     "customer_spend_percentiles_scalable",
     "vocab_ids_scalable",
+    # r4 second wave: curation/retrieval/profiling additions
+    "dedup_keep_best",
+    "events_unpivot",
+    "user_activity_decay",
+    "prf_rerank",
+    "weighted_doc_sample",
+    "events_profile",
+    "jaccard_prefix_pairs",
 ]
