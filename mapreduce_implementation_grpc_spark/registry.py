@@ -587,6 +587,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train_docs, eval_docs)
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit (operators/bloom.py): the
+    512-bit portable bloom probe vs the exact n-gram match, as a
+    confusion matrix. The (bloom=false, exact=true) cell is
+    structurally impossible (no false negatives); (true, false) is
+    the measured FP rate the exact re-check cleans up."""
+    from .operators.bloom import bloom_decontaminate_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_decontaminate_audit(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
 def q_eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-side leakage report: per held-out doc (doc_id % 20 == 0),
     its distinct 6-grams, how many the train slice contains anywhere,
@@ -2631,6 +2646,40 @@ ORACLES: dict[str, str] = {
         AND fp_md5 NOT IN (SELECT fp_md5 FROM fp WHERE doc_id % 10 <> 0)
     """,
     # curation / filtering
+    "bloom_decontaminate": f"""
+      WITH toks AS ({_SQL_TOKS}),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(toks) - 4),
+                 i -> array_to_string(list_slice(toks, i, i + 5), ' ')))) AS sh
+        FROM toks WHERE len(toks) >= 6),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+      tr AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+      evp AS (SELECT CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h FROM ev),
+      bits AS (
+        SELECT p >> 5 AS slot, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+        FROM (SELECT unnest([h % 131072, (h >> 17) % 131072, (h >> 34) % 131072]) AS p FROM evp)
+        GROUP BY 1),
+      trp AS (SELECT doc_id, sh,
+                     CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+              FROM tr),
+      probed AS (
+        SELECT t.doc_id,
+               coalesce(((b0.bits >> CAST((t.h % 131072) % 32 AS INTEGER)) % 2) = 1, FALSE)
+               AND coalesce(((b1.bits >> CAST(((t.h >> 17) % 131072) % 32 AS INTEGER)) % 2) = 1, FALSE)
+               AND coalesce(((b2.bits >> CAST(((t.h >> 34) % 131072) % 32 AS INTEGER)) % 2) = 1, FALSE)
+                 AS maybe
+        FROM trp t
+        LEFT JOIN bits b0 ON b0.slot = (t.h % 131072) >> 5
+        LEFT JOIN bits b1 ON b1.slot = ((t.h >> 17) % 131072) >> 5
+        LEFT JOIN bits b2 ON b2.slot = ((t.h >> 34) % 131072) >> 5),
+      pd AS (SELECT doc_id, max(maybe) AS bloom_hit FROM probed GROUP BY 1),
+      ex AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (sh))
+      SELECT pd.bloom_hit, ex.doc_id IS NOT NULL AS exact_hit,
+             count(*) AS n_docs
+      FROM pd LEFT JOIN ex ON pd.doc_id = ex.doc_id
+      GROUP BY 1, 2
+    """,
     "decontaminate": f"""
       WITH toks AS ({_SQL_TOKS}),
       sh AS (
@@ -4073,6 +4122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_lang": q_top_terms_per_lang,
     # curation / filtering
     "decontaminate": q_decontaminate,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,

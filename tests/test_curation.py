@@ -329,3 +329,18 @@ def test_weighted_doc_sample_matches_python_mirror(spark, sf_smoke):
         for rank, (key, doc_id, q) in enumerate(rows[:20], start=1):
             want.append((doc_id, lang, q, rank))
     assert sorted(got) == sorted(want) and len(got) > 0
+
+
+def test_bloom_decontaminate_has_no_false_negatives(spark, sf_check):
+    """The Bloom guarantee: every exactly-contaminated doc must be
+    flagged by the probe -- the (bloom=false, exact=true) cell is
+    structurally impossible. Also sanity: some true positives exist
+    and the filter actually rules most clean docs out (it is not
+    saturated)."""
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    rows = {(r.bloom_hit, r.exact_hit): r.n_docs
+            for r in QUERIES["bloom_decontaminate"](spark, sf_check).collect()}
+    assert (False, True) not in rows          # no false negatives, ever
+    assert rows.get((True, True), 0) > 0      # catches the real leaks
+    assert rows.get((False, False), 0) > 0    # and rules clean docs out
