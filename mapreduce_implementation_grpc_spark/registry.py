@@ -587,6 +587,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train_docs, eval_docs)
 
 
+def q_hll_users_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate per event type,
+    reported NEXT TO the exact count with the relative error -- the
+    oracle-checkable twin of approx_distinct_users (whose Spark-
+    internal HLL++ hash makes it rows-only by necessity). See
+    operators/hll.py for the exact-integer register-sum design."""
+    from .operators.hll import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    est = hll_estimate(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination audit (operators/bloom.py): the
     512-bit portable bloom probe vs the exact n-gram match, as a
@@ -2646,6 +2671,34 @@ ORACLES: dict[str, str] = {
         AND fp_md5 NOT IN (SELECT fp_md5 FROM fp WHERE doc_id % 10 <> 0)
     """,
     # curation / filtering
+    "hll_users_portable": """
+      WITH h AS (
+        SELECT event_type, user_id,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM events),
+      r AS (SELECT event_type, hv % 256 AS reg,
+                   CASE WHEN (hv >> 8) = 0 THEN 53
+                        ELSE 53 - length(bin(hv >> 8)) END AS rho
+            FROM h),
+      m AS (SELECT event_type, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+      g AS (SELECT event_type, count(*) AS n_filled,
+                   CAST(sum(1::BIGINT << CAST(53 - mj AS INTEGER)) AS BIGINT) AS s_filled
+            FROM m GROUP BY 1),
+      e AS (SELECT event_type, n_filled,
+                   4.2399330249068963e+20
+                   / CAST(s_filled + (256 - n_filled) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
+            FROM g),
+      est AS (SELECT event_type,
+                     round(CASE WHEN e_raw <= 640.0 AND n_filled < 256
+                           THEN 256.0 * ln(256.0 / CAST(256 - n_filled AS DOUBLE))
+                           ELSE e_raw END, 6) AS est_distinct
+              FROM e),
+      ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+             FROM events GROUP BY 1)
+      SELECT est.event_type, est_distinct, exact_distinct,
+             round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+      FROM est JOIN ex USING (event_type)
+    """,
     "bloom_decontaminate": f"""
       WITH toks AS ({_SQL_TOKS}),
       sh AS (
@@ -4123,6 +4176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curation / filtering
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "hll_users_portable": q_hll_users_portable,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,

@@ -74,3 +74,16 @@ def test_binned_quantiles_bracket_exact(spark, sf_check):
         for bp, p in ((b.p50_bin, 0.5), (b.p90_bin, 0.9), (b.p99_bin, 0.99)):
             v_star = vs[math.ceil(p * n) - 1]
             assert bp <= v_star < bp + 10.0, (et, p, bp, v_star)
+
+
+def test_portable_hll_error_within_bounds(spark, sf_check):
+    """The portable HLL's relative error must stay within ~4 sigma of
+    the published 1.04/sqrt(m) for m=256 (6.5%): |err| < 26%. (The
+    exact value is deterministic and oracle-pinned; this guards the
+    estimator MATH -- a broken rho or harmonic sum lands orders of
+    magnitude off, not percent.)"""
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    rows = QUERIES["hll_users_portable"](spark, sf_check).collect()
+    assert rows and all(abs(r.rel_err) < 0.26 for r in rows)
+    assert all(r.est_distinct > 0 for r in rows)
