@@ -1,0 +1,59 @@
+"""Portable Count-Min sketch (Cormode & Muthukrishnan 2005) -- the
+frequency-estimation member of the sketch family (alongside the
+portable HLL for cardinality and the Bloom probe for membership).
+Like those, every step is deterministic md5 bit-field arithmetic, so
+the APPROXIMATE path itself is DuckDB-oracle-checkable.
+
+Layout: d = 4 hash rows x w = 1024 counters; row j's bucket for a
+word is the j-th 10-bit field of the 60-bit portable hash. A word's
+estimate is min_j counter[j][bucket_j(word)] -- never below the true
+count (every occurrence lands in all four of its counters; the error
+is only ever collisions ADDING), which is the one-sided guarantee the
+test pins: overcount >= 0, always.
+
+Scale: the counters build from the word-count table (vocab-sized,
+already reduced), four partial-agg'd groupBys of <= w rows each; the
+probe side broadcasts the four 1024-row sketch tables. At stream
+scale the same counters are mergeable by + (sum of sums), the
+classic distributed-sketch layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+CMS_D = 4
+CMS_W = 1024  # 2^10
+CMS_W_LOG2 = 10
+
+
+def _bucket(word, j: int):
+    return F.shiftright(portable_hash60(word), CMS_W_LOG2 * j) % CMS_W
+
+
+def cms_heavy_hitters(wc: DataFrame, topn: int = 20) -> DataFrame:
+    """[word, true_cnt, est_cnt, overcount] for the `topn` most
+    frequent words of a (word, cnt) table: the CMS estimate next to
+    the truth, with the structurally non-negative overcount."""
+    sketches = [
+        wc.groupBy(_bucket(F.col("word"), j).alias(f"b{j}")).agg(
+            F.sum("cnt").alias(f"c{j}")
+        )
+        for j in range(CMS_D)
+    ]
+    top = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(topn)
+    probed = top
+    for j in range(CMS_D):
+        probed = probed.withColumn(f"b{j}", _bucket(F.col("word"), j)).join(
+            F.broadcast(sketches[j]), f"b{j}"
+        )
+    est = F.least(*[F.col(f"c{j}") for j in range(CMS_D)])
+    return probed.select(
+        "word",
+        F.col("cnt").alias("true_cnt"),
+        est.alias("est_cnt"),
+        (est - F.col("cnt")).alias("overcount"),
+    )

@@ -587,6 +587,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train_docs, eval_docs)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch frequency estimates for the top-20 corpus
+    words, next to the truth (operators/cms.py): est >= true always
+    -- the one-sided CMS guarantee, test-pinned; the oracle checks
+    the approximate path itself."""
+    from .operators.cms import cms_heavy_hitters
+
+    return cms_heavy_hitters(word_count(corpus_from_documents(spark, sf_dir)))
+
+
 def q_hll_users_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-user estimate per event type,
     reported NEXT TO the exact count with the relative error -- the
@@ -2671,6 +2681,25 @@ ORACLES: dict[str, str] = {
         AND fp_md5 NOT IN (SELECT fp_md5 FROM fp WHERE doc_id % 10 <> 0)
     """,
     # curation / filtering
+    "cms_heavy_hitters": f"""
+      WITH wc AS ({_SQL_WORDCOUNT}),
+      h AS (SELECT word, cnt,
+                   CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv
+            FROM wc),
+      {", ".join(
+        f"s{j} AS (SELECT (hv >> {10 * j}) % 1024 AS b{j}, "
+        f"CAST(sum(cnt) AS BIGINT) AS c{j} FROM h GROUP BY 1)"
+        for j in range(4))},
+      top AS (SELECT word, cnt, hv FROM h ORDER BY cnt DESC, word ASC LIMIT 20)
+      SELECT top.word, top.cnt AS true_cnt,
+             least(s0.c0, s1.c1, s2.c2, s3.c3) AS est_cnt,
+             least(s0.c0, s1.c1, s2.c2, s3.c3) - top.cnt AS overcount
+      FROM top
+      JOIN s0 ON s0.b0 = (top.hv >> 0) % 1024
+      JOIN s1 ON s1.b1 = (top.hv >> 10) % 1024
+      JOIN s2 ON s2.b2 = (top.hv >> 20) % 1024
+      JOIN s3 ON s3.b3 = (top.hv >> 30) % 1024
+    """,
     "hll_users_portable": """
       WITH h AS (
         SELECT event_type, user_id,
@@ -4176,6 +4205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curation / filtering
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_users_portable": q_hll_users_portable,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,

@@ -87,3 +87,15 @@ def test_portable_hll_error_within_bounds(spark, sf_check):
     rows = QUERIES["hll_users_portable"](spark, sf_check).collect()
     assert rows and all(abs(r.rel_err) < 0.26 for r in rows)
     assert all(r.est_distinct > 0 for r in rows)
+
+
+def test_cms_never_underestimates(spark, sf_check):
+    """The Count-Min one-sided guarantee: est >= true for every
+    probed word (collisions only ADD). Exact values are oracle-pinned;
+    this guards the structural property."""
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    rows = QUERIES["cms_heavy_hitters"](spark, sf_check).collect()
+    assert len(rows) == 20
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
