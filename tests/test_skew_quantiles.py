@@ -99,3 +99,55 @@ def test_cms_never_underestimates(spark, sf_check):
     assert len(rows) == 20
     assert all(r.overcount >= 0 for r in rows)
     assert all(r.est_cnt >= r.true_cnt for r in rows)
+
+
+def test_sketches_merge_distributively(spark, sf_check):
+    """The 1000-executor property both portable sketches claim:
+    sketch(A ∪ B) must equal the per-register MERGE of sketch(A) and
+    sketch(B) -- max for HLL registers, + for CMS counters. Split the
+    corpus by doc parity / user parity and verify the merged halves
+    reproduce the whole."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.cms import CMS_D, _bucket
+    from mapreduce_implementation_grpc_spark.operators.dedup import portable_hash60
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    # --- CMS: counters add ---
+    from mapreduce_implementation_grpc_spark.operators import word_count
+    from mapreduce_implementation_grpc_spark.registry import corpus_from_documents
+
+    docs = load_table(spark, sf_check, "documents")
+    def counters(d, j):
+        wc = word_count(d.selectExpr("doc_id", "text"), "text")
+        return {
+            r[f"b{j}"]: r[f"c{j}"]
+            for r in wc.groupBy(_bucket(F.col("word"), j).alias(f"b{j}"))
+            .agg(F.sum("cnt").alias(f"c{j}"))
+            .collect()
+        }
+    for j in range(CMS_D):
+        whole = counters(docs, j)
+        a = counters(docs.filter("doc_id % 2 = 0"), j)
+        b = counters(docs.filter("doc_id % 2 = 1"), j)
+        merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+        assert merged == whole
+
+    # --- HLL: registers max ---
+    ev = load_table(spark, sf_check, "events").select("user_id")
+    h = portable_hash60(F.col("user_id").cast("string"))
+    w = F.shiftright(h, 8)
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    def registers(d):
+        return {
+            r.reg: r.mj
+            for r in d.select((h % 256).alias("reg"), rho.alias("rho"))
+            .groupBy("reg").agg(F.max("rho").alias("mj")).collect()
+        }
+    whole = registers(ev)
+    a = registers(ev.filter("user_id % 2 = 0"))
+    b = registers(ev.filter("user_id % 2 = 1"))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == whole
