@@ -64,14 +64,20 @@ def jaccard_prefix_pairs(
         + F.lit(1)
     )
     pref = sets.select(
-        "doc_id", F.explode(F.slice("st", F.lit(1), plen)).alias("ptok")
+        "doc_id", "sz", F.explode(F.slice("st", F.lit(1), plen)).alias("ptok")
     )
+    # size lemma inside the candidate join (J >= t => t|b| <= |a| <=
+    # |b|/t: intersect <= min size, union >= max size): provably drops
+    # no qualifying pair, and prunes frequent-prefix-token collisions
+    # between very differently-sized sets before the distinct
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.ptok") == F.col("b.ptok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") * t_den >= F.col("b.sz") * t_num)
+            & (F.col("b.sz") * t_den >= F.col("a.sz") * t_num),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
