@@ -624,7 +624,7 @@ def q_hll_users_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination audit (operators/bloom.py): the
-    512-bit portable bloom probe vs the exact n-gram match, as a
+    2^17-bit portable bloom probe vs the exact n-gram match, as a
     confusion matrix. The (bloom=false, exact=true) cell is
     structurally impossible (no false negatives); (true, false) is
     the measured FP rate the exact re-check cleans up."""

@@ -83,15 +83,37 @@ def compact_parquet(
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = list(fs.listStatus(jvm_path))
+    # partitioned layouts (dir=value subdirectories) would be silently
+    # flattened by a naive rewrite -- refuse; compact per partition
+    part_dirs = [
+        f.getPath().getName()
+        for f in statuses
+        if f.isDirectory() and "=" in f.getPath().getName()
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"compact_parquet: {path} is a partitioned table "
+            f"(e.g. {part_dirs[0]}); compact each partition directory "
+            f"individually to preserve the layout"
+        )
     total = sum(
         f.getLen()
-        for f in fs.listStatus(jvm_path)
+        for f in statuses
         if f.getPath().getName().endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    fs.delete(jvm_path, True)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+    tmp_path = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp_path.toString())
+    # Hadoop FileSystem reports failure by RETURNING FALSE -- check
+    # both steps or a failed swap silently duplicates or strands data
+    if not fs.delete(jvm_path, True):
+        fs.delete(tmp_path, True)
+        raise IOError(f"compact_parquet: could not remove {path}; table unchanged")
+    if not fs.rename(tmp_path, jvm_path):
+        raise IOError(
+            f"compact_parquet: rename failed -- compacted data is at "
+            f"{tmp_path.toString()}, original {path} was removed"
+        )
     return n_files

@@ -595,24 +595,29 @@ def dedup_append_sink(spark, path: str, text_col: str = "text"):
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # first batch: the sink table doesn't exist yet. Catch ONLY
-        # the path-not-found analysis error -- a corrupt footer or
-        # permission failure must fail the batch, not silently
-        # disable cross-batch dedup and append duplicates.
-        from pyspark.errors import AnalysisException
-
-        try:
-            seen = spark.read.parquet(path).select("fingerprint")
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                raise
-            seen = None
+        seen = _read_seen(spark, path, ["fingerprint"])
         new = batch if seen is None else batch.join(
             seen, "fingerprint", "left_anti"
         )
         new.write.mode("append").parquet(path)
 
     return sink
+
+
+def _read_seen(spark, path: str, cols: list[str]):
+    """Read a sink's seen-state table, returning None ONLY when the
+    path does not exist yet (first batch). Any other read failure
+    (corrupt footer, permissions) propagates and fails the batch --
+    silently treating it as 'empty table' would disable dedup and
+    append duplicates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).select(*cols)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        return None
 
 
 def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
@@ -634,19 +639,12 @@ def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
     the band table (keyed on (band_id, band_hash) -- the table side
     partition-prunes if bucketed on the hash) and one tiny
     within-batch self-join; appends are batch-sized."""
-    from pyspark.errors import AnalysisException
-
     from ..operators.dedup import band_key_rows, minhash_signatures
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sigs = minhash_signatures(batch_df.select("doc_id", text_col), text_col)
         keys = band_key_rows(sigs).localCheckpoint(eager=False)
-        try:
-            seen = spark.read.parquet(f"{path}/bands").select("band_id", "band_hash")
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                raise
-            seen = None
+        seen = _read_seen(spark, f"{path}/bands", ["band_id", "band_hash"])
         hits_table = (
             keys.join(seen, ["band_id", "band_hash"], "left_semi")
             if seen is not None
@@ -662,8 +660,14 @@ def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
             )
             .select(F.col("a.doc_id").alias("doc_id"))
         )
+        # lazy-checkpoint: BOTH writes (docs + bands) consume dropped,
+        # and its plan contains the ever-growing bands-table scan --
+        # without this the dominant per-batch cost runs twice
         dropped = (
-            hits_table.select("doc_id").unionByName(hits_batch).distinct()
+            hits_table.select("doc_id")
+            .unionByName(hits_batch)
+            .distinct()
+            .localCheckpoint(eager=False)
         )
         kept = batch_df.join(dropped, "doc_id", "left_anti")
         kept.write.mode("append").parquet(f"{path}/docs")

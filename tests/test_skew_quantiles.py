@@ -151,3 +151,27 @@ def test_sketches_merge_distributively(spark, sf_check):
     b = registers(ev.filter("user_id % 2 = 1"))
     merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
     assert merged == whole
+
+
+def test_bloom_bitmaps_merge_by_bit_or(spark, sf_check):
+    """Bloom completes the merge story: bitmap(A ∪ B) must equal the
+    per-slot bit_or of bitmap(A) and bitmap(B)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.bloom import bloom_bitmap
+    from mapreduce_implementation_grpc_spark.operators.dedup import (
+        shingle_rows_flat,
+    )
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_check, "documents")
+    sh = shingle_rows_flat(docs).select("doc_id", "sh")
+
+    def bitmap(d):
+        return {r.slot: r.bits for r in bloom_bitmap(d.select("sh").distinct()).collect()}
+
+    whole = bitmap(sh)
+    a = bitmap(sh.filter("doc_id % 2 = 0"))
+    b = bitmap(sh.filter("doc_id % 2 = 1"))
+    merged = {k: a.get(k, 0) | b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole

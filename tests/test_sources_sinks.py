@@ -184,3 +184,23 @@ def test_compact_parquet_merges_small_files_losslessly(spark, tmp_path):
     after_files = glob.glob(f"{out}/*.parquet")
     assert n == 1 and len(after_files) == 1
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before_rows
+
+
+def test_compact_parquet_refuses_partitioned_tables(spark, tmp_path):
+    """A naive rewrite would flatten dir=value layouts -- the helper
+    must refuse loudly instead."""
+    import pytest
+
+    from mapreduce_implementation_grpc_spark.sources.sinks import (
+        compact_parquet,
+        write_parquet,
+    )
+
+    out = str(tmp_path / "parted")
+    write_parquet(
+        spark.createDataFrame([(1, "en"), (2, "fr")], ["id", "lang"]),
+        out,
+        partition_by=["lang"],
+    )
+    with pytest.raises(ValueError, match="partitioned table"):
+        compact_parquet(spark, out)
