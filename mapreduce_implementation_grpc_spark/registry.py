@@ -2485,6 +2485,45 @@ def _temperature_sql(rel: str = "documents") -> str:
     """
 
 
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout cells: Morton-interleave (user_id, ts) bin
+    ranks and report each quadtree cell's row count + raw dimension
+    spans -- the footer min/max a 100 TB scan would prune with. The
+    multi-dimensional generalization of the reference's contiguous
+    range partitioner (greeter_client.cc:362-390); exact BIGINT
+    arithmetic end to end, so the layout itself is oracle-checked."""
+    from .operators.zorder import zorder_cells
+
+    return zorder_cells(spark, sf_dir)
+
+
+def q_zorder_skipping_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured file-skipping tradeoff: total per-chunk dimension
+    spans under a Z-curve layout vs a linear time sort (256 chunks
+    each). Z-order bounds BOTH dimensions; the linear layout leaves
+    every chunk spanning the full user range."""
+    from .operators.zorder import zorder_skipping_summary
+
+    return zorder_skipping_summary(spark, sf_dir)
+
+
+def _zorder_binned_sql() -> str:
+    """Shared oracle CTE: bin ranks + Morton code, generated from the
+    same loop as the Spark expression (operators/zorder.morton_sql)."""
+    from .operators.zorder import morton_sql
+
+    return f"""
+      WITH s AS (SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+                        min(epoch_us(ts)) AS lo_t, max(epoch_us(ts)) AS hi_t
+                 FROM events),
+      b AS (SELECT user_id, epoch_us(ts) AS tus,
+                   ((user_id - lo_u) * 256) // (hi_u - lo_u + 1) AS bx,
+                   ((epoch_us(ts) - lo_t) * 256) // (hi_t - lo_t + 1) AS bt
+            FROM events, s),
+      zz AS (SELECT user_id, tus, bt, {morton_sql("bx", "bt")} AS z FROM b)
+    """
+
+
 ORACLES: dict[str, str] = {
     # faithful surface
     "wordcount": _SQL_WORDCOUNT,
@@ -4162,6 +4201,35 @@ ORACLES["nb_confusion"] = (
 ORACLES["vocab_ids_scalable"] = ORACLES["vocab_ids"]
 ORACLES["customer_spend_percentiles_scalable"] = ORACLES["customer_spend_percentiles"]
 
+ORACLES["zorder_cells"] = f"""
+  {_zorder_binned_sql()}
+  SELECT z >> 6 AS cell, count(*) AS cnt,
+         max(user_id) - min(user_id) AS u_span,
+         max(tus) - min(tus) AS t_span_us
+  FROM zz GROUP BY cell ORDER BY cell
+"""
+ORACLES["zorder_skipping_summary"] = f"""
+  {_zorder_binned_sql()},
+  zc AS (SELECT z >> 8 AS chunk, count(*) AS cnt,
+                max(user_id) - min(user_id) AS u_span,
+                max(tus) - min(tus) AS t_span_us
+         FROM zz GROUP BY chunk),
+  lc AS (SELECT bt AS chunk, count(*) AS cnt,
+                max(user_id) - min(user_id) AS u_span,
+                max(tus) - min(tus) AS t_span_us
+         FROM zz GROUP BY chunk)
+  SELECT 'zorder' AS layout, count(*) AS n_chunks,
+         CAST(sum(cnt) AS BIGINT) AS rows_total,
+         CAST(sum(u_span) AS BIGINT) AS sum_u_span,
+         CAST(sum(t_span_us) AS BIGINT) AS sum_t_span_us
+  FROM zc
+  UNION ALL
+  SELECT 'linear_ts', count(*),
+         CAST(sum(cnt) AS BIGINT), CAST(sum(u_span) AS BIGINT),
+         CAST(sum(t_span_us) AS BIGINT)
+  FROM lc
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
@@ -4309,6 +4377,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hopping": q_events_hopping,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
+    "zorder_cells": q_zorder_cells,
+    "zorder_skipping_summary": q_zorder_skipping_summary,
     "orders_running_total": q_orders_running_total,
     "customers_without_orders": q_customers_without_orders,
     "brands_shipped": q_brands_shipped,
@@ -4408,4 +4478,6 @@ BENCH_QUERIES = [
     "weighted_doc_sample",
     "events_profile",
     "jaccard_prefix_pairs",
+    "zorder_cells",
+    "zorder_skipping_summary",
 ]
