@@ -39,19 +39,36 @@ W_BITS = 52  # 60-bit hash minus the 8 register-index bits
 POW53 = float(1 << 53)
 
 
-def hll_estimate(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
-    """[<group_col>, est_distinct]: portable-HLL distinct estimate of
-    `item_col` per group."""
+def hll_registers(df: DataFrame, group_cols: list[str], item_col: str) -> DataFrame:
+    """The stored sketch table [*group_cols, reg, mj]: per group and
+    register, the max leading-zero rank. This is the MERGEABLE layout
+    -- coarser grains derive from it by reg-wise max alone, never by
+    re-reading the raw rows (see registry.q_hll_user_rollup)."""
     h = portable_hash60(F.col(item_col).cast("string"))
     w = F.shiftright(h, 8)
     bitlen = F.length(F.conv(w.cast("string"), 10, 2))
     rho = F.when(w == 0, F.lit(W_BITS + 1)).otherwise(F.lit(W_BITS + 1) - bitlen)
-    regs = (
-        df.select(F.col(group_col), (h % M_REGISTERS).alias("reg"), rho.alias("rho"))
-        .groupBy(group_col, "reg")
+    return (
+        df.select(*group_cols, (h % M_REGISTERS).alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("mj"))
     )
-    per_group = regs.groupBy(group_col).agg(
+
+
+def merge_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll a register table up to a coarser grain: reg-wise max over
+    whatever grouping columns are dropped. max is associative and
+    commutative, so any merge tree -- per-executor partials, daily ->
+    monthly, per-shard -> global -- yields identical registers."""
+    return regs.groupBy(*group_cols, "reg").agg(F.max("mj").alias("mj"))
+
+
+def estimate_from_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """[*group_cols, est_distinct] from a register table: exact
+    integer harmonic sum (each register contributes 2^(53-Mj) as
+    BIGINT), one double division, linear-counting correction below
+    2.5m with empty registers."""
+    per_group = regs.groupBy(*group_cols).agg(
         F.count("*").alias("n_filled"),
         # exact integer harmonic sum: 2^-Mj scaled by 2^53
         F.sum(F.expr("shiftleft(1L, cast(53 - mj as int))")).alias("s_filled"),
@@ -65,4 +82,12 @@ def hll_estimate(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
         (e_raw <= F.lit(2.5 * M_REGISTERS)) & (v_empty > 0),
         F.lit(float(M_REGISTERS)) * F.log(F.lit(float(M_REGISTERS)) / v_empty.cast("double")),
     ).otherwise(e_raw)
-    return per_group.select(group_col, F.round(est, 6).alias("est_distinct"))
+    return per_group.select(*group_cols, F.round(est, 6).alias("est_distinct"))
+
+
+def hll_estimate(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """[<group_col>, est_distinct]: portable-HLL distinct estimate of
+    `item_col` per group."""
+    return estimate_from_registers(
+        hll_registers(df, [group_col], item_col), [group_col]
+    )

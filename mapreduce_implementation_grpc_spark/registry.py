@@ -622,6 +622,78 @@ def q_hll_users_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style sketch rollup: ONE pass over events builds a
+    per-(event_type, day) HLL register table -- the stored fine-grain
+    continuous aggregate -- and every coarser grain (per event_type,
+    grand total) derives from that table by reg-wise max alone,
+    never re-reading raw rows. max is associative/commutative, so the
+    merged registers are bit-identical to a direct sketch (pinned by
+    the mergeability test); this is the layout a 1000-executor
+    daily-rollup pipeline stores and serves. Output: [grain, gkey,
+    est_distinct, exact_distinct, rel_err] -- estimate quality
+    measured, not asserted."""
+    from .operators.hll import (
+        estimate_from_registers,
+        hll_registers,
+        merge_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    day_regs = hll_registers(ev, ["event_type", "d"], "user_id").localCheckpoint(
+        eager=False
+    )
+    t_est = estimate_from_registers(
+        merge_registers(day_regs, ["event_type"]), ["event_type"]
+    ).select(
+        F.lit("event_type").alias("grain"),
+        F.col("event_type").alias("gkey"),
+        "est_distinct",
+    )
+    a_est = estimate_from_registers(merge_registers(day_regs, []), []).select(
+        F.lit("total").alias("grain"), F.lit("*").alias("gkey"), "est_distinct"
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .select(F.col("event_type").alias("gkey"), "exact_distinct")
+        .unionByName(
+            ev.agg(F.count_distinct("user_id").alias("exact_distinct")).select(
+                F.lit("*").alias("gkey"), "exact_distinct"
+            )
+        )
+    )
+    return (
+        t_est.unionByName(a_est)
+        .join(exact, "gkey")
+        .select(
+            "grain",
+            "gkey",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("grain", "gkey")
+    )
+
+
+def q_copurchase_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly support: top customer pairs by shared
+    suppliers (see operators/graph_motifs.py for the wedge-join
+    algorithm and the degree-bound scale knob). Exact form
+    (max_degree=None) so the naive all-pairs oracle hash-checks the
+    wedge join."""
+    from .operators.graph_motifs import copurchase_butterflies
+
+    return copurchase_butterflies(spark, sf_dir)
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination audit (operators/bloom.py): the
     2^17-bit portable bloom probe vs the exact n-gram match, as a
@@ -4201,6 +4273,66 @@ ORACLES["nb_confusion"] = (
 ORACLES["vocab_ids_scalable"] = ORACLES["vocab_ids"]
 ORACLES["customer_spend_percentiles_scalable"] = ORACLES["customer_spend_percentiles"]
 
+def _hll_est_sql(regs_rel: str, key_sel: str, key_group: str, grain: str, gkey: str) -> str:
+    """Estimate CTE chain over a register relation [*, reg, mj] --
+    the same harmonic-sum/linear-counting formula as the Spark
+    estimate_from_registers, emitted once per rollup grain."""
+    group = f"GROUP BY {key_group}" if key_group else ""
+    return f"""
+      (SELECT '{grain}' AS grain, {gkey} AS gkey,
+              round(CASE WHEN e_raw <= 640.0 AND n_filled < 256
+                    THEN 256.0 * ln(256.0 / CAST(256 - n_filled AS DOUBLE))
+                    ELSE e_raw END, 6) AS est_distinct
+       FROM (SELECT {key_sel} n_filled,
+                    4.2399330249068963e+20
+                    / CAST(s_filled + (256 - n_filled) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
+             FROM (SELECT {key_sel} count(*) AS n_filled,
+                          CAST(sum(1::BIGINT << CAST(53 - mj AS INTEGER)) AS BIGINT) AS s_filled
+                   FROM {regs_rel} {group}) g) e)
+    """
+
+
+ORACLES["hll_user_rollup"] = f"""
+  WITH h AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, user_id,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+    FROM events),
+  r AS (SELECT event_type, d, hv % 256 AS reg,
+               CASE WHEN (hv >> 8) = 0 THEN 53
+                    ELSE 53 - length(bin(hv >> 8)) END AS rho
+        FROM h),
+  dm AS (SELECT event_type, d, reg, max(rho) AS mj FROM r GROUP BY 1, 2, 3),
+  tm AS (SELECT event_type, reg, max(mj) AS mj FROM dm GROUP BY 1, 2),
+  am AS (SELECT reg, max(mj) AS mj FROM dm GROUP BY 1),
+  ests AS (
+    SELECT * FROM {_hll_est_sql("tm", "event_type,", "event_type", "event_type", "event_type")}
+    UNION ALL
+    SELECT * FROM {_hll_est_sql("am", "", "", "total", "'*'")}
+  ),
+  ex AS (SELECT event_type AS gkey, count(DISTINCT user_id) AS exact_distinct
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT '*', count(DISTINCT user_id) FROM events)
+  SELECT grain, gkey, est_distinct, exact_distinct,
+         round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+  FROM ests JOIN ex USING (gkey)
+  ORDER BY grain, gkey
+"""
+
+ORACLES["copurchase_butterflies"] = """
+  WITH e AS (SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  w AS (SELECT a.custkey AS c1, b.custkey AS c2
+        FROM e a JOIN e b ON a.suppkey = b.suppkey AND a.custkey < b.custkey),
+  s AS (SELECT c1, c2, count(*) AS shared_suppliers
+        FROM w GROUP BY 1, 2 HAVING count(*) >= 2)
+  SELECT c1 AS custkey_1, c2 AS custkey_2, shared_suppliers,
+         CAST(shared_suppliers * (shared_suppliers - 1) / 2 AS BIGINT) AS butterflies
+  FROM s
+  ORDER BY shared_suppliers DESC, c1, c2
+  LIMIT 50
+"""
+
 ORACLES["zorder_cells"] = f"""
   {_zorder_binned_sql()}
   SELECT z >> 6 AS cell, count(*) AS cnt,
@@ -4275,6 +4407,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_users_portable": q_hll_users_portable,
+    "hll_user_rollup": q_hll_user_rollup,
+    "copurchase_butterflies": q_copurchase_butterflies,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,
@@ -4480,4 +4614,6 @@ BENCH_QUERIES = [
     "jaccard_prefix_pairs",
     "zorder_cells",
     "zorder_skipping_summary",
+    "hll_user_rollup",
+    "copurchase_butterflies",
 ]

@@ -175,3 +175,64 @@ def test_bloom_bitmaps_merge_by_bit_or(spark, sf_check):
     b = bitmap(sh.filter("doc_id % 2 = 1"))
     merged = {k: a.get(k, 0) | b.get(k, 0) for k in set(a) | set(b)}
     assert merged == whole
+
+
+def test_hll_rollup_registers_identical_to_direct(spark, sf_check):
+    """The rollup query's whole premise: day-grain registers merged
+    by reg-wise max are BIT-IDENTICAL to registers sketched directly
+    at the coarse grain -- so a stored daily rollup serves any
+    coarser window with zero estimate drift."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.hll import (
+        hll_registers,
+        merge_registers,
+    )
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_check, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    day_regs = hll_registers(ev, ["event_type", "d"], "user_id")
+    rolled = {
+        (r.event_type, r.reg): r.mj
+        for r in merge_registers(day_regs, ["event_type"]).collect()
+    }
+    direct = {
+        (r.event_type, r.reg): r.mj
+        for r in hll_registers(ev, ["event_type"], "user_id").collect()
+    }
+    assert rolled == direct
+
+
+def test_butterflies_match_bruteforce_and_degree_cap(spark, sf_smoke):
+    """Wedge-join butterfly support vs a driver-side brute force over
+    the collected edge list; and the degree-capped variant must equal
+    the exact form whenever the cap clears every supplier degree."""
+    from collections import Counter
+    from itertools import combinations
+
+    from mapreduce_implementation_grpc_spark.operators.graph_motifs import (
+        copurchase_butterflies,
+        purchase_edges,
+    )
+
+    edges = purchase_edges(spark, sf_smoke).collect()
+    by_supp: dict[int, list[int]] = {}
+    for r in edges:
+        by_supp.setdefault(r.suppkey, []).append(r.custkey)
+    support = Counter()
+    for custs in by_supp.values():
+        for c1, c2 in combinations(sorted(set(custs)), 2):
+            support[(c1, c2)] += 1
+    want = sorted(
+        ((w, c1, c2) for (c1, c2), w in support.items() if w >= 2),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:50]
+    got = copurchase_butterflies(spark, sf_smoke).collect()
+    assert [(r.shared_suppliers, r.custkey_1, r.custkey_2) for r in got] == want
+    for r in got:
+        assert r.butterflies == r.shared_suppliers * (r.shared_suppliers - 1) // 2
+    max_deg = max(len(set(c)) for c in by_supp.values())
+    capped = copurchase_butterflies(spark, sf_smoke, max_degree=max_deg).collect()
+    assert [tuple(r) for r in capped] == [tuple(r) for r in got]
