@@ -620,6 +620,41 @@ def _read_seen(spark, path: str, cols: list[str]):
         return None
 
 
+def hll_rollup_sink(spark, path: str):
+    """foreachBatch sink: continuously-maintained day-grain HLL
+    register table -- the streaming twin of registry.q_hll_user_rollup.
+    Each microbatch is sketched to per-(event_type, day) registers
+    (operators/hll.hll_registers, shared code) and reg-wise MAX-merged
+    into the stored table, which any coarser-grain estimate then reads
+    instead of raw history.
+
+    Replay safety comes free from the algebra: max is IDEMPOTENT, so
+    re-merging a replayed batch leaves the table bit-identical --
+    exactly-once estimates under at-least-once delivery, where the
+    append sinks above need keyed upserts to converge. State is the
+    output table itself (restart-proof), bounded at
+    |types| x |days| x 256 rows regardless of event volume. The
+    overwrite of the tiny table is eager-checkpointed first (it reads
+    its own previous version) and non-atomic on plain parquet, the
+    same caveat as every sink here."""
+    from ..operators.hll import hll_registers, merge_registers
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            "event_type", F.to_date("ts").alias("d"), "user_id"
+        )
+        regs = hll_registers(b, ["event_type", "d"], "user_id")
+        prev = _read_seen(spark, path, ["event_type", "d", "reg", "mj"])
+        merged = (
+            regs
+            if prev is None
+            else merge_registers(prev.unionByName(regs), ["event_type", "d"])
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    return sink
+
+
 def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
     """foreachBatch sink: continuous NEAR-duplicate dedup -- the LSH
     complement of dedup_append_sink's exact fingerprints. The sink

@@ -483,3 +483,73 @@ def test_near_dedup_append_sink_drops_band_collisions_across_batches(spark, tmp_
     # band table only holds ACCEPTED docs' keys
     band_docs = {r["doc_id"] for r in spark.read.parquet(f"{out}/bands").collect()}
     assert band_docs == kept
+
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ]
+)
+
+
+def test_hll_rollup_sink_matches_batch_and_is_replay_idempotent(spark, tmp_path):
+    """The continuously-maintained register table must equal the batch
+    sketch of everything seen so far, and re-merging replayed data
+    must leave it bit-identical (max is idempotent) -- the
+    exactly-once-estimates property the sink's docstring claims."""
+    from mapreduce_implementation_grpc_spark.operators.hll import hll_registers
+    from mapreduce_implementation_grpc_spark.streaming import hll_rollup_sink
+
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_regs")
+    os.makedirs(src)
+    batch1 = [
+        ("view", "2024-01-01 09:00:00", u) for u in (1, 2, 3, 4, 2)
+    ] + [("buy", "2024-01-02 10:00:00", u) for u in (2, 5)]
+    batch2 = [
+        ("view", "2024-01-01 23:00:00", u) for u in (3, 6, 7)
+    ] + [("buy", "2024-01-03 08:00:00", u) for u in (1, 5, 8)]
+
+    def write_events(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for et, ts, uid in rows:
+                f.write(json.dumps({"event_type": et, "ts": ts, "user_id": uid}) + "\n")
+
+    def run_sink(ckpt):
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .json(src)
+            .writeStream.foreachBatch(hll_rollup_sink(spark, out))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def table():
+        return {
+            (r.event_type, str(r.d), r.reg): r.mj
+            for r in spark.read.parquet(out).collect()
+        }
+
+    write_events("b1.json", batch1)
+    run_sink("ckpt")
+    write_events("b2.json", batch2)
+    run_sink("ckpt")
+
+    all_events = spark.createDataFrame(
+        batch1 + batch2, "event_type string, ts string, user_id long"
+    ).select("event_type", F.to_date(F.to_timestamp("ts")).alias("d"), "user_id")
+    want = {
+        (r.event_type, str(r.d), r.reg): r.mj
+        for r in hll_registers(all_events, ["event_type", "d"], "user_id").collect()
+    }
+    got = table()
+    assert got == want
+
+    # fresh checkpoint => the whole source replays as one batch; the
+    # re-merge must not change a single register
+    run_sink("ckpt_replay")
+    assert table() == want
