@@ -684,14 +684,17 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_copurchase_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bipartite butterfly support: top customer pairs by shared
-    suppliers (see operators/graph_motifs.py for the wedge-join
-    algorithm and the degree-bound scale knob). Exact form
-    (max_degree=None) so the naive all-pairs oracle hash-checks the
-    wedge join."""
+    """Bipartite butterfly support among BUILDING-segment customers:
+    top pairs by shared suppliers (see operators/graph_motifs.py for
+    the wedge-join algorithm and the degree/segment scale knobs).
+    Exact within the segment (max_degree=None) so the naive
+    all-pairs oracle hash-checks the wedge join; the segment scope
+    is what keeps the synthetic graph's ~4%-dense supplier degrees
+    (measured: full exact = ~170 M wedges at sf0.1) out of the
+    per-round gates."""
     from .operators.graph_motifs import copurchase_butterflies
 
-    return copurchase_butterflies(spark, sf_dir)
+    return copurchase_butterflies(spark, sf_dir, segment=PPR_SEGMENT)
 
 
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4319,9 +4322,11 @@ ORACLES["hll_user_rollup"] = f"""
   ORDER BY grain, gkey
 """
 
-ORACLES["copurchase_butterflies"] = """
+ORACLES["copurchase_butterflies"] = f"""
   WITH e AS (SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
-             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                 WHERE c_mktsegment = '{PPR_SEGMENT}')),
   w AS (SELECT a.custkey AS c1, b.custkey AS c2
         FROM e a JOIN e b ON a.suppkey = b.suppkey AND a.custkey < b.custkey),
   s AS (SELECT c1, c2, count(*) AS shared_suppliers
@@ -4615,5 +4620,8 @@ BENCH_QUERIES = [
     "zorder_cells",
     "zorder_skipping_summary",
     "hll_user_rollup",
-    "copurchase_butterflies",
+    # copurchase_butterflies is deliberately NOT benched: an exact
+    # segment-scoped motif count is ~6.7M wedges / ~10 s at sf0.1
+    # (measured) -- correct and gate-checked at sf0.01, but it would
+    # dominate a bench list whose heaviest entry is ~4.7 s.
 ]
