@@ -34,6 +34,76 @@ def _bucket(word, j: int):
     return F.shiftright(portable_hash60(word), CMS_W_LOG2 * j) % CMS_W
 
 
+def cms_screened_wordcount(tokens: DataFrame, denom: int = 500) -> DataFrame:
+    """Two-phase sketch-screened exact heavy hitters over a raw token
+    stream [word]: the pattern that replaces a full-vocabulary
+    shuffle with (tiny sketch shuffle + candidate-only shuffle).
+
+    Phase 1 builds the CMS from the RAW tokens in one pass -- each
+    token explodes into its 4 (row, bucket) cells and the groupBy
+    partial-reduces to <= 4096 rows per partition before the (tiny)
+    shuffle. The frequency threshold derives from the sketch itself:
+    row 0's counters sum to the exact token total N, so
+    T = N div `denom` costs no extra pass. Phase 2 re-scans tokens,
+    probes the 4 broadcast 1024-row sketches map-side, and keeps only
+    tokens whose estimate clears T: the ONLY word-keyed shuffle
+    carries candidate occurrences (partial-agg'd), not the whole
+    vocabulary. CMS one-sidedness (est >= true) guarantees no true
+    heavy hitter is screened out; false positives surface honestly as
+    confirmed=false rows.
+
+    Output: [word, true_cnt, est_cnt, confirmed] for every candidate,
+    ordered by exact count. Two corpus scans total -- the two-phase
+    trade: scan twice cheaply instead of shuffling the vocabulary
+    once expensively."""
+    cells = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(F.col("word"), j).alias("b"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.b")
+    counters = (
+        cells.groupBy("j", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # 5 consumers, one tiny table
+    )
+    sketches = [
+        counters.filter(F.col("j") == j).select(
+            F.col("b").alias(f"b{j}"), F.col("c").alias(f"c{j}")
+        )
+        for j in range(CMS_D)
+    ]
+    thr = (
+        counters.filter(F.col("j") == 0)
+        .agg(F.expr(f"sum(c) div {denom}").alias("thr"))
+    )
+    probed = tokens
+    for j in range(CMS_D):
+        probed = probed.withColumn(f"b{j}", _bucket(F.col("word"), j)).join(
+            F.broadcast(sketches[j]), f"b{j}"
+        )
+    est = F.least(*[F.col(f"c{j}") for j in range(CMS_D)])
+    return (
+        probed.withColumn("est", est)
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("est") >= F.col("thr"))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("true_cnt"),
+            F.min("est").alias("est_cnt"),
+            (F.count("*") >= F.min("thr")).alias("confirmed"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("word"))
+    )
+
+
 def cms_heavy_hitters(wc: DataFrame, topn: int = 20) -> DataFrame:
     """[word, true_cnt, est_cnt, overcount] for the `topn` most
     frequent words of a (word, cnt) table: the CMS estimate next to

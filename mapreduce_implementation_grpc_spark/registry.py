@@ -597,6 +597,21 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(word_count(corpus_from_documents(spark, sf_dir)))
 
 
+def q_cms_screened_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase sketch-screened exact heavy hitters: a map-side CMS
+    pass finds candidate words (threshold = token total div 500,
+    read off the sketch itself), and only candidate occurrences ever
+    shuffle on the word key -- the 100 TB replacement for a
+    full-vocabulary groupBy when only frequent words matter. CMS
+    one-sidedness guarantees zero false negatives; false positives
+    appear as confirmed=false rows (operators/cms.py)."""
+    from .operators.cms import cms_screened_wordcount
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    tokens = tokenize(corpus.select(normalized_col("line").alias("norm")), "norm")
+    return cms_screened_wordcount(tokens)
+
+
 def q_hll_users_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-user estimate per event type,
     reported NEXT TO the exact count with the relative error -- the
@@ -4295,6 +4310,27 @@ def _hll_est_sql(regs_rel: str, key_sel: str, key_group: str, grain: str, gkey: 
     """
 
 
+ORACLES["cms_screened_wordcount"] = f"""
+  WITH wc AS ({_SQL_WORDCOUNT}),
+  h AS (SELECT word, cnt,
+               CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv
+        FROM wc),
+  {", ".join(
+    f"s{j} AS (SELECT (hv >> {10 * j}) % 1024 AS b{j}, "
+    f"CAST(sum(cnt) AS BIGINT) AS c{j} FROM h GROUP BY 1)"
+    for j in range(4))},
+  n AS (SELECT CAST(sum(c0) AS BIGINT) // 500 AS thr FROM s0),
+  p AS (SELECT word, cnt, least(s0.c0, s1.c1, s2.c2, s3.c3) AS est_cnt
+        FROM h
+        JOIN s0 ON s0.b0 = (h.hv >> 0) % 1024
+        JOIN s1 ON s1.b1 = (h.hv >> 10) % 1024
+        JOIN s2 ON s2.b2 = (h.hv >> 20) % 1024
+        JOIN s3 ON s3.b3 = (h.hv >> 30) % 1024)
+  SELECT word, cnt AS true_cnt, est_cnt, cnt >= n.thr AS confirmed
+  FROM p, n WHERE est_cnt >= n.thr
+  ORDER BY true_cnt DESC, word ASC
+"""
+
 ORACLES["hll_user_rollup"] = f"""
   WITH h AS (
     SELECT event_type, CAST(ts AS DATE) AS d, user_id,
@@ -4411,6 +4447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cms_screened_wordcount": q_cms_screened_wordcount,
     "hll_users_portable": q_hll_users_portable,
     "hll_user_rollup": q_hll_user_rollup,
     "copurchase_butterflies": q_copurchase_butterflies,
@@ -4620,6 +4657,7 @@ BENCH_QUERIES = [
     "zorder_cells",
     "zorder_skipping_summary",
     "hll_user_rollup",
+    "cms_screened_wordcount",
     # copurchase_butterflies is deliberately NOT benched: an exact
     # segment-scoped motif count is ~6.7M wedges / ~10 s at sf0.1
     # (measured) -- correct and gate-checked at sf0.01, but it would

@@ -236,3 +236,34 @@ def test_butterflies_match_bruteforce_and_degree_cap(spark, sf_smoke):
     max_deg = max(len(set(c)) for c in by_supp.values())
     capped = copurchase_butterflies(spark, sf_smoke, max_degree=max_deg).collect()
     assert [tuple(r) for r in capped] == [tuple(r) for r in got]
+
+
+def test_cms_screen_has_no_false_negatives_and_broadcast_only_probe(spark, sf_check):
+    """Every word whose exact count clears the threshold must appear
+    as a confirmed candidate (CMS one-sidedness), and the probe phase
+    must plan as broadcast joins only -- the whole point is that no
+    full-vocabulary shuffle exists."""
+    from mapreduce_implementation_grpc_spark.registry import (
+        QUERIES,
+        corpus_from_documents,
+        normalized_col,
+        tokenize,
+        word_count,
+    )
+
+    out = QUERIES["cms_screened_wordcount"](spark, sf_check)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    rows = out.collect()
+    got_confirmed = {r.word: r.true_cnt for r in rows if r.confirmed}
+    corpus = corpus_from_documents(spark, sf_check)
+    wc = {r.word: r.cnt for r in word_count(corpus).collect()}
+    total = sum(wc.values())
+    thr = total // 500
+    want = {w: c for w, c in wc.items() if c >= thr}
+    assert got_confirmed == want
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt  # one-sided estimate
+        assert r.est_cnt >= thr         # candidate rule
