@@ -153,6 +153,47 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_seconds: int = 1800)
     )
 
 
+def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals built from an event stream: each
+    user's consecutive run of one event_type becomes one
+    [valid_from, valid_to) row, with the open current row flagged --
+    the slowly-changing-dimension type-2 table every warehouse
+    maintains, derived with gaps-and-islands (change marker via lag,
+    island id via running sum, interval close via lead).
+
+    Scale: every window and the island aggregate partition by
+    user_id, so the whole chain is ONE hash shuffle (Catalyst reuses
+    the exchange across the window passes); per-user state never
+    crosses executors. Determinism: event order is (ts, event_id) --
+    a total order -- and interval bounds format to whole seconds the
+    same way in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("event_type").over(w)
+    marked = ev.withColumn(
+        "chg", (prev.isNull() | (prev != F.col("event_type"))).cast("long")
+    )
+    grp = marked.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = grp.groupBy("user_id", "island", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("vf"), F.count("*").alias("n_events")
+    )
+    wl = Window.partitionBy("user_id").orderBy("island")
+    fin = iv.withColumn("vt", F.lead("vf").over(wl))
+    return fin.select(
+        "user_id",
+        "state",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("vt", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+        F.col("vt").isNull().alias("is_current"),
+    )
+
+
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (event_type, day): subtotals per type, per
     (type, day), and a grand total -- one pass, one shuffle (Spark

@@ -4310,6 +4310,30 @@ def _hll_est_sql(regs_rel: str, key_sel: str, key_group: str, grain: str, gkey: 
     """
 
 
+ORACLES["user_state_intervals"] = """
+  WITH o AS (SELECT user_id, ts, event_id, event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev
+             FROM events),
+  m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                       THEN 1 ELSE 0 END AS chg FROM o),
+  g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island
+        FROM m),
+  iv AS (SELECT user_id, island, event_type AS state,
+                min(ts) AS vf, count(*) AS n_events
+         FROM g GROUP BY 1, 2, 3),
+  fin AS (SELECT user_id, state, vf, n_events,
+                 lead(vf) OVER (PARTITION BY user_id ORDER BY island) AS vt
+          FROM iv)
+  SELECT user_id, state,
+         strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+         CAST(n_events AS BIGINT) AS n_events,
+         vt IS NULL AS is_current
+  FROM fin
+"""
+
 ORACLES["cms_screened_wordcount"] = f"""
   WITH wc AS ({_SQL_WORDCOUNT}),
   h AS (SELECT word, cnt,
@@ -4536,6 +4560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "user_retention": q_user_retention,
     "events_sessionize": q_events_sessionize,
+    "user_state_intervals": analytics.user_state_intervals,
     "purchase_attribution": q_purchase_attribution,
     "attribution_summary": q_attribution_summary,
     "events_json_stats": q_events_json_stats,
@@ -4658,6 +4683,7 @@ BENCH_QUERIES = [
     "zorder_skipping_summary",
     "hll_user_rollup",
     "cms_screened_wordcount",
+    "user_state_intervals",
     # copurchase_butterflies is deliberately NOT benched: an exact
     # segment-scoped motif count is ~6.7M wedges / ~10 s at sf0.1
     # (measured) -- correct and gate-checked at sf0.01, but it would

@@ -69,3 +69,42 @@ def test_salted_join_replicates_dim_not_fact(spark, sf_check):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan  # salt replication of the dim side
+
+
+def test_user_state_intervals_partition_events_and_single_shuffle(spark, sf_check):
+    """SCD2 invariants: per user exactly one open (is_current) row,
+    interval event counts sum to the user's event total, and each
+    interval closes exactly where the next opens. The whole chain
+    must plan as ONE hash exchange on user_id (the windows and the
+    island aggregate all reuse the same partitioning)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.plans.analytics import (
+        user_state_intervals,
+    )
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    df = user_state_intervals(spark, sf_check)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = df.collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    totals = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_check, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_user) == set(totals)
+    for uid, ivs in per_user.items():
+        assert sum(r.n_events for r in ivs) == totals[uid]
+        assert sum(1 for r in ivs if r.is_current) == 1
+        ivs = sorted(ivs, key=lambda r: r.valid_from)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state or a.valid_to is not None
