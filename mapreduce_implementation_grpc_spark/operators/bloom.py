@@ -68,6 +68,33 @@ def bloom_bitmap(items: DataFrame, col: str = "sh") -> DataFrame:
     )
 
 
+def bloom_prune(fact: DataFrame, key, bitmap: DataFrame) -> DataFrame:
+    """Map-side Bloom pre-filter of `fact` rows whose `key` (a string
+    column expression) MAY be in the set the `bitmap` was built over
+    -- the manual form of a runtime filter / bloom-join pruning. The
+    NUM_HASHES probes are broadcast joins of the SLOTS-row bitmap, so
+    the fact side never shuffles here; survivors (members + the ~0.4%
+    false positives) still need the exact join, but only THEY pay its
+    shuffle. No false negatives: a member always has all bits set."""
+    probe = fact.withColumn("_bk", key)
+    for j, pcol in enumerate(_positions(F.col("_bk"))):
+        probe = probe.withColumn(f"_s{j}", F.shiftright(pcol, 5)).withColumn(
+            f"_b{j}", (pcol % BITS_PER_SLOT).cast("int")
+        )
+    for j in range(NUM_HASHES):
+        bm = bitmap.select(
+            F.col("slot").alias(f"_s{j}"), F.col("bits").alias(f"_bits{j}")
+        )
+        probe = probe.join(F.broadcast(bm), f"_s{j}", "left")
+    maybe = F.lit(True)
+    for j in range(NUM_HASHES):
+        maybe = maybe & F.expr(
+            f"shiftright(coalesce(_bits{j}, 0L), _b{j}) % 2 = 1"
+        )
+    drop = ["_bk"] + [c for j in range(NUM_HASHES) for c in (f"_s{j}", f"_b{j}", f"_bits{j}")]
+    return probe.filter(maybe).drop(*drop)
+
+
 def bloom_decontaminate_audit(
     train_docs: DataFrame,
     eval_docs: DataFrame,

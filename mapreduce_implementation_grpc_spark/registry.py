@@ -612,6 +612,49 @@ def q_cms_screened_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_screened_wordcount(tokens)
 
 
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern, built manually and proven exact:
+    revenue of lineitems belonging to URGENT orders of
+    BUILDING-segment customers. The qualifying orderkey set (~4% of
+    orders) is compacted to a 2^17-bit Bloom bitmap (4096 rows,
+    broadcast); the lineitem side probes it MAP-SIDE
+    (operators/bloom.bloom_prune) so only survivors -- members plus
+    ~0.4% false positives -- enter the exact semi join's shuffle. At
+    100 TB this is the difference between shuffling every lineitem
+    and shuffling the selected few; the oracle is the PLAIN semi-join
+    SQL, so the hash match proves the pruned plan drops nothing and
+    the exact join cleans every false positive."""
+    from .operators.bloom import bloom_bitmap, bloom_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(cust, "o_custkey", "left_semi")
+        .select("o_orderkey")
+        .localCheckpoint(eager=False)  # bitmap build + exact join share it
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    bitmap = bloom_bitmap(keys.select(F.col("o_orderkey").cast("string").alias("sh")))
+    survivors = bloom_prune(li, F.col("l_orderkey").cast("string"), bitmap)
+    exact = survivors.join(
+        keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return exact.agg(
+        analytics._dec2dbl(F.sum(revenue)).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_hll_users_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-user estimate per event type,
     reported NEXT TO the exact count with the relative error -- the
@@ -4310,6 +4353,17 @@ def _hll_est_sql(regs_rel: str, key_sel: str, key_group: str, grain: str, gkey: 
     """
 
 
+ORACLES["bloom_pruned_revenue"] = """
+  SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT'
+                         AND o_custkey IN (SELECT c_custkey FROM customer
+                                           WHERE c_mktsegment = 'BUILDING'))
+"""
+
 ORACLES["user_state_intervals"] = """
   WITH o AS (SELECT user_id, ts, event_id, event_type,
                     lag(event_type) OVER (PARTITION BY user_id
@@ -4470,6 +4524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curation / filtering
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "bloom_pruned_revenue": q_bloom_pruned_revenue,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_screened_wordcount": q_cms_screened_wordcount,
     "hll_users_portable": q_hll_users_portable,
@@ -4684,6 +4739,7 @@ BENCH_QUERIES = [
     "hll_user_rollup",
     "cms_screened_wordcount",
     "user_state_intervals",
+    "bloom_pruned_revenue",
     # copurchase_butterflies is deliberately NOT benched: an exact
     # segment-scoped motif count is ~6.7M wedges / ~10 s at sf0.1
     # (measured) -- correct and gate-checked at sf0.01, but it would

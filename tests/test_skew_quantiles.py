@@ -267,3 +267,34 @@ def test_cms_screen_has_no_false_negatives_and_broadcast_only_probe(spark, sf_ch
     for r in rows:
         assert r.est_cnt >= r.true_cnt  # one-sided estimate
         assert r.est_cnt >= thr         # candidate rule
+
+
+def test_bloom_prune_keeps_all_members_and_few_extras(spark, sf_check):
+    """The pruning contract: every true member survives (no false
+    negatives), the false-positive overhead is small, and the probe
+    itself plans as broadcast joins over an un-shuffled fact side."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prune,
+    )
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_check, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    li = load_table(spark, sf_check, "lineitem").select("l_orderkey")
+    bitmap = bloom_bitmap(keys.select(F.col("o_orderkey").cast("string").alias("sh")))
+    survivors = bloom_prune(li, F.col("l_orderkey").cast("string"), bitmap)
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
+    n_total = li.count()
+    n_member = li.join(keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").count()
+    n_kept = survivors.count()
+    assert n_member <= n_kept  # one-sided: no member dropped
+    # false positives bounded: well under 5% of the non-members
+    assert n_kept - n_member <= max(20, (n_total - n_member) // 20)
+    kept_members = survivors.join(
+        keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    ).count()
+    assert kept_members == n_member  # exact member retention
