@@ -612,6 +612,28 @@ def q_cms_screened_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_screened_wordcount(tokens)
 
 
+def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation sketch: estimate the overlap between
+    purchasing users (events) and BUILDING-segment customer keys
+    (customer) from two 256-row k-min-value summaries
+    (operators/kmv.py -- HLL can count but not intersect; KMV
+    sketches compose), with the exact intersection and relative
+    error alongside. A CROSS-TABLE set intersection with a
+    non-trivial Jaccard, and both estimator branches exercised
+    across SFs: below 256 union values the sketch IS the set
+    (exact), above it the (k-1)*2^60/h_k estimator engages."""
+    from .operators.kmv import kmv_intersection_report
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return kmv_intersection_report(a, b, F.col("user_id"), F.col("c_custkey"))
+
+
 def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter pattern, built manually and proven exact:
     revenue of lineitems belonging to URGENT orders of
@@ -4353,6 +4375,35 @@ def _hll_est_sql(regs_rel: str, key_sel: str, key_group: str, grain: str, gkey: 
     """
 
 
+ORACLES["kmv_user_overlap"] = """
+  WITH ap AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events WHERE event_type = 'purchase'),
+  bs AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         FROM customer WHERE c_mktsegment = 'BUILDING'),
+  ka AS (SELECT h FROM ap ORDER BY h LIMIT 256),
+  kb AS (SELECT h FROM bs ORDER BY h LIMIT 256),
+  ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+         ORDER BY h LIMIT 256),
+  st AS (SELECT max(h) AS hk, count(*) AS kct FROM ku),
+  cm AS (SELECT count(*) AS cj FROM ku
+         WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+  ex AS (SELECT count(*) AS exact_intersection FROM ap
+         WHERE h IN (SELECT h FROM bs)),
+  r AS (SELECT CASE WHEN kct < 256 THEN CAST(kct AS DOUBLE)
+               ELSE round(255.0 * 1152921504606846976 / hk, 6) END AS est_union,
+               kct, cj, exact_intersection
+        FROM st, cm, ex),
+  sel AS (SELECT est_union,
+                 round(cj / CAST(kct AS DOUBLE), 6) AS est_jaccard,
+                 round(cj * est_union / kct, 6) AS est_intersection,
+                 exact_intersection
+          FROM r)
+  SELECT est_union, est_jaccard, est_intersection, exact_intersection,
+         round((est_intersection - exact_intersection)
+               / nullif(CAST(exact_intersection AS DOUBLE), 0), 6) AS rel_err
+  FROM sel
+"""
+
 ORACLES["bloom_pruned_revenue"] = """
   SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
@@ -4529,6 +4580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_screened_wordcount": q_cms_screened_wordcount,
     "hll_users_portable": q_hll_users_portable,
     "hll_user_rollup": q_hll_user_rollup,
+    "kmv_user_overlap": q_kmv_user_overlap,
     "copurchase_butterflies": q_copurchase_butterflies,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
@@ -4740,6 +4792,7 @@ BENCH_QUERIES = [
     "cms_screened_wordcount",
     "user_state_intervals",
     "bloom_pruned_revenue",
+    "kmv_user_overlap",
     # copurchase_butterflies is deliberately NOT benched: an exact
     # segment-scoped motif count is ~6.7M wedges / ~10 s at sf0.1
     # (measured) -- correct and gate-checked at sf0.01, but it would

@@ -298,3 +298,27 @@ def test_bloom_prune_keeps_all_members_and_few_extras(spark, sf_check):
         keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     ).count()
     assert kept_members == n_member  # exact member retention
+
+
+def test_kmv_sketches_merge_and_estimate_within_bounds(spark):
+    """KMV compositional claim: the k-min sketch of A ∪ B equals the
+    merged-and-retrimmed union of the two sketches (what two sites
+    would ship), and on a synthetic pair with known overlap the
+    intersection estimate lands within ~3 sigma of truth."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.kmv import (
+        kmin_values,
+        kmv_intersection_report,
+    )
+
+    a = spark.range(0, 5000).select(F.col("id"))
+    b = spark.range(2500, 7500).select(F.col("id"))
+    ka = {r.h for r in kmin_values(a, F.col("id")).collect()}
+    kb = {r.h for r in kmin_values(b, F.col("id")).collect()}
+    direct = [r.h for r in kmin_values(a.unionByName(b), F.col("id")).collect()]
+    assert sorted(ka | kb)[: len(direct)] == direct
+    row = kmv_intersection_report(a, b, F.col("id"), F.col("id")).collect()[0]
+    assert row.exact_intersection == 2500
+    assert abs(row.est_intersection - 2500) / 2500 < 0.25
+    assert abs(row.est_union - 7500) / 7500 < 0.25
