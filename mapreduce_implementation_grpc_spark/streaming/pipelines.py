@@ -161,6 +161,97 @@ def streaming_user_activity_decay(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_user_state_intervals(events: DataFrame) -> DataFrame:
+    """Stateful streaming twin of
+    plans.analytics.user_state_intervals: the SCD2 table maintained
+    online. State per user is ONE open interval (current event_type,
+    its start, its event count); when an arriving event changes the
+    type, the closed interval is EMITTED (append mode) and the state
+    rolls to the new run. Closed rows are bit-identical to the batch
+    query's valid_to-bearing rows over the same events; the open
+    interval stays in state (the batch twin reports it with
+    valid_to = NULL).
+
+    Ordering contract -- ENFORCED like streaming_user_activity_decay:
+    state carries the last folded (ts, event_id) and an out-of-order
+    arrival across microbatches fails the batch loudly (a silently
+    mis-ordered run would split or merge intervals forever)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("state", StringType()),
+            StructField("valid_from", StringType()),
+            StructField("valid_to", StringType()),
+            StructField("n_events", LongType()),
+            StructField("is_current", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cur", StringType()),
+            StructField("vf_us", LongType()),
+            StructField("n", LongType()),
+            StructField("last_us", LongType()),
+            StructField("last_event_id", LongType()),
+        ]
+    )
+
+    def _fmt(ts_us: int) -> str:
+        return pd.Timestamp(ts_us * 1000).strftime("%Y-%m-%d %H:%M:%S")
+
+    def update(key, pdfs, state: GroupState):
+        cur, vf_us, n, last_us, last_id = (
+            state.get if state.exists else (None, 0, 0, -(2**63), -(2**63))
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        closed = []
+        for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if (ts_us, int(eid)) <= (last_us, last_id):
+                raise ValueError(
+                    f"streaming_user_state_intervals: out-of-order event "
+                    f"(user {key[0]}, event_id {int(eid)}) after state "
+                    f"folded ts_us={last_us} -- in-order contract broken"
+                )
+            last_us, last_id = ts_us, int(eid)
+            if cur is None:
+                cur, vf_us, n = et, ts_us, 1
+            elif et == cur:
+                n += 1
+            else:
+                closed.append(
+                    (key[0], cur, _fmt(vf_us), _fmt(ts_us), n, False)
+                )
+                cur, vf_us, n = et, ts_us, 1
+        state.update((cur, vf_us, n, last_us, last_id))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "state",
+                    "valid_from",
+                    "valid_to",
+                    "n_events",
+                    "is_current",
+                ],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -144,3 +144,90 @@ def test_decay_rejects_cross_batch_out_of_order_loudly(spark, tmp_path):
             q.awaitTermination(30)
     finally:
         q.stop()
+
+
+def test_streaming_scd2_closed_intervals_match_batch(spark, tmp_path):
+    """streaming_user_state_intervals across 2 microbatches: the
+    emitted CLOSED intervals must equal the batch twin's
+    valid_to-bearing rows over the union of the batches, and nothing
+    is emitted for still-open runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_user_state_intervals,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    b1 = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "view"),
+        (3, "2024-01-01 10:02:00", 1, "purchase"),
+        (4, "2024-01-01 10:00:00", 2, "signup"),
+    ]
+    b2 = [
+        (5, "2024-01-01 11:00:00", 1, "view"),
+        (6, "2024-01-01 11:01:00", 2, "signup"),
+        (7, "2024-01-01 11:02:00", 2, "purchase"),
+        (8, "2024-01-01 11:03:00", 2, "purchase"),
+    ]
+    src = str(tmp_path / "ev_scd2")
+
+    def write(rows, name):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            for eid, ts, uid, et in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid, "event_type": et}
+                ) + "\n")
+
+    write(b1, "b1.json")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    out = streaming_user_state_intervals(stream)
+    q = (out.writeStream.format("memory").queryName("scd2")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        write(b2, "b2.json")
+        deadline = time.time() + 60
+        got = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {tuple(r) for r in spark.sql("SELECT * FROM scd2").collect()}
+            if len(got) == 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    # batch twin over the same events, closed rows only
+    ev = spark.createDataFrame(
+        b1 + b2, "event_id long, ts string, user_id long, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("event_type").over(w)
+    grp = (ev.withColumn("chg", (prev.isNull() | (prev != F.col("event_type"))).cast("long"))
+             .withColumn("island", F.sum("chg").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0))))
+    iv = grp.groupBy("user_id", "island", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("vf"), F.count("*").alias("n_events"))
+    wl = Window.partitionBy("user_id").orderBy("island")
+    want = {
+        tuple(r)
+        for r in iv.withColumn("vt", F.lead("vf").over(wl))
+        .filter(F.col("vt").isNotNull())
+        .select("user_id", "state",
+                F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+                F.date_format("vt", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+                "n_events", F.lit(False).alias("is_current"))
+        .collect()
+    }
+    assert got == want and len(want) == 3
