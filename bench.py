@@ -73,9 +73,49 @@ def main() -> None:
         "sf": float(sf),
         "method": f"median_of_{runs}",
     }
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # parses the JSON it finds there; r4's single all-query line
+    # outgrew that window and the artifact recorded "parsed": null.
+    # With 78+ queries even a maximally compact one-liner exceeds the
+    # window, so the emission is now three-tier:
+    #   1. BENCH.json in the repo -- the full document, durable.
+    #   2. an earlier stdout line with the full document (visible in
+    #      logs, sacrificial if the tail window clips it).
+    #   3. a FINAL line guaranteed to fit the window: totals + the
+    #      slowest per-query timings that fit a fixed char budget,
+    #      with `queries_omitted` counting the fast ones that didn't
+    #      and `full` pointing at BENCH.json.
+    full = dict(out)
     if spreads:
-        out["outlier_runs_discarded"] = spreads
-    print(json.dumps(out))
+        full["outlier_runs_discarded"] = spreads
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout lines are still authoritative
+    print(json.dumps(full, separators=(",", ":")))
+
+    budget = 1800  # chars; driver tail window is ~2000
+    final = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": float(sf),
+        "method": f"median_of_{runs}",
+        "n_queries": len(timings),
+        "queries_omitted": 0,
+        "full": "BENCH.json",
+    }
+    for name in sorted(timings, key=timings.get, reverse=True):
+        final["queries"][name] = timings[name]
+        if len(json.dumps(final, separators=(",", ":"))) > budget:
+            del final["queries"][name]
+            break
+    final["queries_omitted"] = len(timings) - len(final["queries"])
+    print(json.dumps(final, separators=(",", ":")))
     spark.stop()
 
 

@@ -55,10 +55,29 @@ def bucketize_by_key(
     value-range bucket id, monotone non-decreasing in `_ak`; equal
     keys always share a bucket). The input is lazily checkpointed --
     the stats aggregate and every downstream consumer read ONE
-    materialization of the lineage instead of recomputing it."""
-    ak = F.col(key).cast("double")
-    if not ascending:
-        ak = -ak
+    materialization of the lineage instead of recomputing it.
+
+    The key must be non-null and non-NaN: a NULL `_bkt` would silently
+    DROP the row at the offsets equi-join (diverging from the naive
+    window, which ranks nulls). Enforced per-row with a raise_error
+    guard inside the `_ak` projection -- fails the job loudly at
+    execution time, costs no extra Spark job."""
+    raw = F.col(key).cast("double")
+    bad = F.col(key).isNull() | F.isnan(raw) | raw.isNull()
+    ak = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"bucketize_by_key: NULL/NaN/uncastable '{key}' key "
+                    f"(value: "
+                ),
+                F.coalesce(F.col(key).cast("string"), F.lit("NULL")),
+                F.lit(") -- global ranking requires a total order; filter "
+                      "or impute null keys explicitly before ranking"),
+            )
+        ).cast("double"),
+    ).otherwise(raw if ascending else -raw)
     base = df.withColumn("_ak", ak).localCheckpoint(eager=False)
     stats = base.agg(F.min("_ak").alias("_lo"), F.max("_ak").alias("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))

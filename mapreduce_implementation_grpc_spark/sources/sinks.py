@@ -104,16 +104,37 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp_path = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp_path = Path(path.rstrip("/") + "__compacting")
+    old_path = Path(path.rstrip("/") + "__old")
     df.repartition(n_files).write.mode("overwrite").parquet(tmp_path.toString())
+    # Crash-safe swap: move the original ASIDE first, then move the
+    # compacted copy in, then delete the old copy. A process crash at
+    # any point leaves a complete table at a known path (either the
+    # original location, path__old, or path__compacting) -- the
+    # delete-then-rename order would strand the data with NO table at
+    # the original location if the process died between the two steps.
     # Hadoop FileSystem reports failure by RETURNING FALSE -- check
-    # both steps or a failed swap silently duplicates or strands data
-    if not fs.delete(jvm_path, True):
-        fs.delete(tmp_path, True)
-        raise IOError(f"compact_parquet: could not remove {path}; table unchanged")
-    if not fs.rename(tmp_path, jvm_path):
+    # every step or a failed swap silently duplicates or strands data.
+    if fs.exists(old_path):
         raise IOError(
-            f"compact_parquet: rename failed -- compacted data is at "
-            f"{tmp_path.toString()}, original {path} was removed"
+            f"compact_parquet: stale {old_path.toString()} exists -- a previous "
+            f"compaction crashed mid-swap; recover or remove it first"
+        )
+    if not fs.rename(jvm_path, old_path):
+        fs.delete(tmp_path, True)
+        raise IOError(f"compact_parquet: could not move {path} aside; table unchanged")
+    if not fs.rename(tmp_path, jvm_path):
+        # roll back so the table reappears at its original location
+        restored = fs.rename(old_path, jvm_path)
+        raise IOError(
+            f"compact_parquet: swap-in failed -- compacted data is at "
+            f"{tmp_path.toString()}; original "
+            + (f"restored at {path}" if restored else f"at {old_path.toString()}")
+        )
+    if not fs.delete(old_path, True):
+        raise IOError(
+            f"compact_parquet: compaction succeeded but the pre-compaction "
+            f"copy remains at {old_path.toString()}; remove it manually"
         )
     return n_files

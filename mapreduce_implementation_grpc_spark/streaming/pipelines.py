@@ -135,7 +135,13 @@ def streaming_user_activity_decay(events: DataFrame) -> DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
-            if (ts_us, int(eid)) <= (last_us, last_id):
+            if (ts_us, int(eid)) == (last_us, last_id):
+                # exact redelivery of the last-folded event (at-least-
+                # once source replaying into a NEW microbatch): skip as
+                # an idempotent duplicate -- raising here would poison
+                # every restart, since the replay recurs forever
+                continue
+            if (ts_us, int(eid)) < (last_us, last_id):
                 raise ValueError(
                     f"streaming_user_activity_decay: out-of-order event "
                     f"(user {key[0]}, event_id {int(eid)}, ts {ts}) arrived "
@@ -217,7 +223,9 @@ def streaming_user_state_intervals(events: DataFrame) -> DataFrame:
         closed = []
         for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
-            if (ts_us, int(eid)) <= (last_us, last_id):
+            if (ts_us, int(eid)) == (last_us, last_id):
+                continue  # idempotent skip: at-least-once redelivery
+            if (ts_us, int(eid)) < (last_us, last_id):
                 raise ValueError(
                     f"streaming_user_state_intervals: out-of-order event "
                     f"(user {key[0]}, event_id {int(eid)}) after state "
@@ -761,16 +769,31 @@ def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
     collides only with dropped b, c is dropped too: a band collision
     means probably-duplicate content regardless of which copy won).
 
+    Replay safety: both tables are partitioned by `_batch_id` and
+    written with dynamic-partition overwrite, so a replayed batch
+    (at-least-once delivery after a crash between the two writes)
+    REPLACES its own earlier partial output instead of appending a
+    second copy, and the seen-scan excludes the batch's own partition
+    so a doc never collides with its own half-written band keys. With
+    idempotent per-batch writes the docs/bands write ORDER no longer
+    affects correctness; bands still go first so the collision index
+    is never behind the accepted docs.
+
     Scale: per batch, one anti-join of the batch's band keys against
     the band table (keyed on (band_id, band_hash) -- the table side
     partition-prunes if bucketed on the hash) and one tiny
-    within-batch self-join; appends are batch-sized."""
+    within-batch self-join; writes are batch-sized."""
     from ..operators.dedup import band_key_rows, minhash_signatures
+    from ..sources.sinks import overwrite_partitions
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sigs = minhash_signatures(batch_df.select("doc_id", text_col), text_col)
         keys = band_key_rows(sigs).localCheckpoint(eager=False)
-        seen = _read_seen(spark, f"{path}/bands", ["band_id", "band_hash"])
+        seen = _read_seen(spark, f"{path}/bands", ["band_id", "band_hash", "_batch_id"])
+        if seen is not None:
+            seen = seen.where(F.col("_batch_id") != batch_id).select(
+                "band_id", "band_hash"
+            )
         hits_table = (
             keys.join(seen, ["band_id", "band_hash"], "left_semi")
             if seen is not None
@@ -795,11 +818,14 @@ def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
             .distinct()
             .localCheckpoint(eager=False)
         )
-        kept = batch_df.join(dropped, "doc_id", "left_anti")
-        kept.write.mode("append").parquet(f"{path}/docs")
-        keys.join(dropped, "doc_id", "left_anti").write.mode("append").parquet(
-            f"{path}/bands"
+        kept = batch_df.join(dropped, "doc_id", "left_anti").withColumn(
+            "_batch_id", F.lit(batch_id)
         )
+        new_bands = keys.join(dropped, "doc_id", "left_anti").withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        overwrite_partitions(new_bands, f"{path}/bands", ["_batch_id"])
+        overwrite_partitions(kept, f"{path}/docs", ["_batch_id"])
 
     return sink
 

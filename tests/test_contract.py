@@ -106,7 +106,12 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
 
 
 @pytest.mark.slow
-def test_bench_emits_single_json_line(tmp_path):
+def test_bench_final_line_fits_driver_window(tmp_path):
+    """The driver keeps only the last ~2000 chars of bench stdout and
+    parses the JSON there (r4's single oversized line produced
+    "parsed": null). Contract: the FINAL stdout line is valid JSON,
+    fits the window, and carries the totals; the full per-query
+    document lands in BENCH.json."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -123,14 +128,28 @@ def test_bench_emits_single_json_line(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
-    assert len(lines) == 1, f"bench must print exactly one line, got {lines}"
-    payload = json.loads(lines[0])
+    final = lines[-1]
+    assert len(final) <= 2000, f"final line {len(final)} chars > driver window"
+    payload = json.loads(final)
     assert payload["unit"] == "sec" and payload["metric"]
     assert isinstance(payload["value"], (int, float))
     assert payload["queries"] and all(
         isinstance(v, (int, float)) for v in payload["queries"].values()
     )
     assert payload["sf"] == 0.001
+    assert payload["n_queries"] == len(payload["queries"]) + payload["queries_omitted"]
+    # the driver-window line must also survive a tail cut that starts
+    # mid-way through the PRECEDING full-document line
+    tail = out.stdout[-2000:]
+    assert final in tail
+    # full document: every benched query, value totals consistent
+    with open(os.path.join(REPO, "BENCH.json")) as fh:
+        full = json.load(fh)
+    assert set(full["queries"]) >= set(payload["queries"])
+    assert full["value"] == payload["value"]
+    from mapreduce_implementation_grpc_spark import registry
+
+    assert set(full["queries"]) == set(registry.BENCH_QUERIES)
 
 
 def test_cli_list_names_every_query(capsys):

@@ -60,3 +60,23 @@ def test_scalable_variants_have_no_global_sort(spark, sf_check, name):
     )
     assert not re.search(r"Sort \[[^\]]*\], true", plan), plan[:1500]
     assert "rangepartitioning" not in plan
+
+
+def test_null_and_nan_keys_fail_loudly(spark):
+    """A NULL (or NaN) key used to become a NULL _bkt and silently
+    vanish at the offsets equi-join -- row loss the naive window would
+    not have (it ranks nulls). Contract now: raise at execution."""
+    import pytest
+
+    # AQE wraps USER_RAISED_EXCEPTION in a stage-materialization error
+    # whose python-side type varies -- match on the message instead
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, "b"), (2.0, "c")], "k double, t string"
+    )
+    with pytest.raises(Exception, match="bucketize_by_key"):
+        with_global_row_number(df, "k").collect()
+    nan = spark.createDataFrame(
+        [(1.0, "a"), (float("nan"), "b")], "k double, t string"
+    )
+    with pytest.raises(Exception, match="bucketize_by_key"):
+        with_global_row_number(nan, "k").collect()

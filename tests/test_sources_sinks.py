@@ -204,3 +204,35 @@ def test_compact_parquet_refuses_partitioned_tables(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partitioned table"):
         compact_parquet(spark, out)
+
+
+def test_compact_parquet_crash_safe_swap(spark, tmp_path):
+    """The swap is rename-aside -> rename-in -> delete: a crash at any
+    point leaves a complete table at a known path. A stale __old dir
+    (evidence of a previous mid-swap crash) must be refused loudly
+    instead of silently deleted."""
+    import pytest
+
+    from mapreduce_implementation_grpc_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    # leave a stale aside-copy from a "crashed" earlier compaction
+    stale = str(tmp_path / "t__old")
+    spark.range(5).write.parquet(stale)
+    with pytest.raises(IOError, match="crashed mid-swap"):
+        compact_parquet(spark, path)
+    # original table untouched by the refusal
+    assert spark.read.parquet(path).count() == 100
+    # after the operator clears the stale copy, compaction succeeds
+    # and no auxiliary paths remain
+    import shutil
+
+    shutil.rmtree(stale)
+    n = compact_parquet(spark, path)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 100
+    import os as _os
+
+    leftovers = [d for d in _os.listdir(tmp_path) if "__" in d]
+    assert leftovers == [], leftovers

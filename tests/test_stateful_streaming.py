@@ -231,3 +231,44 @@ def test_streaming_scd2_closed_intervals_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_decay_skips_exact_duplicate_redelivery(spark, tmp_path):
+    """An at-least-once source can redeliver the LAST event of a
+    processed batch in a NEW microbatch. That exact (ts, event_id)
+    duplicate must be skipped idempotently -- raising would be a
+    permanent poison pill (every restart replays the same batch and
+    raises again); folding it twice would diverge from the batch twin."""
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_user_activity_decay,
+    )
+
+    src = str(tmp_path / "ev_dup")
+    _write_batch(src, [(1, "2024-01-01 10:00:00", 1, 2.0),
+                       (2, "2024-01-01 10:01:00", 1, 4.0)], "b1.json")
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    out = streaming_user_activity_decay(stream)
+    q = (out.writeStream.format("memory").queryName("decay_dup")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        # redeliver the last folded event verbatim + one genuinely new one
+        _write_batch(src, [(2, "2024-01-01 10:01:00", 1, 4.0),
+                           (3, "2024-01-01 10:02:00", 1, 8.0)], "b2.json")
+        deadline = time.time() + 60
+        got = None
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = {r.user_id: (r.n_events, r.decayed_value) for r in spark.sql(
+                "SELECT user_id, max_by(n_events, n_events) AS n_events, "
+                "max_by(decayed_value, n_events) AS decayed_value "
+                "FROM decay_dup GROUP BY user_id").collect()}
+            got = rows.get(1)
+            if got and got[0] == 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    # fold of exactly 3 events (duplicate NOT double-counted):
+    # ((0+2)*.5 + 4)*.5 = 2.5; (2.5+8)*.5 = 5.25
+    assert got == (3, 5.25)
