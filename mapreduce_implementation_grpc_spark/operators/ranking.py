@@ -44,12 +44,15 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 
 def bucketize_by_key(
     df: DataFrame,
     key: str,
     ascending: bool = True,
     n_buckets: int = 1024,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Append `_ak` (the key as an ascending double) and `_bkt` (a
     value-range bucket id, monotone non-decreasing in `_ak`; equal
@@ -78,7 +81,10 @@ def bucketize_by_key(
             )
         ).cast("double"),
     ).otherwise(raw if ascending else -raw)
-    base = df.withColumn("_ak", ak).localCheckpoint(eager=False)
+    # the stats aggregate + every downstream consumer share ONE
+    # materialization of the (table-sized) input; `reliable` picks the
+    # executor-loss story (materialize.py)
+    base = materialize(df.withColumn("_ak", ak), reliable=reliable)
     stats = base.agg(F.min("_ak").alias("_lo"), F.max("_ak").alias("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
     bucket = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
@@ -119,6 +125,7 @@ def with_global_row_number(
     n_buckets: int = 1024,
     out_col: str = "rn",
     total_col: str | None = None,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Append the exact global `row_number() OVER (ORDER BY key
     [DESC], *tiebreaks)` as `out_col` (and optionally the total row
@@ -129,7 +136,9 @@ def with_global_row_number(
     for the 2^53 caveat on huge integer keys); `tiebreaks` are
     F.asc/F.desc columns applied after the key, exactly as in a
     window ORDER BY."""
-    bk = bucketize_by_key(df, key, ascending=ascending, n_buckets=n_buckets)
+    bk = bucketize_by_key(
+        df, key, ascending=ascending, n_buckets=n_buckets, reliable=reliable
+    )
     offsets = bucket_offsets(bk)
     w_local = Window.partitionBy("_bkt").orderBy(F.asc("_ak"), *tiebreaks)
     ranked = (

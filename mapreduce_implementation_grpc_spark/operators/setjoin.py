@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from .dedup import DEFAULT_SHINGLE_K, shingle_rows_flat
 
 
@@ -38,12 +39,18 @@ def jaccard_prefix_pairs(
     k: int = DEFAULT_SHINGLE_K,
     t_num: int = 4,
     t_den: int = 5,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """All (doc_a < doc_b) pairs with Jaccard(shingle sets) >=
     t_num/t_den, exactly. The threshold is a RATIONAL so the final
     predicate is pure integer arithmetic (t_den*inter >= t_num*union)
     -- no float compare to disagree across engines; the reported
-    jaccard itself is the one rounded double division."""
+    jaccard itself is the one rounded double division.
+
+    `reliable` picks the executor-loss story for the shared
+    sorted-shingle-sets table (see materialize.py): the table is
+    CORPUS-SIZED, so on a long 100 TB run pass reliable=True to
+    survive executor loss at the cost of a disk persist."""
     sh = shingle_rows_flat(docs, text_col=text_col, k=k).distinct()
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sets = (
@@ -56,8 +63,9 @@ def jaccard_prefix_pairs(
             ).alias("st")
         )
         .withColumn("sz", F.size("st"))
-        .localCheckpoint(eager=False)  # prefix explode + 2 pair joins reuse it
     )
+    # prefix explode + 2 pair joins reuse it -- one materialization
+    sets = materialize(sets, reliable=reliable)
     plen = (
         F.col("sz")
         - F.ceil(F.col("sz") * F.lit(t_num) / F.lit(t_den)).cast("int")

@@ -267,3 +267,22 @@ def test_purchase_attribution_is_single_shuffle(spark, sf_check):
     plan = _plan(spark, sf_check, "purchase_attribution")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Join" not in plan
+
+
+def test_salted_join_spreads_hot_keys_and_never_broadcasts(spark, sf_check):
+    """doc_idf_salted_join: the token->vocab join must be a
+    ShuffledHashJoin keyed on (word, _salt) -- the salt in the join
+    keys IS the skew remedy (a hot word occupies n_salt partitions) --
+    and that join must NOT be a broadcast (at 100 TB the vocabulary
+    exceeds the threshold; the bench number must measure the shuffle
+    path we ship). The scalar n_docs broadcast is separate and fine."""
+    plan = _plan(spark, sf_check, "doc_idf_salted_join")
+    shj = [
+        ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln
+    ]
+    assert shj, f"salted join not planned as ShuffledHashJoin:\n{plan}"
+    assert any("_salt" in ln and "word" in ln for ln in shj), shj
+    # the word-keyed join must not have been planned as broadcast
+    assert not any(
+        "BroadcastHashJoin" in ln and "word" in ln for ln in plan.splitlines()
+    ), plan
