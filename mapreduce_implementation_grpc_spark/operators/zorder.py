@@ -152,6 +152,192 @@ def zorder_skipping_summary(
     )
 
 
+def _hilbert_level_sql(i: int, s: int, n: int) -> tuple[str, str, str]:
+    """One Hilbert xy2d level as SQL text over the previous level's
+    columns hx{i-1}/hy{i-1}/hd{i-1} -- the classic quadrant+rotate
+    recurrence (Wikipedia xy2d form, flip constant n-1), with the
+    quadrant's (3*rx) XOR ry rewritten as a CASE: rx=0 -> ry,
+    rx=1 -> 3-ry. XOR-free on purpose -- DuckDB's `^` is
+    exponentiation, so sharing literal text between engines forbids
+    the operator. The text is generated once and used verbatim as
+    both the Spark F.expr and the DuckDB oracle CTE, so the two
+    engines cannot drift."""
+    px, py, pd = f"hx{i - 1}", f"hy{i - 1}", f"hd{i - 1}"
+    rx = f"(CASE WHEN ({px} & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({py} & {s}) > 0 THEN 1 ELSE 0 END)"
+    quad = f"(CASE WHEN {rx} = 0 THEN {ry} ELSE 3 - {ry} END)"
+    d_sql = f"({pd} + {s * s} * {quad})"
+    x_sql = (
+        f"(CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - {py} ELSE {py} END) "
+        f"ELSE {px} END)"
+    )
+    y_sql = (
+        f"(CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - {px} ELSE {px} END) "
+        f"ELSE {py} END)"
+    )
+    return x_sql, y_sql, d_sql
+
+
+def with_hilbert(
+    df: DataFrame, x: str = "bx", y: str = "bt", bits: int = BITS, out: str = "h"
+) -> DataFrame:
+    """Append the Hilbert curve index of integer bin ranks (`x`, `y`)
+    in [0, 2^bits) as `out`. Unlike the Morton interleave (a single
+    flat expression), the Hilbert recurrence rotates state between
+    levels, so it is unrolled as a CHAIN of named columns (hx1..hd8,
+    dropped at the end) -- each level references the previous by
+    name, keeping the expression tree linear in `bits` where naive
+    substitution would grow 3^bits. The chain is one map-only
+    projection pipeline: no shuffle, stays in whole-stage codegen."""
+    n = 1 << bits
+    cur = (
+        df.withColumn("hx0", F.col(x))
+        .withColumn("hy0", F.col(y))
+        .withColumn("hd0", F.lit(0).cast("long"))
+    )
+    for i in range(1, bits + 1):
+        s = 1 << (bits - i)
+        xs, ys, ds = _hilbert_level_sql(i, s, n)
+        cur = (
+            cur.withColumn(f"hx{i}", F.expr(xs))
+            .withColumn(f"hy{i}", F.expr(ys))
+            .withColumn(f"hd{i}", F.expr(ds))
+        )
+    drop = [
+        c
+        for i in range(bits + 1)
+        for c in (f"hx{i}", f"hy{i}", f"hd{i}")
+    ]
+    return cur.withColumn(out, F.col(f"hd{bits}")).drop(*drop)
+
+
+def hilbert_ctes_sql(base: str, bits: int = BITS, out_cte: str = "hb") -> str:
+    """The identical level chain as DuckDB CTE text: `base` must
+    provide hx0/hy0/hd0 (plus any passthrough columns); each level is
+    `SELECT *, <generated exprs>` so the chain is linear in size. The
+    final CTE `{out_cte}` exposes hd{bits} -- alias it in the
+    consumer."""
+    n = 1 << bits
+    parts = []
+    prev = base
+    for i in range(1, bits + 1):
+        s = 1 << (bits - i)
+        xs, ys, ds = _hilbert_level_sql(i, s, n)
+        name = out_cte if i == bits else f"{out_cte}_{i}"
+        parts.append(
+            f"{name} AS (SELECT *, {xs} AS hx{i}, {ys} AS hy{i}, "
+            f"{ds} AS hd{i} FROM {prev})"
+        )
+        prev = name
+    return ",\n      ".join(parts)
+
+
+def hilbert_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = BITS,
+    cell_shift: int = CELL_SHIFT,
+) -> DataFrame:
+    """zorder_cells' twin on the Hilbert index: per-cell row count and
+    raw per-dimension spans for contiguous Hilbert ranges. Same scale
+    shape (stats broadcast + map-only projection + one hash shuffle
+    on the cell id)."""
+    return (
+        with_hilbert(_binned_events(spark, sf_dir, bits), bits=bits)
+        .groupBy(F.shiftright(F.col("h"), cell_shift).alias("cell"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.max("user_id") - F.min("user_id")).alias("u_span"),
+            (F.max("tus") - F.min("tus")).alias("t_span_us"),
+        )
+        .orderBy("cell")
+    )
+
+
+def hilbert_skipping_summary(
+    spark: SparkSession, sf_dir: str, bits: int = BITS
+) -> DataFrame:
+    """Hilbert vs Morton under the same file-skipping metric as
+    zorder_skipping_summary: 256 contiguous curve ranges each, total
+    per-dimension spans. Expected (and oracle-pinned) result: the two
+    layouts TIE here -- a 2^(2k)-aligned chunk of either curve is the
+    SAME axis-aligned square (both curves fully visit each order-k
+    subsquare before leaving it), only the visit order inside
+    differs. The curves separate on successor LOCALITY (Morton makes
+    long diagonal jumps between squares; Hilbert never does), which
+    matters for range-query caching and unaligned file boundaries --
+    measured by curve_locality_stats. Keeping the tie as a checked
+    result documents where curve choice does NOT matter."""
+    binned = with_hilbert(_binned_events(spark, sf_dir, bits), bits=bits)
+
+    def spans(chunk: Column, layout: str) -> DataFrame:
+        per = binned.groupBy(chunk.alias("chunk")).agg(
+            F.count("*").alias("cnt"),
+            (F.max("user_id") - F.min("user_id")).alias("u_span"),
+            (F.max("tus") - F.min("tus")).alias("t_span_us"),
+        )
+        return per.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").alias("n_chunks"),
+            F.sum("cnt").alias("rows_total"),
+            F.sum("u_span").alias("sum_u_span"),
+            F.sum("t_span_us").alias("sum_t_span_us"),
+        )
+
+    return spans(F.shiftright(F.col("h"), bits), "hilbert").unionByName(
+        spans(F.shiftright(F.col("z"), bits), "zorder")
+    )
+
+
+def curve_locality_stats(
+    spark: SparkSession, sf_dir: str, bits: int = BITS
+) -> DataFrame:
+    """Where Hilbert actually beats Morton, measured: walk the OCCUPIED
+    grid cells in curve order and total the Manhattan distance of each
+    successor step in bin space. Morton's order makes long diagonal
+    jumps every time it crosses a block boundary (the worst step spans
+    half the grid); Hilbert's successor is always an adjacent cell on
+    the full curve, so occupied-cell steps stay short. Short steps =
+    consecutive rows land in nearby rectangles = unaligned file
+    boundaries and range scans touch fewer distinct regions.
+
+    Scale shape: the window ORDER BY runs over the DISTINCT-reduced
+    occupied-cell table (<= 4^bits aggregate rows, never the fact
+    rows) -- the same only-aggregates-cross-SinglePartition discipline
+    as the two-level ranking module."""
+    from pyspark.sql import Window
+
+    occ = (
+        with_hilbert(_binned_events(spark, sf_dir, bits), bits=bits)
+        .select("bx", "bt", "z", "h")
+        .distinct()
+    )
+
+    def stats(curve: str, layout: str) -> DataFrame:
+        w = Window.orderBy(curve)
+        step = (
+            F.abs(F.col("bx") - F.lag("bx").over(w))
+            + F.abs(F.col("bt") - F.lag("bt").over(w))
+        )
+        return (
+            occ.select(step.alias("step"))
+            .filter(F.col("step").isNotNull())
+            .agg(
+                F.lit(layout).alias("layout"),
+                F.count("*").alias("n_steps"),
+                F.sum("step").alias("total_dist"),
+                F.max("step").alias("max_step"),
+                F.sum(F.when(F.col("step") == 1, 1).otherwise(0)).alias(
+                    "adjacent_steps"
+                ),
+            )
+        )
+
+    return stats("h", "hilbert").unionByName(stats("z", "zorder"))
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

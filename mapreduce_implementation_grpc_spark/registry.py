@@ -2676,6 +2676,39 @@ def q_zorder_skipping_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_skipping_summary(spark, sf_dir)
 
 
+def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout cells (zorder_cells' twin): the xy2d
+    quadrant+rotate recurrence unrolled as a per-level column chain,
+    exact BIGINT arithmetic, generated from ONE text shared by the
+    Spark expression and the DuckDB oracle (operators/zorder.py
+    _hilbert_level_sql) so the curve itself is hash-checked."""
+    from .operators.zorder import hilbert_cells
+
+    return hilbert_cells(spark, sf_dir)
+
+
+def q_hilbert_skipping_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Morton under the same oracle-checked skipping
+    metric (256 contiguous curve chunks, total per-dimension spans).
+    Oracle-pinned TIE by geometry: aligned power-of-4 chunks of
+    either curve are the same axis-aligned squares; the curves
+    separate on successor locality (see curve_locality_stats)."""
+    from .operators.zorder import hilbert_skipping_summary
+
+    return hilbert_skipping_summary(spark, sf_dir)
+
+
+def q_curve_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successor-locality comparison of the two space-filling curves
+    over occupied cells: total/max Manhattan step in bin space and
+    the count of perfectly-adjacent steps. Hilbert's total is the
+    measured win; the window runs over the distinct-reduced cell
+    table only."""
+    from .operators.zorder import curve_locality_stats
+
+    return curve_locality_stats(spark, sf_dir)
+
+
 def _zorder_binned_sql() -> str:
     """Shared oracle CTE: bin ranks + Morton code, generated from the
     same loop as the Spark expression (operators/zorder.morton_sql)."""
@@ -4541,6 +4574,71 @@ ORACLES["zorder_cells"] = f"""
          max(tus) - min(tus) AS t_span_us
   FROM zz GROUP BY cell ORDER BY cell
 """
+def _hilbert_base_sql() -> str:
+    """Shared oracle CTE chain: zorder bins -> hx0/hy0/hd0 seed ->
+    the per-level Hilbert recurrence, generated from the same
+    _hilbert_level_sql loop as the Spark column chain."""
+    from .operators.zorder import hilbert_ctes_sql, morton_sql
+
+    return f"""
+      {_zorder_binned_sql()},
+      hb0 AS (SELECT user_id, tus, bx AS hx0, bt AS hy0,
+                     CAST(0 AS BIGINT) AS hd0,
+                     {morton_sql("bx", "bt")} AS z
+              FROM b),
+      {hilbert_ctes_sql("hb0")}
+    """
+
+
+ORACLES["hilbert_cells"] = f"""
+  {_hilbert_base_sql()}
+  SELECT hd8 >> 6 AS cell, count(*) AS cnt,
+         max(user_id) - min(user_id) AS u_span,
+         max(tus) - min(tus) AS t_span_us
+  FROM hb GROUP BY cell ORDER BY cell
+"""
+
+ORACLES["hilbert_skipping_summary"] = f"""
+  {_hilbert_base_sql()},
+  hc AS (SELECT hd8 >> 8 AS chunk, count(*) AS cnt,
+                max(user_id) - min(user_id) AS u_span,
+                max(tus) - min(tus) AS t_span_us
+         FROM hb GROUP BY chunk),
+  zc AS (SELECT z >> 8 AS chunk, count(*) AS cnt,
+                max(user_id) - min(user_id) AS u_span,
+                max(tus) - min(tus) AS t_span_us
+         FROM hb GROUP BY chunk)
+  SELECT 'hilbert' AS layout, count(*) AS n_chunks,
+         CAST(sum(cnt) AS BIGINT) AS rows_total,
+         CAST(sum(u_span) AS BIGINT) AS sum_u_span,
+         CAST(sum(t_span_us) AS BIGINT) AS sum_t_span_us
+  FROM hc
+  UNION ALL
+  SELECT 'zorder', count(*),
+         CAST(sum(cnt) AS BIGINT), CAST(sum(u_span) AS BIGINT),
+         CAST(sum(t_span_us) AS BIGINT)
+  FROM zc
+"""
+
+ORACLES["curve_locality_stats"] = f"""
+  {_hilbert_base_sql()},
+  occ AS (SELECT DISTINCT hx0 AS bx, hy0 AS bt, z, hd8 AS h FROM hb),
+  hs AS (SELECT abs(bx - lag(bx) OVER (ORDER BY h))
+              + abs(bt - lag(bt) OVER (ORDER BY h)) AS step FROM occ),
+  zs AS (SELECT abs(bx - lag(bx) OVER (ORDER BY z))
+              + abs(bt - lag(bt) OVER (ORDER BY z)) AS step FROM occ)
+  SELECT 'hilbert' AS layout, count(*) AS n_steps,
+         CAST(sum(step) AS BIGINT) AS total_dist,
+         max(step) AS max_step,
+         CAST(sum(CASE WHEN step = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS adjacent_steps
+  FROM hs WHERE step IS NOT NULL
+  UNION ALL
+  SELECT 'zorder', count(*), CAST(sum(step) AS BIGINT), max(step),
+         CAST(sum(CASE WHEN step = 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM zs WHERE step IS NOT NULL
+"""
+
 ORACLES["zorder_skipping_summary"] = f"""
   {_zorder_binned_sql()},
   zc AS (SELECT z >> 8 AS chunk, count(*) AS cnt,
@@ -4719,6 +4817,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_unpivot": q_events_unpivot,
     "zorder_cells": q_zorder_cells,
     "zorder_skipping_summary": q_zorder_skipping_summary,
+    "hilbert_cells": q_hilbert_cells,
+    "hilbert_skipping_summary": q_hilbert_skipping_summary,
+    "curve_locality_stats": q_curve_locality_stats,
     "orders_running_total": q_orders_running_total,
     "customers_without_orders": q_customers_without_orders,
     "brands_shipped": q_brands_shipped,
@@ -4820,6 +4921,8 @@ BENCH_QUERIES = [
     "jaccard_prefix_pairs",
     "zorder_cells",
     "zorder_skipping_summary",
+    "hilbert_skipping_summary",
+    "curve_locality_stats",
     "hll_user_rollup",
     "cms_screened_wordcount",
     "user_state_intervals",
