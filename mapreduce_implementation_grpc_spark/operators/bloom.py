@@ -41,20 +41,39 @@ M_LOG2 = 17                # k=3 -- size m ~ 17.5 bits/item in practice
 NUM_HASHES = 3  # 3 * 17 = 51 bits consumed of the 60-bit hash
 
 
-def _positions(sh):
+def _positions(sh, fast: bool = False):
     """NUM_HASHES bit positions in [0, M): disjoint 17-bit fields of
-    one 60-bit portable hash -- pure shift/modulo on a positive
-    BIGINT, so the arithmetic is exact (no double division) and
-    bit-identical in DuckDB ((h >> 17j) % 131072)."""
+    one base hash.
+
+    fast=False (default): 60-bit md5 prefix (portable_hash60) -- pure
+    shift/modulo on a positive BIGINT, bit-identical in DuckDB
+    ((h >> 17j) % 131072), which is what makes the registry bloom
+    queries fully oracle-checkable.
+
+    fast=True: xxhash64 -- NOT DuckDB-portable, but ~5-8x cheaper per
+    probe (measured, tools/prefix_join_probe.py): md5 is a
+    cryptographic hash and at 32M wide fact rows its cost exceeded
+    the entire shuffle the filter was saving. Production pruning
+    should use fast=True; the md5 form exists for the correctness
+    gates. xxhash64 is signed, so fields go through pmod."""
+    if fast:
+        h = F.xxhash64(sh)
+        return [
+            F.pmod(F.shiftright(h, M_LOG2 * j), F.lit(M))
+            for j in range(NUM_HASHES)
+        ]
     h = portable_hash60(sh)
     return [F.shiftright(h, M_LOG2 * j) % M for j in range(NUM_HASHES)]
 
 
-def bloom_bitmap(items: DataFrame, col: str = "sh") -> DataFrame:
+def bloom_bitmap(items: DataFrame, col: str = "sh", fast: bool = False) -> DataFrame:
     """[slot, bits]: the Bloom bitmap of `items[col]`, 32 bits per
-    slot row. Built with one partial-agg'd groupBy on <= SLOTS keys."""
+    slot row. Built with one partial-agg'd groupBy on <= SLOTS keys.
+    `fast` picks the hash family and MUST match the probe side
+    (bloom_prune) -- mixed families break the no-false-negative
+    guarantee silently."""
     pos = items.select(
-        F.explode(F.array(*_positions(F.col(col)))).alias("p")
+        F.explode(F.array(*_positions(F.col(col), fast))).alias("p")
     )
     return (
         pos.select(
@@ -68,16 +87,19 @@ def bloom_bitmap(items: DataFrame, col: str = "sh") -> DataFrame:
     )
 
 
-def bloom_prune(fact: DataFrame, key, bitmap: DataFrame) -> DataFrame:
+def bloom_prune(
+    fact: DataFrame, key, bitmap: DataFrame, fast: bool = False
+) -> DataFrame:
     """Map-side Bloom pre-filter of `fact` rows whose `key` (a string
     column expression) MAY be in the set the `bitmap` was built over
     -- the manual form of a runtime filter / bloom-join pruning. The
     NUM_HASHES probes are broadcast joins of the SLOTS-row bitmap, so
     the fact side never shuffles here; survivors (members + the ~0.4%
     false positives) still need the exact join, but only THEY pay its
-    shuffle. No false negatives: a member always has all bits set."""
+    shuffle. No false negatives: a member always has all bits set.
+    `fast` must match the bitmap's (see bloom_bitmap)."""
     probe = fact.withColumn("_bk", key)
-    for j, pcol in enumerate(_positions(F.col("_bk"))):
+    for j, pcol in enumerate(_positions(F.col("_bk"), fast)):
         probe = probe.withColumn(f"_s{j}", F.shiftright(pcol, 5)).withColumn(
             f"_b{j}", (pcol % BITS_PER_SLOT).cast("int")
         )
