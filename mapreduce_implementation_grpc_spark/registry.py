@@ -1993,6 +1993,33 @@ q_customer_order_ranks = analytics.customer_order_ranks
 q_events_hourly = analytics.events_hourly
 q_user_retention = analytics.user_retention
 q_events_sessionize = analytics.events_sessionize
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window operator (the
+    dynamic-gap merge inside the aggregation, the same operator the
+    streaming twin uses) -- per-session rows, not per-user counts.
+    The oracle is the classic SQL gaps-and-islands rewrite, so the
+    hash match PROVES the built-in's merge semantics (half-open
+    [start, last+gap): a gap of exactly 30 min starts a NEW session)
+    equal the `diff >= gap` island rule at microsecond precision.
+    Scale: one hash shuffle on user_id; session merging is
+    per-group operator state, never a window over raw facts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "n_types",
+        )
+    )
 q_events_json_stats = analytics.events_json_stats
 
 
@@ -4158,6 +4185,30 @@ ORACLES: dict[str, str] = {
              count(*) AS n_events
       FROM g GROUP BY user_id
     """,
+    # gaps-and-islands rewrite of the native session_window operator:
+    # new session when the per-user gap is >= 30 min (session_window's
+    # half-open [start, last+gap) boundary); end = last event + gap
+    "events_session_window": """
+      WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      i AS (
+        SELECT user_id, ts, event_type,
+               sum(s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM g)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE,
+                      '%Y-%m-%d %H:%M:%S') AS session_end,
+             count(*) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM i GROUP BY user_id, island
+    """,
     # grouped-map least-squares slope == closed-form regr_slope over
     # the same (hour-rank, count) points; verified bit-stable at 6dp
     "events_type_trend": """
@@ -4797,6 +4848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "user_retention": q_user_retention,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
     "user_state_intervals": analytics.user_state_intervals,
     "purchase_attribution": q_purchase_attribution,
     "attribution_summary": q_attribution_summary,
@@ -4903,6 +4955,7 @@ BENCH_QUERIES = [
     "customer_order_ranks",
     "events_hourly",
     "events_sessionize",
+    "events_session_window",
     "events_json_stats",
     # r4: the distributed-ranking rewrites (orders_price_deciles lost
     # its single-partition fact sort; the *_scalable variants rank via
