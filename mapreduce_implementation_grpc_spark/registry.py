@@ -533,6 +533,34 @@ def q_vocab_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("word", "cnt", F.col("vocab_id").cast("long").alias("vocab_id"))
 
 
+def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle of the training corpus --
+    the epoch-ordering primitive of every pretraining run: each doc's
+    position is its exact global rank under a keyed portable hash
+    (seed in the hash input; change the seed string, get an
+    independent permutation). Composed from existing machinery:
+    portable_hash32 (32-bit, so the rank key is double-exact) +
+    operators/ranking.with_global_row_number -- NO single-partition
+    sort over the corpus; the oracle's naive row_number() OVER
+    (ORDER BY hash) proves the two-level decomposition exact.
+    At 100 TB the positions feed a range-partitioned write, giving
+    shuffled shards without any global sort task."""
+    from .operators.dedup import portable_hash32
+    from .operators.ranking import with_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.withColumn(
+        "hk",
+        portable_hash32(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string"))),
+    )
+    ranked = with_global_row_number(
+        hashed, "hk", tiebreaks=[F.asc("doc_id")], out_col="position"
+    )
+    return ranked.select(
+        "doc_id", "hk", F.col("position").cast("long").alias("position")
+    )
+
+
 BPE_MERGES = 4
 
 
@@ -4671,6 +4699,17 @@ ORACLES["hilbert_skipping_summary"] = f"""
   FROM zc
 """
 
+ORACLES["training_shuffle_order"] = """
+  WITH h AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat('shuf1:',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS hk
+    FROM documents)
+  SELECT doc_id, hk,
+         row_number() OVER (ORDER BY hk ASC, doc_id ASC) AS position
+  FROM h
+"""
+
 ORACLES["curve_locality_stats"] = f"""
   {_hilbert_base_sql()},
   occ AS (SELECT DISTINCT hx0 AS bx, hy0 AS bt, z, hd8 AS h FROM hb),
@@ -4750,6 +4789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_counts": q_ngram_counts,
     "vocab_ids": q_vocab_ids,
     "vocab_ids_scalable": q_vocab_ids_scalable,
+    "training_shuffle_order": q_training_shuffle_order,
     "inverted_index": q_inverted_index,
     "bigram_pmi": q_bigram_pmi,
     "top_terms_per_lang": q_top_terms_per_lang,
@@ -4964,6 +5004,7 @@ BENCH_QUERIES = [
     "orders_price_deciles",
     "customer_spend_percentiles_scalable",
     "vocab_ids_scalable",
+    "training_shuffle_order",
     # r4 second wave: curation/retrieval/profiling additions
     "dedup_keep_best",
     "events_unpivot",
