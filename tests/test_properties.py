@@ -53,3 +53,36 @@ def test_wordcount_partition_invariant(spark, corpus, nparts):
     assert base == repart
     total = word_count(df).agg(F.sum("cnt")).collect()[0][0] or 0
     assert total == sum(python_word_count(corpus).values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_salted_join_identical_to_plain_join(spark, fact_rows, n_salt):
+    """salted_join must equal the plain inner join for ANY data and
+    salt count -- including duplicate keys on both sides (a fact key
+    matching k dim rows must still produce k output rows), empty
+    inputs, and keys missing from either side."""
+    from mapreduce_implementation_grpc_spark.operators.skewjoin import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, rid) for k, rid in fact_rows] or [], "k int, row_id int"
+    )
+    # dim with deliberate duplicate keys (two payload rows for key 0)
+    dim = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (2, 30), (3, 40)], "k int, payload int"
+    )
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    got = sorted(
+        map(
+            tuple,
+            salted_join(fact, dim, "k", salt_from="row_id", n_salt=n_salt).collect(),
+        )
+    )
+    assert got == want

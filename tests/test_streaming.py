@@ -220,3 +220,41 @@ def test_streaming_pq_encode_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM pq_stream").collect()}
     assert len(got) == 100
     assert all(got[v] == batch[v] for v in got)
+
+
+def test_session_window_stream_equals_batch_operator(spark, tmp_path, event_rows):
+    """streaming_sessionize (complete mode) over the whole feed must
+    equal the same session_window aggregation run as a BATCH query on
+    the same rows -- the operator is one implementation with two
+    execution modes, and the batch side is what the registry's
+    gaps-and-islands oracle hash-checks, closing the loop
+    stream == batch == SQL islands."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "events_swb")
+    _write_events_json(path, event_rows)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(path)
+    out = streaming_sessionize(stream, gap="30 minutes", watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_sb")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM sess_sb").collect()
+    )
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA).json(path)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    assert got == sorted(tuple(r) for r in batch.collect()) and got
