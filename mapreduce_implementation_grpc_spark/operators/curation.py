@@ -239,6 +239,50 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_budget_mixture(
+    docs: DataFrame,
+    budget_tokens: int = 3000,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus composition: fill each group's TOKEN budget
+    greedily with its highest-quality documents -- the primitive for
+    assembling a pretraining mixture specified in tokens per language
+    rather than document rates (mixture_sample / temperature_sample
+    are the rate-based complements). A doc is kept iff the total
+    tokens of strictly-better docs in its group is still under the
+    budget, so exactly the greedy prefix survives (the crossing doc is
+    included; a group whose best doc alone exceeds the budget still
+    keeps that one doc). Returns the per-group audit [lang,
+    n_docs_kept, tokens_kept, min_quality].
+
+    Exactness: token counts are integers, the quality key is the
+    6dp-rounded score (ties broken by doc_id), and the cumulative sum
+    is a plain integer window -- fully oracle-checkable. Scale: one
+    hash shuffle on the group for the window; nothing global."""
+    from ..functions.text_stats import quality_score_col, with_token_array
+
+    scored = with_token_array(docs, text_col=text_col).select(
+        "doc_id",
+        F.col(group_col),
+        F.size("toks").cast("long").alias("n_toks"),
+        quality_score_col(text_col, toks=F.col("toks")).alias("quality"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = scored.withColumn(
+        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    ).filter(F.col("cum_before") < budget_tokens)
+    return kept.groupBy(group_col).agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_toks").alias("tokens_kept"),
+        F.min("quality").alias("min_quality"),
+    )
+
+
 def mixture_sample(
     docs: DataFrame, group_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

@@ -1136,6 +1136,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: fill each language's 3000-token budget
+    greedily with its highest-quality docs (per-group audit rows);
+    the rate-based complements are mixture_sample/temperature_sample.
+    Integer cumulative window over a 6dp-rounded quality key -> the
+    exact kept set is oracle-checked."""
+    from .operators.curation import token_budget_mixture
+
+    return token_budget_mixture(load_table(spark, sf_dir, "documents"))
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-balanced sampling: down-sample each language to the
     smallest language's size via deterministic content hashing."""
@@ -3139,6 +3150,26 @@ ORACLES: dict[str, str] = {
       FROM documents d
       LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id) LEFT JOIN rs USING (doc_id)
     """,
+    "token_budget_mixture": f"""
+      WITH q AS (
+        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks, round(
+          least(len(toks) / 50.0, 1.0) * 0.35
+          + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                   / greatest(length(text), 1)) * 0.25
+          + (len(list_distinct(toks)) / greatest(len(toks), 1)) * 0.2
+          + least(len(list_filter(toks, t -> t IN ('the','a','and','of','is'))) / 5.0, 1.0) * 0.2
+        , 6) AS quality
+        FROM ({_SQL_TOKS})),
+      c AS (
+        SELECT *, coalesce(sum(n_toks) OVER (
+                 PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM q)
+      SELECT lang, count(*) AS n_docs_kept,
+             CAST(sum(n_toks) AS BIGINT) AS tokens_kept,
+             min(quality) AS min_quality
+      FROM c WHERE cum_before < 3000 GROUP BY lang
+    """,
     "mixture_sample": """
       WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
       m AS (SELECT min(n_g) AS min_n FROM c)
@@ -4810,6 +4841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "mixture_sample": q_mixture_sample,
+    "token_budget_mixture": q_token_budget_mixture,
     "shard_manifest": q_shard_manifest,
     # dedup
     "documents_sample": q_documents_sample,
@@ -4955,6 +4987,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "pii_redact",
     "mixture_sample",
+    "token_budget_mixture",
     "temperature_sample",
     "duplicate_spans",
     "dsir_weights",
