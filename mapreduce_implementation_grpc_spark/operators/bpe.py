@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..materialize import materialize
 
 from ..operators.normalize import normalized_col
 from ..operators.tokenize import tokenize
@@ -94,7 +95,7 @@ def train_merges(
     (left, right) string order, identical in DuckDB."""
     vocab = freqs.withColumn(
         "ws", symbolized(F.col("w"))
-    ).select("ws", "c").localCheckpoint(eager=False)
+    ).select("ws", "c").transform(materialize)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         top = (

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..materialize import materialize
 
 from .dedup import portable_hash60
 
@@ -72,7 +73,7 @@ def cms_screened_wordcount(tokens: DataFrame, denom: int = 500) -> DataFrame:
     counters = (
         cells.groupBy("j", "b")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)  # 5 consumers, one tiny table
+        .transform(materialize)  # 5 consumers, one tiny table
     )
     sketches = [
         counters.filter(F.col("j") == j).select(

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..materialize import materialize
 
 from .dedup import portable_hash60
 
@@ -64,11 +65,9 @@ def kmv_intersection_report(
     exact_intersection, rel_err] for the value sets a[col_a], b[col_b].
     Estimates derive ONLY from the two k-row sketches; the exact
     intersection rides along to measure the error."""
-    ka = kmin_values(a, col_a, k).localCheckpoint(eager=False)
-    kb = kmin_values(b, col_b, k).localCheckpoint(eager=False)
-    ku = ka.unionByName(kb).distinct().orderBy("h").limit(k).localCheckpoint(
-        eager=False
-    )
+    ka = materialize(kmin_values(a, col_a, k))
+    kb = materialize(kmin_values(b, col_b, k))
+    ku = materialize(ka.unionByName(kb).distinct().orderBy("h").limit(k))
     stats = ku.agg(F.max("h").alias("hk"), F.count("*").alias("kct"))
     common = (
         ku.join(ka, "h", "left_semi")

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..materialize import materialize
 
 from ..sources.catalog import load_table
 
@@ -70,7 +71,7 @@ def purchase_graph(
     return (
         e.join(dside, F.col("src") == F.col("dsrc"))
         .select("src", "dst", "d")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
 
@@ -119,7 +120,7 @@ def personalized_pagerank(
               F.col("src") == F.col("node"), "left")
         .select(F.col("src").alias("inode"),
                 F.coalesce(F.col("i1"), F.lit(0.0)).alias("ind"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     return _power_iterate(ewd, ind, iters, broadcast_ranks)
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..materialize import materialize
 
 from ..sources.catalog import load_table
 
@@ -79,7 +80,7 @@ def _binned_events(spark: SparkSession, sf_dir: str, bits: int = BITS) -> DataFr
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
     )
-    base = ev.localCheckpoint(eager=False)
+    base = materialize(ev)
     stats = base.agg(
         F.min("user_id").alias("lo_u"),
         F.max("user_id").alias("hi_u"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..materialize import materialize
 
 from ..functions.text_stats import (
     bpe_like_token_count_col,
@@ -45,7 +46,7 @@ def curate_documents(
     keep_exact = (
         exact_dedup(docs)
         .select(F.col("keep_doc_id").alias("doc_id"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     docs1 = docs.join(keep_exact, "doc_id", "left_semi")
 
@@ -123,7 +124,7 @@ def select_pretraining_corpus(
     keep = (
         exact_dedup(docs)
         .select(F.col("keep_doc_id").alias("doc_id"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     docs1 = docs.join(keep, "doc_id", "left_semi")
 
@@ -131,7 +132,7 @@ def select_pretraining_corpus(
     sel = (
         w.filter(F.col("dsir_logw") >= min_logw)
         .select("doc_id", "dsir_logw")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     docs2 = docs1.join(sel.select("doc_id"), "doc_id", "left_semi")
 

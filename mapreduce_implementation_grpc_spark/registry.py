@@ -29,6 +29,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .materialize import materialize
 
 from .functions.text_stats import (
     LANG_MARKERS,
@@ -700,7 +701,7 @@ def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .join(cust, "o_custkey", "left_semi")
         .select("o_orderkey")
-        .localCheckpoint(eager=False)  # bitmap build + exact join share it
+        .transform(materialize)  # bitmap build + exact join share it
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -764,9 +765,7 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("d"), "user_id"
     )
-    day_regs = hll_registers(ev, ["event_type", "d"], "user_id").localCheckpoint(
-        eager=False
-    )
+    day_regs = materialize(hll_registers(ev, ["event_type", "d"], "user_id"))
     t_est = estimate_from_registers(
         merge_registers(day_regs, ["event_type"]), ["event_type"]
     ).select(
@@ -1021,7 +1020,7 @@ def q_prf_rerank(spark: SparkSession, sf_dir: str, n_feedback: int = 10,
 
     from .functions.vectors import dot_col, l2_norm_col
 
-    cand = q_bm25_topk(spark, sf_dir).localCheckpoint(eager=False)
+    cand = materialize(q_bm25_topk(spark, sf_dir))
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
@@ -1410,7 +1409,7 @@ def q_cluster_topics(spark: SparkSession, sf_dir: str, topn: int = 5,
         cells, "doc_id"
     )
     cw = words.groupBy("cell", "word").agg(F.count("*").alias("cnt"))
-    cw = cw.localCheckpoint(eager=False)  # 3 aggregates + the join reuse it
+    cw = materialize(cw)  # 3 aggregates + the join reuse it
     ct = cw.groupBy("cell").agg(F.sum("cnt").alias("ctot"))
     wt = cw.groupBy("word").agg(F.sum("cnt").alias("wtot"))
     g = cw.agg(F.sum("cnt").alias("gtot"))

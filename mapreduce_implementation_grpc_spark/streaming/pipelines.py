@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..operators.normalize import normalized_col
 from ..operators.tokenize import tokens_col
 
@@ -788,7 +789,7 @@ def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sigs = minhash_signatures(batch_df.select("doc_id", text_col), text_col)
-        keys = band_key_rows(sigs).localCheckpoint(eager=False)
+        keys = materialize(band_key_rows(sigs))
         seen = _read_seen(spark, f"{path}/bands", ["band_id", "band_hash", "_batch_id"])
         if seen is not None:
             seen = seen.where(F.col("_batch_id") != batch_id).select(
@@ -809,14 +810,13 @@ def near_dedup_append_sink(spark, path: str, text_col: str = "text"):
             )
             .select(F.col("a.doc_id").alias("doc_id"))
         )
-        # lazy-checkpoint: BOTH writes (docs + bands) consume dropped,
+        # materialized: BOTH writes (docs + bands) consume dropped,
         # and its plan contains the ever-growing bands-table scan --
         # without this the dominant per-batch cost runs twice
-        dropped = (
+        dropped = materialize(
             hits_table.select("doc_id")
             .unionByName(hits_batch)
             .distinct()
-            .localCheckpoint(eager=False)
         )
         kept = batch_df.join(dropped, "doc_id", "left_anti").withColumn(
             "_batch_id", F.lit(batch_id)
