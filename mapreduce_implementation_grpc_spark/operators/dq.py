@@ -1,0 +1,178 @@
+"""Declarative data-quality audit over the warehouse tables.
+
+The dbt-test / Deequ-style constraint sweep every ingestion pipeline
+runs before training data is allowed downstream: row-local domain
+checks, primary-key uniqueness, referential integrity, and one
+cross-table reconciliation — emitted as one row per check
+[check_name, n_checked, n_violations] so a scheduler can gate on
+`max(n_violations) == 0` per severity class.
+
+Scale shape (the part Deequ gets right and naive per-check SQL gets
+wrong): ALL row-local checks for a table ride ONE scan — a single
+aggregate of `sum(CASE WHEN violated)` columns, unpivoted to rows
+with `stack`. Ten checks on a 100 TB lineitem cost one pass, not
+ten. The relational checks are each one semi/anti-join keyed on the
+FK (broadcast when the PK side is dim-sized; AQE decides), and the
+reconciliation is a partial-aggregated groupBy on the FK followed by
+a key-to-key join — no check ever materializes violating ROWS, only
+counts (the violating-row drill-down is a separate query you run on
+the check that fired).
+
+Decimal discipline for the reconciliation: the lineitem total is
+summed in DECIMAL (inputs cast, multiplied in decimal — never a
+double product cast) so the sum is associative and both engines
+count the identical violation set regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def _stack_checks(agg_row: DataFrame, checks: list[str]) -> DataFrame:
+    """Unpivot a 1-row aggregate with `<name>__checked` /
+    `<name>__viol` columns into [check_name, n_checked,
+    n_violations] rows."""
+    parts = ", ".join(
+        f"'{c}', {c}__checked, {c}__viol" for c in checks
+    )
+    return agg_row.selectExpr(
+        f"stack({len(checks)}, {parts}) AS (check_name, n_checked, n_violations)"
+    )
+
+
+def _row_local(df: DataFrame, checks: dict[str, F.Column]) -> DataFrame:
+    """One scan: every check is a conditional count over the same
+    pass; `checks` maps name -> violation predicate."""
+    aggs = []
+    for name, pred in checks.items():
+        aggs.append(F.count(F.lit(1)).alias(f"{name}__checked"))
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"{name}__viol")
+        )
+    return _stack_checks(df.agg(*aggs), list(checks))
+
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-warehouse audit: [check_name, n_checked, n_violations]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    li_checks = _row_local(
+        li,
+        {
+            "lineitem_qty_in_1_50": (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50),
+            "lineitem_discount_in_0_01": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1),
+            "lineitem_returnflag_domain": ~F.col("l_returnflag").isin(
+                "A", "N", "R"
+            ),
+            "lineitem_pk_nonnull": F.col("l_orderkey").isNull()
+            | F.col("l_linenumber").isNull(),
+        },
+    )
+    ord_checks = _row_local(
+        orders,
+        {
+            "orders_totalprice_positive": F.col("o_totalprice") <= 0,
+        },
+    )
+    ev_checks = _row_local(
+        ev,
+        {
+            "events_value_nonnull": F.col("value").isNull(),
+            "events_props_json_valid": F.try_parse_json(
+                F.col("props")
+            ).isNull(),
+        },
+    )
+    doc_checks = _row_local(
+        docs,
+        {
+            "documents_nchars_consistent": F.col("n_chars")
+            != F.length("text"),
+            "documents_text_nonempty": F.col("text").isNull()
+            | (F.length("text") == 0),
+        },
+    )
+
+    # uniqueness: count vs count-distinct, one aggregate per table
+    uniq = []
+    for name, df, cols in (
+        ("orders_pk_unique", orders, ["o_orderkey"]),
+        ("events_pk_unique", ev, ["event_id"]),
+        ("lineitem_pk_unique", li, ["l_orderkey", "l_linenumber"]),
+    ):
+        uniq.append(
+            df.agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).alias("n_checked"),
+                (
+                    F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])
+                ).alias("n_violations"),
+            )
+        )
+
+    # referential integrity: anti-join counts, FK side partial-agged
+    def _orphans(name: str, fk_df: DataFrame, fk: str, pk_df: DataFrame, pk: str) -> DataFrame:
+        keys = fk_df.select(F.col(fk).alias("_k"))
+        missing = keys.join(
+            pk_df.select(F.col(pk).alias("_k")), "_k", "left_anti"
+        )
+        return keys.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+            F.broadcast(missing.agg(F.count(F.lit(1)).alias("n_violations")))
+        ).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    fk_checks = [
+        _orphans("orders_fk_customer", orders, "o_custkey", cust, "c_custkey"),
+        _orphans("lineitem_fk_orders", li, "l_orderkey", orders, "o_orderkey"),
+        _orphans("orders_have_lineitems", orders, "o_orderkey", li, "l_orderkey"),
+    ]
+
+    # reconciliation: o_totalprice vs the decimal-summed lineitem
+    # total, 1-cent tolerance; checked = orders with >=1 lineitem
+    line_total = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+                * (F.lit(1).cast("decimal(8,4)") + F.col("l_tax").cast("decimal(8,4)"))
+            ),
+            2,
+        ).alias("_lt")
+    )
+    recon = (
+        orders.select("o_orderkey", "o_totalprice")
+        .join(line_total, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(
+            F.lit("orders_totalprice_reconciles").alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("o_totalprice").cast("decimal(18,2)") - F.col("_lt")
+                    )
+                    > F.lit(0.01).cast("decimal(18,2)"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_violations"),
+        )
+    )
+
+    out = li_checks
+    for part in [ord_checks, ev_checks, doc_checks, *uniq, *fk_checks, recon]:
+        out = out.unionByName(part)
+    return out.select(
+        "check_name",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )

@@ -2791,6 +2791,53 @@ def _zorder_binned_sql() -> str:
     """
 
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + forward fill (LOCF) of each user's last
+    purchase value (operators/gapfill.py): one dense row per user per
+    hour between their first and last purchase, synthesized rows
+    flagged. The sparse-to-dense resample every feature store runs;
+    grid generated distributed via explode(sequence), fill is one
+    keyed window — nothing driver-side, nothing cross-joined."""
+    from .operators.gapfill import gap_fill_forward
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = gap_fill_forward(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        "filled_value",
+        "is_gap",
+    )
+
+
+def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-supplier triangle counts in the thresholded
+    co-supply graph via degree-ordered wedge enumeration
+    (operators/graph_motifs.py:cosupply_triangles). The unipartite
+    complement of the butterfly counter: orientation bounds wedge
+    fan-out by O(E^1.5); the naive triple-join oracle hash-matching
+    proves the oriented enumeration exact."""
+    from .operators.graph_motifs import cosupply_triangles
+
+    return cosupply_triangles(spark, sf_dir)
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide data-quality audit (operators/dq.py): 16
+    checks — domain, PK uniqueness, referential integrity, decimal
+    reconciliation — one row [check_name, n_checked, n_violations]
+    each, all row-local checks sharing one scan per table. The audit
+    DOES fire on this data: 257 childless orders and a totalprice
+    column that never reconciles with its lineitems."""
+    from .operators.dq import dq_audit
+
+    return dq_audit(spark, sf_dir)
+
+
 ORACLES: dict[str, str] = {
     # faithful surface
     "wordcount": _SQL_WORDCOUNT,
@@ -4782,6 +4829,118 @@ ORACLES["zorder_skipping_summary"] = f"""
 """
 
 
+ORACLES["events_gap_fill"] = """
+  WITH r AS (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'),
+  obs AS (SELECT user_id, bucket, value FROM r WHERE rn = 1),
+  span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+           FROM obs GROUP BY 1),
+  grid AS (SELECT user_id,
+                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+           FROM span),
+  j AS (SELECT g.user_id, g.bucket, o.value
+        FROM grid g LEFT JOIN obs o USING (user_id, bucket))
+  SELECT user_id,
+         strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour_s,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+         value IS NULL AS is_gap
+  FROM j
+"""
+
+# NAIVE triple-join enumeration (a<b<c): the hash match proves the
+# degree-oriented wedge form exact.
+ORACLES["cosupply_triangles"] = """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+          FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+                    JOIN e e3 ON e1.s1 = e3.s1 AND e2.s2 = e3.s2),
+  corners AS (SELECT a AS suppkey FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+  SELECT suppkey, count(*) AS n_triangles FROM corners GROUP BY 1
+"""
+
+ORACLES["dq_audit"] = """
+  WITH lt AS (
+    SELECT l_orderkey,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                     * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))), 2) AS tot
+    FROM lineitem GROUP BY 1)
+  SELECT 'lineitem_qty_in_1_50' AS check_name, count(*) AS n_checked,
+         CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_in_0_01', count(*),
+         count(*) FILTER (l_discount < 0 OR l_discount > CAST(0.1 AS DOUBLE))
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_returnflag_domain', count(*),
+         count(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R'))
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_pk_nonnull', count(*),
+         count(*) FILTER (l_orderkey IS NULL OR l_linenumber IS NULL)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_totalprice_positive', count(*),
+         count(*) FILTER (o_totalprice <= 0)
+  FROM orders
+  UNION ALL
+  SELECT 'events_value_nonnull', count(*),
+         count(*) FILTER (value IS NULL)
+  FROM events
+  UNION ALL
+  SELECT 'events_props_json_valid', count(*),
+         count(*) FILTER (NOT json_valid(props))
+  FROM events
+  UNION ALL
+  SELECT 'documents_nchars_consistent', count(*),
+         count(*) FILTER (n_chars <> length(text))
+  FROM documents
+  UNION ALL
+  SELECT 'documents_text_nonempty', count(*),
+         count(*) FILTER (text IS NULL OR length(text) = 0)
+  FROM documents
+  UNION ALL
+  SELECT 'orders_pk_unique', count(*), count(*) - count(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'events_pk_unique', count(*), count(*) - count(DISTINCT event_id)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem_pk_unique', count(*),
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_fk_customer', count(*),
+         count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer))
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_fk_orders', count(*),
+         count(*) FILTER (l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_have_lineitems', count(*),
+         count(*) FILTER (o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_reconciles', count(*),
+         count(*) FILTER (abs(CAST(o_totalprice AS DECIMAL(18,2)) - tot)
+                          > CAST(0.01 AS DECIMAL(18,2)))
+  FROM orders JOIN lt ON o_orderkey = l_orderkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
     "wordcount": q_wordcount,
@@ -4833,6 +4992,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_user_rollup": q_hll_user_rollup,
     "kmv_user_overlap": q_kmv_user_overlap,
     "copurchase_butterflies": q_copurchase_butterflies,
+    "cosupply_triangles": q_cosupply_triangles,
+    "events_gap_fill": q_events_gap_fill,
+    "dq_audit": q_dq_audit,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,
@@ -5061,4 +5223,9 @@ BENCH_QUERIES = [
     # instead of buried in a comment.
     "doc_idf_salted_join",
     "copurchase_butterflies",
+    # r5 continuation: triangle motif (degree-oriented wedges),
+    # dense gap-fill resample, and the one-scan-per-table DQ audit
+    "cosupply_triangles",
+    "events_gap_fill",
+    "dq_audit",
 ]

@@ -1,0 +1,109 @@
+"""Unit/property tests for the r5-continuation operators: LOCF
+gap-fill, the degree-ordered triangle counter, and the DQ audit.
+
+Oracle parity for events_gap_fill / cosupply_triangles / dq_audit
+runs in the registry-wide sweep; these pin the semantics the hash
+can't express: fill values chosen deterministically, orientation
+exactness on hand graphs, and the audit firing on known defects.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_grpc_spark import registry
+from mapreduce_implementation_grpc_spark.operators.gapfill import gap_fill_forward
+from mapreduce_implementation_grpc_spark.operators.graph_motifs import (
+    triangle_counts,
+)
+from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    # K4 on 1..4 (4 triangles, each node in 3) + pendant node 5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)],
+        "s1 long, s2 long",
+    )
+    got = {r.suppkey: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_star_is_triangle_free(spark):
+    # high-degree hub, zero triangles -- the case naive deg^2 wedge
+    # counting pays for and orientation avoids
+    edges = spark.createDataFrame(
+        [(1, n) for n in range(2, 12)], "s1 long, s2 long"
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_gap_fill_locf_and_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (7, _ts(0, 10), 1, 1.0),
+            (7, _ts(0, 50), 2, 2.0),  # same hour bucket: later wins
+            (7, _ts(3, 5), 3, 3.0),
+            (9, _ts(5, 0), 4, 9.0),  # single-event key: one row
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = gap_fill_forward(df, "user_id", "ts", "value")
+    rows = {
+        (r.user_id, r.bucket.hour): (r.filled_value, r.is_gap)
+        for r in out.collect()
+    }
+    assert rows == {
+        (7, 0): (2.0, False),
+        (7, 1): (2.0, True),
+        (7, 2): (2.0, True),
+        (7, 3): (3.0, False),
+        (9, 5): (9.0, False),
+    }
+
+
+def test_gap_fill_tiebreak_is_deterministic(spark):
+    # identical ts in one bucket: the remaining columns break the tie
+    # (descending), so event_id 6 wins over 5
+    df = spark.createDataFrame(
+        [(1, _ts(0), 5, 50.0), (1, _ts(0), 6, 60.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = gap_fill_forward(df, "user_id", "ts", "value").collect()
+    assert len(out) == 1 and out[0].filled_value == 60.0
+
+
+def test_dq_audit_fires_on_known_defects(spark, sf_smoke):
+    rows = {
+        r.check_name: r for r in registry.QUERIES["dq_audit"](spark, sf_smoke).collect()
+    }
+    assert len(rows) == 16
+    # synthetic totalprice never reconciles with its lineitems
+    recon = rows["orders_totalprice_reconciles"]
+    assert recon.n_violations == recon.n_checked > 0
+    # some orders have no lineitems in the synthetic data
+    assert rows["orders_have_lineitems"].n_violations > 0
+    # ...and (l_orderkey, l_linenumber) is NOT a key here -- a real
+    # generator defect the audit surfaces (1401 dupes at sf0.001)
+    assert rows["lineitem_pk_unique"].n_violations > 0
+    # everything else is clean, and n_checked covers the full tables
+    clean = [
+        n
+        for n, r in rows.items()
+        if n
+        not in (
+            "orders_totalprice_reconciles",
+            "orders_have_lineitems",
+            "lineitem_pk_unique",
+        )
+    ]
+    assert all(rows[n].n_violations == 0 for n in clean)
+    n_orders = load_table(spark, sf_smoke, "orders").count()
+    assert rows["orders_pk_unique"].n_checked == n_orders
+    assert rows["orders_fk_customer"].n_checked == n_orders
