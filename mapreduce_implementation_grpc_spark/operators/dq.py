@@ -56,6 +56,18 @@ def _row_local(df: DataFrame, checks: dict[str, F.Column]) -> DataFrame:
     return _stack_checks(df.agg(*aggs), list(checks))
 
 
+def events_row_checks() -> dict[str, F.Column]:
+    """Row-local violation predicates for the events table -- shared
+    by the batch audit below and the streaming monitor
+    (streaming/pipelines.dq_monitor_sink), so both paths enforce the
+    identical contract."""
+    return {
+        "events_value_nonnull": F.col("value").isNull(),
+        "events_props_json_valid": F.try_parse_json(F.col("props")).isNull(),
+        "events_event_id_nonnull": F.col("event_id").isNull(),
+    }
+
+
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-warehouse audit: [check_name, n_checked, n_violations]."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -84,15 +96,7 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders_totalprice_positive": F.col("o_totalprice") <= 0,
         },
     )
-    ev_checks = _row_local(
-        ev,
-        {
-            "events_value_nonnull": F.col("value").isNull(),
-            "events_props_json_valid": F.try_parse_json(
-                F.col("props")
-            ).isNull(),
-        },
-    )
+    ev_checks = _row_local(ev, events_row_checks())
     doc_checks = _row_local(
         docs,
         {

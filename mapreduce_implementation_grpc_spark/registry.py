@@ -2827,7 +2827,7 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Warehouse-wide data-quality audit (operators/dq.py): 16
+    """Warehouse-wide data-quality audit (operators/dq.py): 17
     checks — domain, PK uniqueness, referential integrity, decimal
     reconciliation — one row [check_name, n_checked, n_violations]
     each, all row-local checks sharing one scan per table. The audit
@@ -4902,6 +4902,10 @@ ORACLES["dq_audit"] = """
   UNION ALL
   SELECT 'events_props_json_valid', count(*),
          count(*) FILTER (NOT json_valid(props))
+  FROM events
+  UNION ALL
+  SELECT 'events_event_id_nonnull', count(*),
+         count(*) FILTER (event_id IS NULL)
   FROM events
   UNION ALL
   SELECT 'documents_nchars_consistent', count(*),

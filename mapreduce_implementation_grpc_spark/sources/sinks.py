@@ -138,3 +138,75 @@ def compact_parquet(
             f"copy remains at {old_path.toString()}; remove it manually"
         )
     return n_files
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    order_col: str | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """MERGE (last-write-wins upsert) into a hash-bucketed parquet
+    table -- the copy-on-write pattern every table format (Hudi COW,
+    Delta, Iceberg) reduces to, built on the dynamic-partition
+    overwrite primitive above.
+
+    Layout: the table is partitioned by `_bkt = pmod(xxhash64(key),
+    n_buckets)`. An upsert batch then:
+
+    1. resolves WITHIN-batch collisions (last per key by `order_col`
+       descending, or arbitrary-deterministic if None);
+    2. finds its touched buckets -- at most n_buckets smallint ids
+       (a BOUNDED collect, like k-means centroids: size is a config
+       constant, never data-sized);
+    3. reads ONLY those bucket directories of the current table
+       (partition pruning on _bkt), anti-joins the surviving old
+       rows against the update keys;
+    4. rewrites just the touched buckets via dynamic partition
+       overwrite -- survivors + updates.
+
+    Scale: an upsert touching K keys costs reading + rewriting
+    ~K/n_buckets-th of the table... IF the keys are spread; a batch
+    hitting every bucket is a full rewrite, which is what table
+    formats' merge-on-read mode exists for. n_buckets trades rewrite
+    amplification (bigger = less data per touched bucket) against
+    small-files pressure and planning overhead. The anti-join is
+    keyed on `key` within matching buckets only; the update side of
+    it is batch-sized, so AQE broadcasts it.
+
+    Idempotent: replaying the same batch yields a byte-equal table
+    (the anti-join removes exactly the rows the batch re-inserts).
+    Crash mid-write leaves some buckets new, some old -- rerun the
+    SAME batch to converge (per-bucket writes are atomic via
+    overwrite); there is no cross-bucket transaction, which is the
+    honest boundary vs a real table format's commit log.
+    """
+    dedup_order = (
+        [F.col(order_col).desc()] if order_col is not None else []
+    ) + [F.col(key).desc()]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*dedup_order)
+    batch = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn(
+            "_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+        )
+    )
+    import os
+
+    if not os.path.isdir(path):
+        overwrite_partitions(batch, path, ["_bkt"])
+        return
+    touched = [r._bkt for r in batch.select("_bkt").distinct().collect()]
+    current = spark.read.parquet(path).filter(F.col("_bkt").isin(touched))
+    survivors = current.join(
+        batch.select(F.col(key)), key, "left_anti"
+    )
+    overwrite_partitions(
+        survivors.unionByName(batch), path, ["_bkt"]
+    )

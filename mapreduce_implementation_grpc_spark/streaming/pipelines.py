@@ -901,3 +901,44 @@ def bm25_collection_stats(spark, sf_dir: str, query: tuple[str, ...]) -> dict:
         "sum_dl": row["sum_dl"],
         "df": [row[f"df_{i}"] for i in range(len(query))],
     }
+
+
+def dq_monitor_sink(spark, path: str):
+    """foreachBatch sink: continuous data-quality monitoring -- the
+    streaming half of operators/dq.dq_audit. Every microbatch runs
+    the SAME row-local events predicates (events_row_checks is shared
+    code, so batch audit and stream monitor can never drift) in one
+    pass over the batch and appends [check_name, n_checked,
+    n_violations] rows partitioned by _batch_id. A gate then reads
+    the totals (dq_monitor_totals) or the per-batch series (trend /
+    first-bad-batch forensics).
+
+    Replay safety: a crashed batch is re-delivered by Spark under the
+    SAME batch_id; the dynamic partition overwrite replaces that
+    batch's own rows instead of appending a second copy, so totals
+    never double-count. State is the output table; the sink itself is
+    stateless and the per-batch write is check-count-sized (a few
+    rows), never data-sized."""
+    from ..operators.dq import _row_local, events_row_checks
+    from ..sources.sinks import overwrite_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = _row_local(batch_df, events_row_checks()).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        overwrite_partitions(rows, path, ["_batch_id"])
+
+    return sink
+
+
+def dq_monitor_totals(spark, path: str) -> DataFrame:
+    """Aggregate the monitor table to per-check running totals --
+    what a deployment gate compares against its violation budget."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("check_name")
+        .agg(
+            F.sum("n_checked").cast("long").alias("n_checked"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+    )

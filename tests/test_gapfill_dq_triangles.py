@@ -83,7 +83,7 @@ def test_dq_audit_fires_on_known_defects(spark, sf_smoke):
     rows = {
         r.check_name: r for r in registry.QUERIES["dq_audit"](spark, sf_smoke).collect()
     }
-    assert len(rows) == 16
+    assert len(rows) == 17
     # synthetic totalprice never reconciles with its lineitems
     recon = rows["orders_totalprice_reconciles"]
     assert recon.n_violations == recon.n_checked > 0
@@ -107,3 +107,78 @@ def test_dq_audit_fires_on_known_defects(spark, sf_smoke):
     n_orders = load_table(spark, sf_smoke, "orders").count()
     assert rows["orders_pk_unique"].n_checked == n_orders
     assert rows["orders_fk_customer"].n_checked == n_orders
+
+
+def test_dq_monitor_sink_totals_and_replay(spark, tmp_path):
+    """Streaming DQ monitor: totals equal the batch predicates over
+    everything streamed, and a crashed-batch replay (same batch_id)
+    leaves the totals unchanged."""
+    import json
+    import os
+
+    from mapreduce_implementation_grpc_spark.operators.dq import (
+        _row_local,
+        events_row_checks,
+    )
+    from mapreduce_implementation_grpc_spark.streaming import (
+        dq_monitor_sink,
+        dq_monitor_totals,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "dq")
+    os.makedirs(src)
+    schema = "event_id long, value double, props string"
+    b1 = [(1, 1.0, '{"a": 1}'), (2, None, "{not json"), (3, 2.0, "[]")]
+    b2 = [(4, None, None), (None, 5.0, '{"b": 2}')]
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for eid, v, p in rows:
+                f.write(
+                    json.dumps({"event_id": eid, "value": v, "props": p}) + "\n"
+                )
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .writeStream.foreachBatch(dq_monitor_sink(spark, out))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.json", b1)
+    run("ckpt")
+    write("b2.json", b2)
+    run("ckpt")
+
+    def totals():
+        return {
+            r.check_name: (r.n_checked, r.n_violations)
+            for r in dq_monitor_totals(spark, out).collect()
+        }
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r.check_name: (r.n_checked, r.n_violations)
+        for r in _row_local(both, events_row_checks()).collect()
+    }
+    got = totals()
+    assert got == want
+    # the monitor actually fired: nulls and the bad json were counted
+    assert got["events_value_nonnull"][1] == 2
+    assert got["events_event_id_nonnull"][1] == 1
+    assert got["events_props_json_valid"][1] >= 1
+
+    # crashed-batch redelivery: Spark re-runs under the SAME batch_id;
+    # the partition overwrite must not double-count
+    seen_batches = sorted(
+        int(r._batch_id)
+        for r in spark.read.parquet(out).select("_batch_id").distinct().collect()
+    )
+    replay_id = seen_batches[-1]
+    dq_monitor_sink(spark, out)(spark.createDataFrame(b2, schema), replay_id)
+    assert totals() == want
