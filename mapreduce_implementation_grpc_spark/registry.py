@@ -2826,6 +2826,17 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_triangles(spark, sf_dir)
 
 
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori pair stage with association metrics
+    (operators/basket.py): top part pairs by lift among pairs
+    co-ordered >= 2 times; support pruning applied before any metric
+    join. All ratios are exact-integer inputs into double division,
+    so the lift ordering is engine-identical."""
+    from .operators.basket import market_basket_pairs
+
+    return market_basket_pairs(spark, sf_dir)
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-wide data-quality audit (operators/dq.py): 17
     checks — domain, PK uniqueness, referential integrity, decimal
@@ -4869,6 +4880,25 @@ ORACLES["cosupply_triangles"] = """
   SELECT suppkey, count(*) AS n_triangles FROM corners GROUP BY 1
 """
 
+ORACLES["market_basket_pairs"] = """
+  WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  nn AS (SELECT count(DISTINCT o) AS n FROM b),
+  item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
+  pairs AS (SELECT a.p AS p1, c.p AS p2, count(*) AS pair_n
+            FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+  SELECT p1, p2, pair_n,
+         pair_n / n AS support,
+         pair_n / i1.item_n AS confidence,
+         (pair_n * n) / (i1.item_n * i2.item_n) AS lift
+  FROM pairs
+  JOIN item i1 ON i1.p = p1
+  JOIN item i2 ON i2.p = p2
+  CROSS JOIN nn
+  ORDER BY lift DESC, p1, p2
+  LIMIT 50
+"""
+
 ORACLES["dq_audit"] = """
   WITH lt AS (
     SELECT l_orderkey,
@@ -4999,6 +5029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosupply_triangles": q_cosupply_triangles,
     "events_gap_fill": q_events_gap_fill,
     "dq_audit": q_dq_audit,
+    "market_basket_pairs": q_market_basket_pairs,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,
@@ -5232,4 +5263,5 @@ BENCH_QUERIES = [
     "cosupply_triangles",
     "events_gap_fill",
     "dq_audit",
+    "market_basket_pairs",
 ]

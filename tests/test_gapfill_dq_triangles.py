@@ -182,3 +182,51 @@ def test_dq_monitor_sink_totals_and_replay(spark, tmp_path):
     replay_id = seen_batches[-1]
     dq_monitor_sink(spark, out)(spark.createDataFrame(b2, schema), replay_id)
     assert totals() == want
+
+
+def test_market_basket_metrics_match_bruteforce(spark, sf_smoke):
+    """Association metrics vs a driver-side brute force over the
+    collected baskets (sf0.001 is small enough), including the
+    lift-ordered top-k cut."""
+    from collections import Counter
+    from itertools import combinations
+
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set[int]] = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    item = Counter()
+    pair = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] += 1
+    n = len(baskets)
+    want = sorted(
+        (
+            (
+                -pn * n / (item[a] * item[b]),  # lift desc
+                a,
+                b,
+                pn,
+            )
+            for (a, b), pn in pair.items()
+            if pn >= 2
+        ),
+    )[:50]
+
+    got = registry.QUERIES["market_basket_pairs"](spark, sf_smoke).collect()
+    assert [(r.p1, r.p2, r.pair_n) for r in got] == [
+        (a, b, pn) for _, a, b, pn in want
+    ]
+    for r in got:
+        assert 0 < r.support <= 1 and 0 < r.confidence <= 1
+        assert r.lift == r.pair_n * n / (item[r.p1] * item[r.p2])
