@@ -2826,6 +2826,50 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_triangles(spark, sf_dir)
 
 
+def q_cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-core of the thresholded co-supply graph
+    (operators/graph_motifs.kcore): iterative peeling to fixpoint,
+    loud on non-convergence. EAGER (each round pins + counts). The
+    oracle unrolls 8 peeling rounds as CTEs — more than any tested
+    SF needs (4 at sf0.01); extra rounds are no-ops at fixpoint, so
+    the hash match proves the loop's stopping rule exact."""
+    from .operators.graph_motifs import cosupply_kcore
+
+    return cosupply_kcore(spark, sf_dir, k=8)
+
+
+def _kcore_ctes(k: int = 8, rounds: int = 8) -> str:
+    """Unrolled peeling oracle over the shared co-supply edge CTEs."""
+    parts = [
+        """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e0 AS (SELECT s1, s2 FROM w, t WHERE c >= thr)"""
+    ]
+    for i in range(1, rounds + 1):
+        # MATERIALIZED: each round references its predecessor 3x; an
+        # inlined chain re-expands the base scan exponentially (4^8
+        # lineitem reads blew the fd limit), a materialized one is
+        # linear in rounds
+        parts.append(
+            f""",
+  d{i} AS MATERIALIZED (SELECT v, count(*) AS dg FROM (SELECT s1 AS v FROM e{i-1}
+           UNION ALL SELECT s2 FROM e{i-1}) GROUP BY 1),
+  e{i} AS MATERIALIZED (SELECT s1, s2 FROM e{i-1}
+           WHERE s1 IN (SELECT v FROM d{i} WHERE dg >= {k})
+             AND s2 IN (SELECT v FROM d{i} WHERE dg >= {k}))"""
+        )
+    parts.append(
+        f"""
+  SELECT v AS suppkey, count(*) AS core_deg
+  FROM (SELECT s1 AS v FROM e{rounds} UNION ALL SELECT s2 FROM e{rounds})
+  GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
 def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori pair stage with association metrics
     (operators/basket.py): top part pairs by lift among pairs
@@ -4880,6 +4924,8 @@ ORACLES["cosupply_triangles"] = """
   SELECT suppkey, count(*) AS n_triangles FROM corners GROUP BY 1
 """
 
+ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
+
 ORACLES["market_basket_pairs"] = """
   WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
   nn AS (SELECT count(DISTINCT o) AS n FROM b),
@@ -5030,6 +5076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gap_fill": q_events_gap_fill,
     "dq_audit": q_dq_audit,
     "market_basket_pairs": q_market_basket_pairs,
+    "cosupply_kcore": q_cosupply_kcore,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,
@@ -5264,4 +5311,7 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "dq_audit",
     "market_basket_pairs",
+    # cosupply_kcore is NOT benched: its dominant cost is the same
+    # co-supply pair build cosupply_triangles already measures (the
+    # sf0.1 graph fixpoints in one peel round on top of that)
 ]

@@ -88,6 +88,8 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         # BPE: the greedy merge loop collects a top pair per round
         "bpe_merges", "bpe_encode", "bpe_compression_by_lang",
         "pack_sequences_bpe",
+        # k-core: peeling rounds pin + count eagerly to fixpoint
+        "cosupply_kcore",
     }
     for name, fn in registry.QUERIES.items():
         if name in EAGER:

@@ -230,3 +230,27 @@ def test_market_basket_metrics_match_bruteforce(spark, sf_smoke):
     for r in got:
         assert 0 < r.support <= 1 and 0 < r.confidence <= 1
         assert r.lift == r.pair_n * n / (item[r.p1] * item[r.p2])
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    """K5 + a pendant chain, k=3: the chain peels away over several
+    rounds, K5 survives with within-core degree 4."""
+    from itertools import combinations
+
+    from mapreduce_implementation_grpc_spark.operators.graph_motifs import kcore
+
+    k5 = list(combinations(range(1, 6), 2))
+    chain = [(5, 6), (6, 7), (7, 8)]  # peels: 8 then 7 then 6
+    edges = spark.createDataFrame(k5 + chain, "s1 long, s2 long")
+    got = {r.suppkey: r.core_deg for r in kcore(edges, k=3).collect()}
+    assert got == {n: 4 for n in range(1, 6)}
+
+
+def test_kcore_raises_on_round_budget(spark):
+    import pytest
+
+    from mapreduce_implementation_grpc_spark.operators.graph_motifs import kcore
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "s1 long, s2 long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore(edges, k=1, max_rounds=0)
