@@ -2826,6 +2826,47 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_triangles(spark, sf_dir)
 
 
+def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the bipartite purchase graph
+    (operators/hits.py): 3 max-normalized rounds, decimal-summed
+    contributions (pagerank recipe), [node_type, node_key, score].
+    The oracle unrolls the 3 rounds as MATERIALIZED CTEs."""
+    from .operators.hits import hits_scores
+
+    return hits_scores(spark, sf_dir, iters=3)
+
+
+def _hits_ctes(iters: int = 3) -> str:
+    """Unrolled max-normalized HITS oracle (see operators/hits.py)."""
+    parts = [
+        """
+  WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  h0 AS MATERIALIZED (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM e)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+  ar{i} AS MATERIALIZED (
+    SELECT s, CAST(CAST(sum(CAST(round(h, 9) AS DECIMAL(20,9))) AS VARCHAR) AS DOUBLE) AS ar
+    FROM e JOIN h{i-1} USING (c) GROUP BY s),
+  a{i} AS MATERIALIZED (
+    SELECT s, ar / (SELECT max(ar) FROM ar{i}) AS a FROM ar{i}),
+  hr{i} AS MATERIALIZED (
+    SELECT c, CAST(CAST(sum(CAST(round(a, 9) AS DECIMAL(20,9))) AS VARCHAR) AS DOUBLE) AS hr
+    FROM e JOIN a{i} USING (s) GROUP BY c),
+  h{i} AS MATERIALIZED (
+    SELECT c, hr / (SELECT max(hr) FROM hr{i}) AS h FROM hr{i})"""
+        )
+    parts.append(
+        f"""
+  SELECT 'hub' AS node_type, c AS node_key, round(h, 9) AS score FROM h{iters}
+  UNION ALL
+  SELECT 'authority', s, round(a, 9) FROM a{iters}"""
+    )
+    return "".join(parts)
+
+
 def q_cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-core of the thresholded co-supply graph
     (operators/graph_motifs.kcore): iterative peeling to fixpoint,
@@ -4925,6 +4966,7 @@ ORACLES["cosupply_triangles"] = """
 """
 
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
+ORACLES["purchase_hits"] = _hits_ctes(iters=3)
 
 ORACLES["market_basket_pairs"] = """
   WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -5077,6 +5119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_audit": q_dq_audit,
     "market_basket_pairs": q_market_basket_pairs,
     "cosupply_kcore": q_cosupply_kcore,
+    "purchase_hits": q_purchase_hits,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,
@@ -5311,6 +5354,7 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "dq_audit",
     "market_basket_pairs",
+    "purchase_hits",
     # cosupply_kcore is NOT benched: its dominant cost is the same
     # co-supply pair build cosupply_triangles already measures (the
     # sf0.1 graph fixpoints in one peel round on top of that)

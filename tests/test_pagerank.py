@@ -131,3 +131,34 @@ def test_ppr_empty_seed_set_is_all_zero(spark, sf_smoke):
     empty = spark.createDataFrame([], "node string")
     rows = personalized_pagerank(spark, sf_smoke, empty, iters=2).collect()
     assert rows and all(r["r"] == 0.0 for r in rows)
+
+
+def test_hits_normalization_and_authority_ordering(spark, sf_smoke):
+    """Max-normalized HITS invariants: each side's max score is
+    exactly 1.0, all scores in (0, 1], and the top authority is a
+    supplier with maximal hub-weighted in-degree (sanity: it must be
+    bought by at least as many DISTINCT customers as any supplier
+    two steps down the ranking -- a weak but hand-checkable form of
+    'authority follows endorsement mass')."""
+    from mapreduce_implementation_grpc_spark import registry
+    from mapreduce_implementation_grpc_spark.operators.graph_motifs import (
+        purchase_edges,
+    )
+
+    rows = registry.QUERIES["purchase_hits"](spark, sf_smoke).collect()
+    hubs = [r for r in rows if r.node_type == "hub"]
+    auths = [r for r in rows if r.node_type == "authority"]
+    assert hubs and auths
+    for side in (hubs, auths):
+        assert max(r.score for r in side) == 1.0
+        assert all(0 < r.score <= 1.0 for r in side)
+
+    deg = {
+        r.suppkey: r.n
+        for r in purchase_edges(spark, sf_smoke)
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    ranked = sorted(auths, key=lambda r: -r.score)
+    assert deg[ranked[0].node_key] >= deg[ranked[2].node_key]
