@@ -22,7 +22,7 @@ EAGER = {
     "leakage_safe_split", "kmeans_cells", "ann_ivf_kmeans", "cluster_topics",
     "pq_codes", "pq_search", "ann_ivfpq", "ann_ivfpq_residual",
     "semantic_dedup", "bpe_merges", "bpe_encode", "bpe_compression_by_lang",
-    "pack_sequences_bpe",
+    "pack_sequences_bpe", "cosupply_kcore",
 }
 
 
