@@ -89,8 +89,14 @@ def main() -> None:
     if spreads:
         full["outlier_runs_discarded"] = spreads
     here = os.path.dirname(os.path.abspath(__file__))
+    # SPARK_GRAFT_BENCH_JSON redirects the document (the contract
+    # test uses it so its sf0.001 run cannot clobber the canonical
+    # sf0.1 BENCH.json in the repo)
+    json_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_JSON", os.path.join(here, "BENCH.json")
+    )
     try:
-        with open(os.path.join(here, "BENCH.json"), "w") as fh:
+        with open(json_path, "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
     except OSError:

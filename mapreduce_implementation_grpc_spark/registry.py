@@ -2826,6 +2826,39 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_triangles(spark, sf_dir)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: [event_type, next_type, n_transitions, p] where p =
+    P(next | current). One lead() window keyed on user (the
+    sessionize shuffle, reused shape) + two tiny type-pair
+    aggregates; the user-behavior model every funnel/anomaly
+    analysis starts from. p is exact-integer division -> identical
+    doubles both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n_transitions").alias("t"))
+    return (
+        c.join(tot, "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            (F.col("n_transitions") / F.col("t")).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
 def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the bipartite purchase graph
     (operators/hits.py): 3 max-normalized rounds, decimal-summed
@@ -4968,6 +5001,21 @@ ORACLES["cosupply_triangles"] = """
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
 ORACLES["purchase_hits"] = _hits_ctes(iters=3)
 
+ORACLES["event_transitions"] = """
+  WITH nxt AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events),
+  c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT event_type, CAST(sum(n_transitions) AS BIGINT) AS t
+          FROM c GROUP BY 1)
+  SELECT c.event_type, next_type, n_transitions, n_transitions / t AS p
+  FROM c JOIN tot ON c.event_type = tot.event_type
+  ORDER BY 1, 2
+"""
+
 ORACLES["market_basket_pairs"] = """
   WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
   nn AS (SELECT count(DISTINCT o) AS n FROM b),
@@ -5120,6 +5168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_basket_pairs": q_market_basket_pairs,
     "cosupply_kcore": q_cosupply_kcore,
     "purchase_hits": q_purchase_hits,
+    "event_transitions": q_event_transitions,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,
@@ -5355,6 +5404,7 @@ BENCH_QUERIES = [
     "dq_audit",
     "market_basket_pairs",
     "purchase_hits",
+    "event_transitions",
     # cosupply_kcore is NOT benched: its dominant cost is the same
     # co-supply pair build cosupply_triangles already measures (the
     # sf0.1 graph fixpoints in one peel round on top of that)

@@ -114,11 +114,13 @@ def test_bench_final_line_fits_driver_window(tmp_path):
     "parsed": null). Contract: the FINAL stdout line is valid JSON,
     fits the window, and carries the totals; the full per-query
     document lands in BENCH.json."""
+    bench_json = str(tmp_path / "BENCH.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_JSON=bench_json,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -145,7 +147,7 @@ def test_bench_final_line_fits_driver_window(tmp_path):
     tail = out.stdout[-2000:]
     assert final in tail
     # full document: every benched query, value totals consistent
-    with open(os.path.join(REPO, "BENCH.json")) as fh:
+    with open(bench_json) as fh:
         full = json.load(fh)
     assert set(full["queries"]) >= set(payload["queries"])
     assert full["value"] == payload["value"]

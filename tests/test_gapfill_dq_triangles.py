@@ -254,3 +254,21 @@ def test_kcore_raises_on_round_budget(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "s1 long, s2 long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         kcore(edges, k=1, max_rounds=0)
+
+
+def test_event_transitions_is_a_markov_matrix(spark, sf_smoke):
+    """Each row of the transition matrix sums to 1, and total
+    transitions = total events minus one per active user (a chain of
+    n events has n-1 transitions)."""
+    rows = registry.QUERIES["event_transitions"](spark, sf_smoke).collect()
+    by_type: dict[str, float] = {}
+    n_total = 0
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.p
+        n_total += r.n_transitions
+    assert by_type and all(abs(s - 1.0) < 1e-9 for s in by_type.values())
+
+    ev = load_table(spark, sf_smoke, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_total == n_events - n_users
