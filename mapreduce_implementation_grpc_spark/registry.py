@@ -2826,6 +2826,52 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_triangles(spark, sf_dir)
 
 
+def q_funnel_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED funnel: signup -> first view strictly after ->
+    first purchase strictly after that, with the purchase inside 7
+    days of the signup. [stage, n_users, rate] where rate converts
+    from the previous stage. Unlike signup_funnel's two-milestone
+    form, each stage anchors on the PREVIOUS stage's first-qualifying
+    timestamp: one user-keyed conditional min per stage, chained by
+    user-keyed joins -- no event self-join, no window over the full
+    stream; counts are 1-row aggregates broadcast into the 3-row
+    report."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s.agg(F.count("*").alias("n1"))
+    n2 = v.agg(F.count("*").alias("n2"))
+    n3 = p.agg(F.count("*").alias("n3"))
+    base = F.broadcast(n1).crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    return base.selectExpr(
+        """stack(3,
+           '1_signup', n1, CAST(1.0 AS DOUBLE),
+           '2_view_after_signup', n2, n2 / n1,
+           '3_purchase_within_7d', n3, n3 / n2
+        ) AS (stage, n_users, rate)"""
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: [event_type, next_type, n_transitions, p] where p =
@@ -5001,6 +5047,26 @@ ORACLES["cosupply_triangles"] = """
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
 ORACLES["purchase_hits"] = _hits_ctes(iters=3)
 
+ORACLES["funnel_strict_sequence"] = """
+  WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+  v AS (SELECT e.user_id, min(e.ts) AS t2, min(s.t1) AS t1
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s.t1 GROUP BY 1),
+  p AS (SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > v.t2
+          AND e.ts <= v.t1 + INTERVAL 7 DAY GROUP BY 1),
+  n AS (SELECT (SELECT count(*) FROM s) AS n1,
+               (SELECT count(*) FROM v) AS n2,
+               (SELECT count(*) FROM p) AS n3)
+  SELECT '1_signup' AS stage, n1 AS n_users, CAST(1.0 AS DOUBLE) AS rate FROM n
+  UNION ALL
+  SELECT '2_view_after_signup', n2, n2 / n1 FROM n
+  UNION ALL
+  SELECT '3_purchase_within_7d', n3, n3 / n2 FROM n
+"""
+
 ORACLES["event_transitions"] = """
   WITH nxt AS (
     SELECT event_type,
@@ -5169,6 +5235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosupply_kcore": q_cosupply_kcore,
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
+    "funnel_strict_sequence": q_funnel_strict_sequence,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,

@@ -272,3 +272,17 @@ def test_event_transitions_is_a_markov_matrix(spark, sf_smoke):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert n_total == n_events - n_users
+
+
+def test_strict_funnel_is_monotone(spark, sf_smoke):
+    rows = {
+        r.stage: r
+        for r in registry.QUERIES["funnel_strict_sequence"](spark, sf_smoke).collect()
+    }
+    n1 = rows["1_signup"].n_users
+    n2 = rows["2_view_after_signup"].n_users
+    n3 = rows["3_purchase_within_7d"].n_users
+    assert n1 >= n2 >= n3 >= 0 and n1 > 0
+    assert rows["1_signup"].rate == 1.0
+    assert rows["2_view_after_signup"].rate == n2 / n1
+    assert rows["3_purchase_within_7d"].rate == n3 / n2
