@@ -2826,6 +2826,71 @@ def q_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_triangles(spark, sf_dir)
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics [dim, mean, std, min_v,
+    max_v] -- the feature-normalization fit (what a standardizing
+    preprocessor broadcasts back to scale vectors). posexplode over
+    the cast-to-double array, ONE aggregate pass for count / decimal
+    sums / extrema per dim (64 groups); float->double widening is
+    exact in both engines, sums use the round-9dp decimal recipe,
+    variance is the one-pass (E[x^2] - E[x]^2) form with identical
+    double op order, clamped at 0 before sqrt."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "e")
+    )
+    st = emb.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("e"), 9).cast("decimal(20,9)"))
+        .cast("string")
+        .cast("double")
+        .alias("s"),
+        F.sum(F.round(F.col("e") * F.col("e"), 9).cast("decimal(20,9)"))
+        .cast("string")
+        .cast("double")
+        .alias("sq"),
+        F.min("e").alias("min_v"),
+        F.max("e").alias("max_v"),
+    )
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return st.select(
+        "dim",
+        F.round(F.col("s") / F.col("n"), 9).alias("mean"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 9).alias("std"),
+        "min_v",
+        "max_v",
+    ).orderBy("dim")
+
+
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user: the
+    day-grain gaps-and-islands (distinct active days; island anchor =
+    day minus its per-user rank, constant exactly on consecutive
+    runs). [user_id, n_active_days, longest_streak]. One user-keyed
+    shuffle reused by the rank window and both aggregates."""
+    from pyspark.sql import Window
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_active_days"),
+            F.max("run_len").alias("longest_streak"),
+        )
+        .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+    )
+
+
 def q_funnel_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict ORDERED funnel: signup -> first view strictly after ->
     first purchase strictly after that, with the purchase inside 7
@@ -5047,6 +5112,36 @@ ORACLES["cosupply_triangles"] = """
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
 ORACLES["purchase_hits"] = _hits_ctes(iters=3)
 
+ORACLES["embedding_dim_stats"] = """
+  WITH ex AS (
+    SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS e
+    FROM embeddings),
+  st AS (
+    SELECT dim, count(*) AS n,
+           CAST(CAST(sum(CAST(round(e, 9) AS DECIMAL(20,9))) AS VARCHAR) AS DOUBLE) AS s,
+           CAST(CAST(sum(CAST(round(e * e, 9) AS DECIMAL(20,9))) AS VARCHAR) AS DOUBLE) AS sq,
+           min(e) AS min_v, max(e) AS max_v
+    FROM ex GROUP BY 1)
+  SELECT dim, round(s / n, 9) AS mean,
+         round(sqrt(greatest(CAST(0 AS DOUBLE), (sq - s * s / n) / n)), 9) AS std,
+         min_v, max_v
+  FROM st ORDER BY dim
+"""
+
+ORACLES["user_activity_streaks"] = """
+  WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+  islands AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+    FROM days),
+  runs AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS run_len
+           FROM islands GROUP BY 1, 2)
+  SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n_active_days,
+         max(run_len) AS longest_streak
+  FROM runs GROUP BY 1
+"""
+
 ORACLES["funnel_strict_sequence"] = """
   WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
              WHERE event_type = 'signup' GROUP BY 1),
@@ -5236,6 +5331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
     "funnel_strict_sequence": q_funnel_strict_sequence,
+    "user_activity_streaks": q_user_activity_streaks,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "eval_overlap_report": q_eval_overlap_report,
     "purchase_pagerank": q_purchase_pagerank,
     "segment_affinity_suppliers": q_segment_affinity_suppliers,

@@ -286,3 +286,31 @@ def test_strict_funnel_is_monotone(spark, sf_smoke):
     assert rows["1_signup"].rate == 1.0
     assert rows["2_view_after_signup"].rate == n2 / n1
     assert rows["3_purchase_within_7d"].rate == n3 / n2
+
+
+def test_streaks_and_dim_stats_sanity(spark, sf_smoke):
+    """Streak invariants (longest <= active days <= span) and
+    per-dim embedding stats vs numpy on the collected vectors."""
+    import numpy as np
+
+    rows = registry.QUERIES["user_activity_streaks"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_streak <= r.n_active_days
+
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_smoke, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    got = registry.QUERIES["embedding_dim_stats"](spark, sf_smoke).collect()
+    assert len(got) == emb.shape[1]
+    for r in got:
+        col = emb[:, r.dim]
+        assert abs(r.mean - col.mean()) < 1e-6
+        assert abs(r.std - col.std()) < 1e-6
+        assert r.min_v == col.min() and r.max_v == col.max()
