@@ -942,3 +942,79 @@ def dq_monitor_totals(spark, path: str) -> DataFrame:
             F.sum("n_violations").cast("long").alias("n_violations"),
         )
     )
+
+
+def streaming_event_transitions(events: DataFrame) -> DataFrame:
+    """Stateful streaming twin of registry.q_event_transitions'
+    counting stage: per-user first-order transition increments with
+    cross-batch chain stitching. State per user is the last folded
+    (ts_us, event_id, event_type); each microbatch sorts its slice,
+    emits one [event_type, next_type, n_inc] row per adjacent pair --
+    INCLUDING the pair that spans the batch boundary, which a
+    stateless window would silently drop -- and rolls the state.
+
+    Totals across all emitted increments equal the batch twin's
+    n_transitions exactly (test-pinned); the probability column is
+    a downstream division over the accumulated counts. Ordering
+    contract is the decay operator's: exact redelivery of the last
+    folded event is skipped as an idempotent duplicate, genuinely
+    out-of-order arrivals raise loudly. Output mode 'append' (each
+    batch's increments are immutable facts)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("next_type", StringType()),
+            StructField("n_inc", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts_us", LongType()),
+            StructField("last_event_id", LongType()),
+            StructField("last_type", StringType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last_us, last_id, last_type = (
+            state.get if state.exists else (-(2**63), -(2**63), None)
+        )
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["ts", "event_id"])
+        counts: dict[tuple[str, str], int] = {}
+        for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if (ts_us, int(eid)) == (last_us, last_id):
+                continue  # idempotent redelivery of the last folded event
+            if (ts_us, int(eid)) < (last_us, last_id):
+                raise ValueError(
+                    f"streaming_event_transitions: out-of-order event "
+                    f"(user {key[0]}, event_id {int(eid)}) after state "
+                    f"folded ts_us={last_us} -- in-order contract broken"
+                )
+            if last_type is not None:
+                pair = (last_type, str(et))
+                counts[pair] = counts.get(pair, 0) + 1
+            last_us, last_id, last_type = ts_us, int(eid), str(et)
+        state.update((last_us, last_id, last_type))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "event_type": [a for a, _ in counts],
+                    "next_type": [b for _, b in counts],
+                    "n_inc": list(counts.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

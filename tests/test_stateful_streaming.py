@@ -272,3 +272,81 @@ def test_decay_skips_exact_duplicate_redelivery(spark, tmp_path):
     # fold of exactly 3 events (duplicate NOT double-counted):
     # ((0+2)*.5 + 4)*.5 = 2.5; (2.5+8)*.5 = 5.25
     assert got == (3, 5.25)
+
+
+def test_streaming_transitions_stitch_across_batches(spark, tmp_path):
+    """Transition increments summed over microbatches equal the batch
+    lead-window counts over the union -- including the pair that
+    SPANS the batch boundary, which is exactly what the state
+    carries."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_event_transitions,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def write(path, rows, name):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, name), "w") as f:
+            for eid, ts, uid, et in rows:
+                f.write(
+                    json.dumps(
+                        {"event_id": eid, "ts": ts, "user_id": uid, "event_type": et}
+                    )
+                    + "\n"
+                )
+
+    # user 1's chain crosses the boundary: view(b1) -> purchase(b2)
+    b1 = [
+        (1, "2024-01-01 10:00:00", 1, "signup"),
+        (2, "2024-01-01 10:05:00", 1, "view"),
+        (3, "2024-01-01 10:00:00", 2, "signup"),
+    ]
+    b2 = [
+        (4, "2024-01-01 11:00:00", 1, "purchase"),
+        (5, "2024-01-01 11:00:00", 2, "error"),
+    ]
+    src = str(tmp_path / "ev_tr")
+    write(src, b1, "b1.json")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        streaming_event_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(src, b2, "b2.json")
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                (r.event_type, r.next_type): r.n
+                for r in spark.sql(
+                    "SELECT event_type, next_type, sum(n_inc) AS n "
+                    "FROM transitions GROUP BY 1, 2"
+                ).collect()
+            }
+            if sum(got.values()) == 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    assert got == {
+        ("signup", "view"): 1,
+        ("view", "purchase"): 1,  # the cross-batch pair
+        ("signup", "error"): 1,
+    }
