@@ -1886,6 +1886,47 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event attach: each purchase joined to the CLOSEST click
+    by the same user within +-2 h, in either direction (ties prefer
+    the earlier click) -- the sensor-alignment / nearest-measurement
+    join, where backward-only as-of would miss a click seconds after
+    the purchase. Uses asof_join_nearest (union + two keyed windows
+    sharing one exchange, linear rows); the right side is pre-deduped
+    per (user, ts) with min event_id, per the operator's uniqueness
+    contract. gap_us is signed microseconds (negative = click before
+    purchase); unmatched purchases keep NULL click/gap."""
+    from .operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    j = asof_join_nearest(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id"],
+        tolerance_us=2 * 3600 * 1_000_000,
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "click_id",
+        (F.col("asof_ts_us") - F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "gap_us"
+        ),
+    )
+
+
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64 -> 8 dims with
     deterministic LCG directions (operators/projection.py): per-row
@@ -4194,6 +4235,27 @@ ORACLES: dict[str, str] = {
       FROM events e ASOF LEFT JOIN h
         ON e.user_id = h.user_id AND e.ts >= h.fts
     """,
+    # nearest in either direction within tolerance; tie (equal
+    # distance past vs future) prefers the past row -> at equal
+    # |gap_us| the NEGATIVE gap sorts first
+    "events_asof_nearest": """
+      WITH p AS (SELECT user_id, ts, event_id AS purchase_id
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, min(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      pairs AS (SELECT p.purchase_id, c.click_id,
+                       epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+                FROM p JOIN c ON p.user_id = c.user_id
+                 AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 7200000000),
+      best AS (SELECT purchase_id, click_id, gap_us FROM (
+          SELECT *, row_number() OVER (PARTITION BY purchase_id
+                    ORDER BY abs(gap_us) ASC, gap_us ASC) AS rn
+          FROM pairs) WHERE rn = 1)
+      SELECT p.purchase_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             best.click_id, best.gap_us
+      FROM p LEFT JOIN best USING (purchase_id)
+    """,
     "events_asof_error": """
       SELECT event_id, user_id, event_type,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -5434,6 +5496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_monthly": q_orders_monthly,
     "events_asof_error": q_events_asof_error,
     "events_asof_features": q_events_asof_features,
+    "events_asof_nearest": q_events_asof_nearest,
     "events_range_join": q_events_range_join,
     "events_hopping": q_events_hopping,
     "events_pivot": q_events_pivot,

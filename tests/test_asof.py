@@ -72,3 +72,70 @@ def test_oracle_parity(spark, sf_check):
         registry.ORACLES["events_asof_features"],
         sf_check,
     )
+
+
+@pytest.fixture(scope="module")
+def nearest_frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(10, 0), event_id=100),   # tie: 9:50 vs 10:10
+            Row(user_id=1, ts=_ts(10, 9), event_id=101),   # forward 10:10 closer
+            Row(user_id=1, ts=_ts(9, 51), event_id=102),   # backward 9:50 closer
+            Row(user_id=2, ts=_ts(12, 0), event_id=200),   # only a future candidate
+            Row(user_id=3, ts=_ts(12, 0), event_id=300),   # candidate out of tolerance
+            Row(user_id=4, ts=_ts(12, 0), event_id=400),   # key absent from right
+            Row(user_id=5, ts=_ts(12, 0), event_id=500),   # exact-ts match
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, rts=_ts(9, 50), tag="early"),
+            Row(user_id=1, rts=_ts(10, 10), tag="late"),
+            Row(user_id=2, rts=_ts(12, 30), tag="future"),
+            Row(user_id=3, rts=_ts(14, 0), tag="far"),
+            Row(user_id=5, rts=_ts(12, 0), tag="exact"),
+        ]
+    )
+    return left, right
+
+
+def test_asof_nearest_semantics(nearest_frames):
+    from mapreduce_implementation_grpc_spark.operators.asof import asof_join_nearest
+
+    left, right = nearest_frames
+    out = {
+        r.event_id: (r.tag, r.asof_ts_us)
+        for r in asof_join_nearest(
+            left, right, by="user_id", left_ts="ts", right_ts="rts",
+            tolerance_us=3600 * 1_000_000,
+        ).collect()
+    }
+    assert out[100][0] == "early"   # equal distance -> past preferred
+    assert out[101][0] == "late"    # 1 min forward beats 19 min back
+    assert out[102][0] == "early"   # 1 min back beats 19 min forward
+    assert out[200][0] == "future"  # forward-only match within tolerance
+    assert out[300] == (None, None)  # 2 h away > 1 h tolerance
+    assert out[400] == (None, None)  # no candidates at all
+    assert out[500][0] == "exact"   # rts == ts matches (inclusive)
+    # asof_ts_us is the matched right timestamp, NULL iff payload NULL
+    assert out[101][1] == int(_ts(10, 10).timestamp() * 1_000_000)
+
+
+def test_asof_nearest_single_exchange(nearest_frames):
+    # both direction windows share partitionBy(user_id): the physical
+    # plan must contain exactly ONE shuffle exchange
+    from mapreduce_implementation_grpc_spark.operators.asof import asof_join_nearest
+
+    left, right = nearest_frames
+    plan = asof_join_nearest(
+        left, right, by="user_id", left_ts="ts", right_ts="rts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_nearest_oracle_parity(spark, sf_check):
+    assert_matches_oracle(
+        registry.QUERIES["events_asof_nearest"](spark, sf_check),
+        registry.ORACLES["events_asof_nearest"],
+        sf_check,
+    )
