@@ -1556,6 +1556,79 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ann_rank_quality(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """GRADED ranking-quality eval of the IVF ANN index: per query,
+    recall@k, MRR (reciprocal rank of the first true neighbor in the
+    ANN list) and nDCG@k with graded relevance rel = k+1-exact_rank
+    (the exact brute-force top-k is the ground truth, rel 0 for
+    non-members) -- recall alone cannot distinguish an index that
+    returns the right set in the wrong order.
+
+    Scale: both input rankings are existing registry plans; the exact
+    side is materialized once (it feeds both the relevance join and
+    the ideal-DCG aggregate). Everything downstream operates on
+    n_queries x k rows -- tiny regardless of corpus size.
+
+    Cross-engine exactness: each DCG term rel/(ln(rank+1)/ln(2))
+    rounds its ln's to 9dp (libm parity), then the term to 9dp, and
+    sums as DECIMAL(20,9) (order-independent); the final nDCG division
+    string-routes both decimal sums to double and rounds to 6dp. MRR
+    and recall are exact small rationals rounded to 6dp."""
+    ann = q_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ann_rank")
+    )
+    return _rank_quality_df(spark, sf_dir, ann, k=k)
+
+
+def _rank_quality_df(spark, sf_dir, ann: DataFrame, k: int = 5) -> DataFrame:
+    """Graded eval core: `ann` is any (query_id, neighbor_id,
+    ann_rank) ranking; ground truth is the exact brute-force top-k.
+    Self-eval invariant (pytest-pinned): feeding the exact ranking
+    itself yields recall = mrr = ndcg = 1.0 for every query."""
+    exact = materialize(
+        q_knn_cosine(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+        )
+    )
+    ln2 = F.round(F.log(F.lit(2.0)), 9)
+
+    def _dcg_term(rel, rank):
+        disc = F.round(F.log(rank.cast("double") + 1.0), 9) / ln2
+        return F.round(rel.cast("double") / disc, 9).cast("decimal(20,9)")
+
+    j = ann.join(exact, ["query_id", "neighbor_id"], "left")
+    rel = F.when(
+        F.col("exact_rank").isNotNull(), F.lit(k + 1) - F.col("exact_rank")
+    ).otherwise(F.lit(0)).cast("long")
+    per_q = (
+        j.select("query_id", rel.alias("rel"), "ann_rank")
+        .groupBy("query_id")
+        .agg(
+            F.sum(_dcg_term(F.col("rel"), F.col("ann_rank"))).alias("dcg_d"),
+            F.min(F.when(F.col("rel") > 0, F.col("ann_rank"))).alias("first_hit"),
+            F.sum((F.col("rel") > 0).cast("long")).alias("n_hits"),
+        )
+    )
+    ideal = exact.groupBy("query_id").agg(
+        F.sum(
+            _dcg_term(F.lit(k + 1) - F.col("exact_rank"), F.col("exact_rank"))
+        ).alias("idcg_d"),
+        F.count("*").alias("n_exact"),
+    )
+    nh = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    dcg = F.coalesce(F.col("dcg_d").cast("string").cast("double"), F.lit(0.0))
+    idcg = F.col("idcg_d").cast("string").cast("double")
+    return ideal.join(per_q, "query_id", "left").select(
+        "query_id",
+        nh.alias("n_hits"),
+        F.round(nh / F.col("n_exact").cast("double"), 6).alias("recall"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("first_hit"), 6), F.lit(0.0)
+        ).alias("mrr"),
+        F.round(dcg / idcg, 6).alias("ndcg"),
+    )
+
+
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over LEARNED cells: Lloyd's k-means assigns the
     inverted lists, then the same probe/serve plan as ann_ivf -- the
@@ -4827,6 +4900,42 @@ ORACLES["ann_recall_sweep"] = "\nUNION ALL\n".join(
 )
 
 
+# graded ranking quality: same two deterministic rankings, so nDCG's
+# per-term round(ln,9)/decimal-sum recipe keeps the eval hash-exact
+ORACLES["ann_rank_quality"] = (
+    "WITH exact AS (" + ORACLES["knn_cosine"] + "),\n"
+    "ann AS (" + ORACLES["ann_ivf"] + "),\n"
+    """j AS (SELECT a.query_id, a.rank AS ann_rank, e.rank AS exact_rank
+        FROM ann a LEFT JOIN exact e ON a.query_id = e.query_id
+         AND a.neighbor_id = e.neighbor_id),
+  terms AS (SELECT query_id, ann_rank,
+        CASE WHEN exact_rank IS NOT NULL THEN 6 - exact_rank ELSE 0 END AS rel
+      FROM j),
+  pq AS (SELECT query_id,
+        sum(CAST(round(CAST(rel AS DOUBLE)
+              / (round(ln(CAST(ann_rank AS DOUBLE) + CAST(1.0 AS DOUBLE)), 9)
+                 / round(ln(CAST(2.0 AS DOUBLE)), 9)), 9) AS DECIMAL(20,9))) AS dcg_d,
+        min(CASE WHEN rel > 0 THEN ann_rank END) AS first_hit,
+        sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits
+      FROM terms GROUP BY 1),
+  ideal AS (SELECT query_id,
+        sum(CAST(round(CAST(6 - rank AS DOUBLE)
+              / (round(ln(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE)), 9)
+                 / round(ln(CAST(2.0 AS DOUBLE)), 9)), 9) AS DECIMAL(20,9))) AS idcg_d,
+        count(*) AS n_exact
+      FROM exact GROUP BY 1)
+  SELECT i.query_id,
+         CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+         round(coalesce(p.n_hits, 0) / CAST(i.n_exact AS DOUBLE), 6) AS recall,
+         coalesce(round(CAST(1.0 AS DOUBLE) / p.first_hit, 6),
+                  CAST(0.0 AS DOUBLE)) AS mrr,
+         round(coalesce(CAST(CAST(p.dcg_d AS VARCHAR) AS DOUBLE), CAST(0.0 AS DOUBLE))
+               / CAST(CAST(i.idcg_d AS VARCHAR) AS DOUBLE), 6) AS ndcg
+  FROM ideal i LEFT JOIN pq p USING (query_id)
+"""
+)
+
+
 def _pii_oracle_sql() -> str:
     """Generate the pii_redact oracle FROM PII_PATTERNS so the SQL
     can never drift from the Spark pipeline: same patterns, same
@@ -5422,6 +5531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
+    "ann_rank_quality": q_ann_rank_quality,
     "ann_recall_sweep": q_ann_recall_sweep,
     "kmeans_cells": q_kmeans_cells,
     "cluster_topics": q_cluster_topics,
@@ -5632,6 +5742,9 @@ BENCH_QUERIES = [
     "market_basket_pairs",
     "purchase_hits",
     "event_transitions",
+    # r5 continuation: nearest as-of attach + graded index eval
+    "events_asof_nearest",
+    "ann_rank_quality",
     # cosupply_kcore is NOT benched: its dominant cost is the same
     # co-supply pair build cosupply_triangles already measures (the
     # sf0.1 graph fixpoints in one peel round on top of that)

@@ -169,3 +169,40 @@ def test_ann_recall_sweep_monotone_in_probes(spark, sf_smoke):
     means = [r["mean_recall"] for r in rows]
     assert len(means) == 3
     assert all(a <= b + 1e-12 for a, b in zip(means, means[1:]))
+
+
+def test_ann_rank_quality_self_eval_is_perfect(spark, sf_smoke):
+    """Feeding the exact ranking into the graded eval must yield
+    recall = mrr = ndcg = 1.0 for every query (nDCG's DCG == IDCG
+    term-for-term, so any rounding applies identically)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.registry import (
+        QUERIES,
+        _rank_quality_df,
+        q_knn_cosine,
+    )
+
+    exact = q_knn_cosine(spark, sf_smoke).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ann_rank")
+    )
+    rows = _rank_quality_df(spark, sf_smoke, exact).collect()
+    assert rows
+    assert all(r.recall == 1.0 and r.mrr == 1.0 and r.ndcg == 1.0 for r in rows)
+    # and the real IVF eval stays within bounds, hits consistent
+    for r in QUERIES["ann_rank_quality"](spark, sf_smoke).collect():
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall - r.n_hits / 5.0) < 1e-9
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+
+
+def test_ann_rank_quality_oracle_parity(spark, sf_check):
+    from mapreduce_implementation_grpc_spark import registry
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        registry.QUERIES["ann_rank_quality"](spark, sf_check),
+        registry.ORACLES["ann_rank_quality"],
+        sf_check,
+    )
