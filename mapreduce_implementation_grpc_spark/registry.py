@@ -3169,6 +3169,69 @@ def _kcore_ctes(k: int = 8, rounds: int = 8) -> str:
     return "".join(parts)
 
 
+REACH_NATION = "NATION_19"
+REACH_HOPS = 3
+
+
+def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius reachability: BFS hop distance over the co-supply
+    graph from every supplier in one nation (the risk-contagion
+    question: if NATION_19's suppliers fail, which suppliers are 1, 2,
+    3 co-supply hops away?). operators/graph_motifs.bfs_hops --
+    synchronous frontier BFS, node-sized joins, per-round
+    materialization. EAGER (each round pins). Oracle unrolls the 3
+    rounds as materialized CTEs."""
+    from .operators.graph_motifs import bfs_hops, cosupply_edges
+
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == REACH_NATION
+    )
+    sources = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
+    return bfs_hops(
+        cosupply_edges(spark, sf_dir), sources, max_hops=REACH_HOPS
+    )
+
+
+def _bfs_ctes(rounds: int = REACH_HOPS) -> str:
+    """Unrolled frontier-BFS oracle over the shared co-supply edge
+    CTEs (sources = REACH_NATION's suppliers)."""
+    parts = [
+        f"""
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  und AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+                       UNION ALL SELECT s2, s1 FROM e),
+  v0 AS MATERIALIZED (SELECT DISTINCT s_suppkey AS suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{REACH_NATION}'),
+  seen0 AS MATERIALIZED (SELECT suppkey FROM v0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+  f{i} AS MATERIALIZED (SELECT DISTINCT und.v AS suppkey
+    FROM und JOIN {"v0" if i == 1 else f"f{i-1}"} fr ON und.u = fr.suppkey
+    WHERE und.v NOT IN (SELECT suppkey FROM seen{i-1})),
+  seen{i} AS MATERIALIZED (SELECT suppkey FROM seen{i-1}
+    UNION ALL SELECT suppkey FROM f{i})"""
+        )
+    tail = "\n  UNION ALL\n".join(
+        [f"  SELECT suppkey, CAST(0 AS BIGINT) AS hops FROM v0"]
+        + [
+            f"  SELECT suppkey, CAST({i} AS BIGINT) FROM f{i}"
+            for i in range(1, rounds + 1)
+        ]
+    )
+    return "".join(parts) + "\n" + tail
+
+
 def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori pair stage with association metrics
     (operators/basket.py): top part pairs by lift among pairs
@@ -5281,6 +5344,7 @@ ORACLES["cosupply_triangles"] = """
 """
 
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
+ORACLES["supplier_reach"] = _bfs_ctes()
 ORACLES["purchase_hits"] = _hits_ctes(iters=3)
 
 ORACLES["embedding_dim_stats"] = """
@@ -5499,6 +5563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_audit": q_dq_audit,
     "market_basket_pairs": q_market_basket_pairs,
     "cosupply_kcore": q_cosupply_kcore,
+    "supplier_reach": q_supplier_reach,
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
     "funnel_strict_sequence": q_funnel_strict_sequence,

@@ -314,3 +314,34 @@ def test_streaks_and_dim_stats_sanity(spark, sf_smoke):
         assert abs(r.mean - col.mean()) < 1e-6
         assert abs(r.std - col.std()) < 1e-6
         assert r.min_v == col.min() and r.max_v == col.max()
+
+
+def test_bfs_hops_chain_and_min_distance(spark):
+    """Crafted graph: chain 1-2-3-4 plus shortcut 1-3; sources {1, 9}
+    (9 is isolated). Hops must be the MIN distance, the isolated
+    source still appears at 0, and nodes beyond max_hops are absent."""
+    from mapreduce_implementation_grpc_spark.operators.graph_motifs import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5), (5, 6)], "s1 long, s2 long"
+    )
+    sources = spark.createDataFrame([(1,), (9,)], "suppkey long")
+    got = {
+        r.suppkey: r.hops
+        for r in bfs_hops(edges, sources, max_hops=2).collect()
+    }
+    assert got[1] == 0 and got[9] == 0
+    assert got[2] == 1
+    assert got[3] == 1          # shortcut 1-3 beats the 2-hop path
+    assert got[4] == 2          # via 3
+    assert 5 not in got and 6 not in got  # beyond max_hops
+
+
+def test_supplier_reach_oracle_parity(spark, sf_check):
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        registry.QUERIES["supplier_reach"](spark, sf_check),
+        registry.ORACLES["supplier_reach"],
+        sf_check,
+    )
