@@ -3243,6 +3243,50 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_basket_pairs(spark, sf_dir)
 
 
+def q_user_day_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reload reconciliation via operators/diffing.snapshot_diff: the
+    OLD per-(user, day) rollup was built from a load that missed every
+    10th event (late data); the NEW reload has all events but starts
+    at Jan 5 (retention purge). The diff is the changeset a downstream
+    consumer must apply: 'delete' = purged days, 'insert' = days whose
+    events were ALL late, 'update' = days where stragglers changed the
+    aggregates (changed_cols says which); untouched days don't appear.
+    One full-outer join on (user_id, day); both rollups use the
+    decimal-sum recipe so equality compares are engine-exact."""
+    from .operators.diffing import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("string")
+                .cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+
+    old = snap(ev.filter(F.col("event_id") % 10 != 0))
+    new = snap(ev.filter(F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-05 00:00:00'")))
+    d = snapshot_diff(
+        old, new, keys=["user_id", "day"], compare_cols=["n_events", "sum_value"]
+    )
+    return d.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "change",
+        "changed_cols",
+        "old_n_events",
+        "new_n_events",
+        "old_sum_value",
+        "new_sum_value",
+    )
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-wide data-quality audit (operators/dq.py): 17
     checks — domain, PK uniqueness, referential integrity, decimal
@@ -5345,6 +5389,36 @@ ORACLES["cosupply_triangles"] = """
 
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
 ORACLES["supplier_reach"] = _bfs_ctes()
+
+ORACLES["user_day_snapshot_diff"] = """
+  WITH o AS (SELECT user_id, date_trunc('day', ts) AS day,
+               count(*) AS n_events,
+               round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 6) AS sum_value,
+               TRUE AS o_present
+             FROM events WHERE event_id % 10 <> 0 GROUP BY 1, 2),
+  n AS (SELECT user_id, date_trunc('day', ts) AS day,
+               count(*) AS n_events,
+               round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 6) AS sum_value,
+               TRUE AS n_present
+        FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' GROUP BY 1, 2),
+  j AS (SELECT user_id, day,
+               o.n_events AS old_n_events, n.n_events AS new_n_events,
+               o.sum_value AS old_sum_value, n.sum_value AS new_sum_value,
+               o_present, n_present,
+               concat_ws(',',
+                 CASE WHEN o.n_events IS DISTINCT FROM n.n_events THEN 'n_events' END,
+                 CASE WHEN o.sum_value IS DISTINCT FROM n.sum_value THEN 'sum_value' END) AS chg
+        FROM o FULL OUTER JOIN n USING (user_id, day)),
+  c AS (SELECT *,
+          CASE WHEN n_present IS NULL THEN 'delete'
+               WHEN o_present IS NULL THEN 'insert'
+               WHEN chg <> '' THEN 'update' END AS change
+        FROM j)
+  SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s, change,
+         CASE WHEN change = 'update' THEN chg ELSE '' END AS changed_cols,
+         old_n_events, new_n_events, old_sum_value, new_sum_value
+  FROM c WHERE change IS NOT NULL
+"""
 ORACLES["purchase_hits"] = _hits_ctes(iters=3)
 
 ORACLES["embedding_dim_stats"] = """
@@ -5564,6 +5638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_basket_pairs": q_market_basket_pairs,
     "cosupply_kcore": q_cosupply_kcore,
     "supplier_reach": q_supplier_reach,
+    "user_day_snapshot_diff": q_user_day_snapshot_diff,
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
     "funnel_strict_sequence": q_funnel_strict_sequence,
