@@ -1641,6 +1641,80 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb_cells, _query_vectors(spark, sf_dir), k=5, by="cell")
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str, n_cand: int = 20,
+                 k: int = 8, lam: float = 0.7) -> DataFrame:
+    """MMR diversified re-rank (operators/mmr.py): brute-force top-20
+    candidates per query, then greedy lam=0.7 relevance-vs-redundancy
+    selection of 8 via applyInPandas over query groups -- serving-time
+    dedup for a near-dup-heavy corpus. The oracle unrolls the 8 greedy
+    steps as materialized CTEs; literal lam/(1.0-lam) doubles and the
+    shared cosine fold keep every pick hash-exact."""
+    from .operators.mmr import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = knn_brute_force(emb, _query_vectors(spark, sf_dir), k=n_cand)
+    cand = cand.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cosine").alias("sim_q"),
+        "embedding",
+    )
+    return mmr_select(cand, k=k, lam=lam)
+
+
+def _mmr_ctes(n_cand: int = 20, k: int = 8) -> str:
+    """Unrolled greedy-MMR oracle: step i scores every not-yet-picked
+    candidate against the selected set sel{i-1} and picks the argmax
+    (ties on doc_id asc). lam appears ONLY as the literals 0.7 and
+    (1.0 - 0.7), matching the Python operator's doubles."""
+    parts = [
+        f"""
+  WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+  q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < 10),
+  s AS (SELECT q.query_id, e.vec_id AS doc_id, e.dvec,
+               round(list_cosine_similarity(q.qvec, e.dvec), 6) AS sim_q
+        FROM q, v e WHERE e.vec_id <> q.query_id),
+  cand AS MATERIALIZED (SELECT query_id, doc_id, dvec, sim_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim_q DESC, doc_id ASC) AS rn FROM s)
+    WHERE rn <= {n_cand}),
+  sel0 AS (SELECT query_id, doc_id, dvec FROM cand WHERE FALSE)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+  sc{i} AS MATERIALIZED (
+    SELECT c.query_id, c.doc_id,
+           CAST(0.7 AS DOUBLE) * c.sim_q
+           - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+             * coalesce(mx.m, CAST(0.0 AS DOUBLE)) AS score
+    FROM cand c
+    LEFT JOIN (SELECT c2.query_id, c2.doc_id,
+                      max(round(list_cosine_similarity(c2.dvec, s.dvec), 6)) AS m
+               FROM cand c2 JOIN sel{i-1} s ON c2.query_id = s.query_id
+               GROUP BY 1, 2) mx
+      ON mx.query_id = c.query_id AND mx.doc_id = c.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{i-1} s
+                      WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)),
+  p{i} AS MATERIALIZED (SELECT query_id, doc_id, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS rn FROM sc{i}) WHERE rn = 1),
+  sel{i} AS MATERIALIZED (SELECT query_id, doc_id, dvec FROM sel{i-1}
+    UNION ALL
+    SELECT p.query_id, p.doc_id, c.dvec FROM p{i} p
+      JOIN cand c ON c.query_id = p.query_id AND c.doc_id = p.doc_id)"""
+        )
+    tail = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, doc_id, CAST({i} AS BIGINT) AS pick_rank,"
+        f" score AS mmr FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + tail
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), min_cosine=0.35)
 
@@ -4996,6 +5070,7 @@ def _recall_block(ivf_sql: str) -> str:
 
 
 ORACLES["ann_recall"] = _recall_block(ORACLES["ann_ivf"])
+ORACLES["mmr_rerank"] = _mmr_ctes()
 
 # the probe-count sweep re-parameterizes the IVF block's `pr <= N`
 # routing predicate; everything else is byte-identical
@@ -5672,6 +5747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
     "ann_rank_quality": q_ann_rank_quality,
+    "mmr_rerank": q_mmr_rerank,
     "ann_recall_sweep": q_ann_recall_sweep,
     "kmeans_cells": q_kmeans_cells,
     "cluster_topics": q_cluster_topics,

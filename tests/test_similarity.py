@@ -206,3 +206,59 @@ def test_ann_rank_quality_oracle_parity(spark, sf_check):
         registry.ORACLES["ann_rank_quality"],
         sf_check,
     )
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    """Crafted: candidates b (dup of a, sim_q 0.98 -> step-2 score
+    0.7*0.98 - 0.3*1.0 = 0.386), c (orthogonal, sim_q 0.6 -> 0.42).
+    Pure relevance ranks a, b; MMR must pick a then c, because b's
+    redundancy penalty (cos(a,b)=1) sinks it below c."""
+    from mapreduce_implementation_grpc_spark.operators.mmr import mmr_select
+
+    rows = [
+        (7, 1, 0.99, [1.0, 0.0, 0.0]),
+        (7, 2, 0.98, [1.0, 0.0, 0.0]),   # exact dup of doc 1
+        (7, 3, 0.60, [0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, doc_id long, sim_q double, embedding array<double>"
+    )
+    got = [
+        (r.pick_rank, r.doc_id)
+        for r in mmr_select(cand, k=3, lam=0.7)
+        .orderBy("pick_rank")
+        .collect()
+    ]
+    assert got == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_mmr_rerank_invariants_and_first_pick(spark, sf_smoke):
+    """Per query: 8 distinct picks, pick 1 == the relevance argmax."""
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    rows = QUERIES["mmr_rerank"](spark, sf_smoke).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    knn = {
+        r.query_id: r.neighbor_id
+        for r in QUERIES["knn_cosine"](spark, sf_smoke).collect()
+        if r.rank == 1
+    }
+    assert set(by_q) == set(knn)
+    for qid, picks in by_q.items():
+        assert len(picks) == 8
+        assert len({p.doc_id for p in picks}) == 8
+        first = min(picks, key=lambda p: p.pick_rank)
+        assert first.doc_id == knn[qid]
+
+
+def test_mmr_rerank_oracle_parity(spark, sf_check):
+    from mapreduce_implementation_grpc_spark import registry
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        registry.QUERIES["mmr_rerank"](spark, sf_check),
+        registry.ORACLES["mmr_rerank"],
+        sf_check,
+    )
