@@ -2221,6 +2221,83 @@ q_user_retention = analytics.user_retention
 q_events_sessionize = analytics.events_sessionize
 
 
+def q_session_concurrency(spark: SparkSession, sf_dir: str,
+                          gap_seconds: int = 1800) -> DataFrame:
+    """Peak-load sweep line: per day, how many user sessions were
+    active SIMULTANEOUSLY at the worst moment (capacity planning /
+    peak-concurrency SLO). Sessions are 30-min-gap islands; each
+    session is a CLOSED [first_event, last_event] interval, split into
+    per-day segments so the sweep stays a day-keyed window.
+
+    Scale: session build is the one user_id-keyed window chain; the
+    segment explode is bounded (sessions span at most 2 days); the
+    sweep is a window PARTITIONED BY day over (day, distinct ts)
+    rows -- never a global sort. Tie-safety: concurrency is evaluated
+    per distinct timestamp as running_net_before + starts_at_ts
+    (starts count before ends at the same instant -- touching
+    sessions overlap), which is invariant to any intra-timestamp
+    ordering, so no tie-break is needed at all."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    chg = (gap.isNull() | (gap > gap_seconds)).cast("long")
+    isl = ev.withColumn("chg", chg).withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = isl.groupBy("user_id", "island").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    seg = sess.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("s")),
+                F.date_trunc("day", F.col("e")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "s",
+        "e",
+    ).select(
+        "day",
+        F.greatest(F.col("s"), F.col("day")).alias("a"),
+        F.least(
+            F.col("e"),
+            F.col("day") + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND"),
+        ).alias("b"),
+    )
+    pts = (
+        seg.select("day", F.col("a").alias("ts"), F.lit(1).alias("cs"), F.lit(0).alias("ce"))
+        .unionByName(
+            seg.select("day", F.col("b").alias("ts"), F.lit(0).alias("cs"), F.lit(1).alias("ce"))
+        )
+        .groupBy("day", "ts")
+        .agg(F.sum("cs").alias("cs"), F.sum("ce").alias("ce"))
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("ts"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    peak = (
+        F.coalesce(F.sum(F.col("cs") - F.col("ce")).over(wd), F.lit(0)) + F.col("cs")
+    )
+    return (
+        pts.withColumn("peak", peak)
+        .groupBy("day")
+        .agg(
+            F.sum("cs").cast("long").alias("n_sessions"),
+            F.max("peak").cast("long").alias("max_concurrent"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "n_sessions",
+            "max_concurrent",
+        )
+    )
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE session_window operator (the
     dynamic-gap merge inside the aggregation, the same operator the
@@ -4834,6 +4911,44 @@ ORACLES: dict[str, str] = {
       FROM att GROUP BY first_touch
       ORDER BY n_purchases DESC, first_touch
     """,
+    "session_concurrency": """
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC))) AS BIGINT)
+                    IS DISTINCT FROM NULL
+                AND CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC))) AS BIGINT) <= 1800
+               THEN 0 ELSE 1 END AS chg
+        FROM events),
+      i AS (SELECT user_id, ts, sum(chg) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM g),
+      sess AS (SELECT user_id, island, min(ts) AS s, max(ts) AS e
+               FROM i GROUP BY 1, 2),
+      seg AS (SELECT unnest(generate_series(date_trunc('day', s),
+                       date_trunc('day', e), INTERVAL 1 DAY)) AS day, s, e
+              FROM sess),
+      clip AS (SELECT day, greatest(s, day) AS a,
+                      least(e, day + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS b
+               FROM seg),
+      pts AS (SELECT day, ts, sum(cs) AS cs, sum(ce) AS ce FROM (
+                SELECT day, a AS ts, 1 AS cs, 0 AS ce FROM clip
+                UNION ALL
+                SELECT day, b, 0, 1 FROM clip)
+              GROUP BY 1, 2),
+      pk AS (SELECT day, cs,
+               coalesce(sum(cs - ce) OVER (PARTITION BY day ORDER BY ts ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cs AS peak
+             FROM pts)
+      SELECT strftime(day, '%Y-%m-%d') AS day_s,
+             CAST(sum(cs) AS BIGINT) AS n_sessions,
+             CAST(max(peak) AS BIGINT) AS max_concurrent
+      FROM pk GROUP BY day
+    """,
     "events_sessionize": """
       WITH g AS (
         SELECT user_id,
@@ -5807,6 +5922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "user_retention": q_user_retention,
     "events_sessionize": q_events_sessionize,
+    "session_concurrency": q_session_concurrency,
     "events_session_window": q_events_session_window,
     "user_state_intervals": analytics.user_state_intervals,
     "purchase_attribution": q_purchase_attribution,
@@ -5958,9 +6074,12 @@ BENCH_QUERIES = [
     "market_basket_pairs",
     "purchase_hits",
     "event_transitions",
-    # r5 continuation: nearest as-of attach + graded index eval
+    # r5 continuation: nearest as-of attach + graded index eval +
+    # sweep-line peak concurrency + MMR diversified rerank
     "events_asof_nearest",
     "ann_rank_quality",
+    "session_concurrency",
+    "mmr_rerank",
     # cosupply_kcore is NOT benched: its dominant cost is the same
     # co-supply pair build cosupply_triangles already measures (the
     # sf0.1 graph fixpoints in one peel round on top of that)

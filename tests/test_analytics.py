@@ -108,3 +108,78 @@ def test_user_state_intervals_partition_events_and_single_shuffle(spark, sf_chec
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
             assert a.state != b.state or a.valid_to is not None
+
+
+def test_session_concurrency_crafted_and_bruteforce(spark, tmp_path, sf_smoke):
+    """Crafted midnight-spanning + touching cases against hand-counted
+    peaks, then an independent O(n^2) point-probe brute force over the
+    real sf_smoke data (concurrency at t = segments with a<=t<=b; the
+    peak is always attained at some segment start)."""
+    import datetime as dt
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    def _t(d, h, m):
+        return dt.datetime(2024, 1, d, h, m)
+
+    rows = [
+        # user 1: one session 10:00-10:10
+        (1, 1, _t(1, 10, 0)), (2, 1, _t(1, 10, 10)),
+        # user 2: zero-length session at 10:05
+        (3, 2, _t(1, 10, 5)),
+        # user 3: lone event at noon
+        (4, 3, _t(1, 12, 0)),
+        # user 4: session spanning midnight (gap 15 min < 30)
+        (5, 4, _t(1, 23, 50)), (6, 4, _t(2, 0, 5)),
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["event_id", "user_id", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    got = {
+        r.day_s: (r.n_sessions, r.max_concurrent)
+        for r in QUERIES["session_concurrency"](spark, str(tmp_path)).collect()
+    }
+    # day 1: u1+u2 overlap at 10:05 -> peak 2; 4 session-segments
+    # day 2: only u4's tail
+    assert got == {"2024-01-01": (4, 2), "2024-01-02": (1, 1)}
+
+    # brute force over real data
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    evs = sorted(
+        (r.user_id, r.ts, r.event_id)
+        for r in load_table(spark, sf_smoke, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    sessions = []
+    last = {}
+    for u, ts, eid in sorted(evs, key=lambda x: (x[0], x[1], x[2])):
+        if u in last and (int(ts.timestamp()) - int(last[u][1].timestamp())) <= 1800:
+            sessions[last[u][0]][1] = ts
+        else:
+            sessions.append([ts, ts])
+            last[u] = (len(sessions) - 1, ts)
+            continue
+        last[u] = (last[u][0], ts)
+    segs = {}
+    one_day = dt.timedelta(days=1)
+    for s, e in sessions:
+        day = s.replace(hour=0, minute=0, second=0, microsecond=0)
+        end_day = e.replace(hour=0, minute=0, second=0, microsecond=0)
+        while day <= end_day:
+            a = max(s, day)
+            b = min(e, day + one_day - dt.timedelta(microseconds=1))
+            segs.setdefault(day, []).append((a, b))
+            day += one_day
+    expect = {}
+    for day, ss in segs.items():
+        peak = max(sum(1 for a2, b2 in ss if a2 <= a <= b2) for a, _ in ss)
+        expect[day.strftime("%Y-%m-%d")] = (len(ss), peak)
+    got2 = {
+        r.day_s: (r.n_sessions, r.max_concurrent)
+        for r in QUERIES["session_concurrency"](spark, sf_smoke).collect()
+    }
+    assert got2 == expect
