@@ -86,3 +86,98 @@ def market_basket_pairs(
         .orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2"))
         .limit(top_n)
     )
+
+
+def market_basket_triples(
+    spark: SparkSession,
+    sf_dir: str,
+    min_orders: int = 2,
+    top_n: int = 30,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """A-priori level 3: top part TRIPLES by lift -- [p1, p2, p3,
+    tri_n, support, confidence, lift] (p1 < p2 < p3), where
+    confidence is P(p3 | {p1, p2}) and lift is
+    tri_n * n^2 / (c1 * c2 * c3).
+
+    The plan IS the A-priori pruning (and the naive all-triples SQL
+    oracle hash-matching proves it lossless, the PPJoin argument):
+    only per-order occurrences of FREQUENT pairs are extended by a
+    third item, and the extension is kept only if BOTH new sub-pairs
+    are frequent too -- every downward-closed candidate, nothing
+    else. Fan-out per order is (frequent pairs in the order) x
+    (basket size), far below C(basket_size, 3) on skewed catalogs;
+    all the joins run on the order key (bounded baskets), never on
+    the part key.
+
+    Exactness: counts are exact integers; c1*c2*c3 stays below 2^53
+    through every tested SF (and below int64 far beyond), so the
+    double divisions agree bitwise across engines."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = materialize(b, reliable=reliable)
+    nn = b.agg(F.count_distinct("o").alias("n"))
+    item = b.groupBy("p").agg(F.count("*").alias("item_n"))
+    a1 = b.select("o", F.col("p").alias("p1"))
+    a2 = b.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a1.join(a2, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_orders)
+    )
+    # consumed by: per-order semi join, two sub-pair prunes, and the
+    # confidence join
+    fp = materialize(pairs, reliable=reliable)
+    fp_keys = fp.select("p1", "p2")
+    op = (
+        a1.join(a2, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(fp_keys, ["p1", "p2"], "left_semi")
+    )
+    ext = (
+        op.join(b.select("o", F.col("p").alias("p3")), "o")
+        .filter(F.col("p3") > F.col("p2"))
+        .join(
+            fp_keys.select(F.col("p1"), F.col("p2").alias("p3")),
+            ["p1", "p3"],
+            "left_semi",
+        )
+        .join(
+            fp_keys.select(F.col("p1").alias("p2"), F.col("p2").alias("p3")),
+            ["p2", "p3"],
+            "left_semi",
+        )
+    )
+    tri = (
+        ext.groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("tri_n"))
+        .filter(F.col("tri_n") >= min_orders)
+    )
+    out = (
+        tri.join(fp.select("p1", "p2", "pair_n"), ["p1", "p2"])
+        .join(item.select(F.col("p").alias("p1"), F.col("item_n").alias("c1")), "p1")
+        .join(item.select(F.col("p").alias("p2"), F.col("item_n").alias("c2")), "p2")
+        .join(item.select(F.col("p").alias("p3"), F.col("item_n").alias("c3")), "p3")
+        .crossJoin(F.broadcast(nn))
+    )
+    return (
+        out.select(
+            "p1",
+            "p2",
+            "p3",
+            "tri_n",
+            (F.col("tri_n") / F.col("n")).alias("support"),
+            (F.col("tri_n") / F.col("pair_n")).alias("confidence"),
+            (
+                (F.col("tri_n") * F.col("n") * F.col("n"))
+                / (F.col("c1") * F.col("c2") * F.col("c3"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2"), F.asc("p3"))
+        .limit(top_n)
+    )

@@ -3438,6 +3438,15 @@ def q_user_day_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori level-3 triple mining (operators/basket.py): frequent
+    pairs extended per order, downward-closure pruned; naive
+    all-triples oracle proves the pruning lossless."""
+    from .operators.basket import market_basket_triples
+
+    return market_basket_triples(spark, sf_dir)
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-wide data-quality audit (operators/dq.py): 17
     checks — domain, PK uniqueness, referential integrity, decimal
@@ -5695,6 +5704,33 @@ ORACLES["market_basket_pairs"] = """
   LIMIT 50
 """
 
+# NAIVE all-triples enumeration: the hash match proves the A-priori
+# candidate pruning in operators/basket.market_basket_triples lossless
+ORACLES["market_basket_triples"] = """
+  WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  nn AS (SELECT count(DISTINCT o) AS n FROM b),
+  item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
+  pairs AS (SELECT a.p AS p1, c.p AS p2, count(*) AS pair_n
+            FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+  tri AS (SELECT a.p AS p1, c.p AS p2, d.p AS p3, count(*) AS tri_n
+          FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+                   JOIN b d ON a.o = d.o AND c.p < d.p
+          GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+  SELECT p1, p2, p3, tri_n,
+         tri_n / n AS support,
+         tri_n / pair_n AS confidence,
+         (tri_n * n * n) / (i1.item_n * i2.item_n * i3.item_n) AS lift
+  FROM tri
+  JOIN pairs USING (p1, p2)
+  JOIN item i1 ON i1.p = p1
+  JOIN item i2 ON i2.p = p2
+  JOIN item i3 ON i3.p = p3
+  CROSS JOIN nn
+  ORDER BY lift DESC, p1, p2, p3
+  LIMIT 30
+"""
+
 ORACLES["dq_audit"] = """
   WITH lt AS (
     SELECT l_orderkey,
@@ -5826,6 +5862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gap_fill": q_events_gap_fill,
     "dq_audit": q_dq_audit,
     "market_basket_pairs": q_market_basket_pairs,
+    "market_basket_triples": q_market_basket_triples,
     "cosupply_kcore": q_cosupply_kcore,
     "supplier_reach": q_supplier_reach,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,

@@ -345,3 +345,24 @@ def test_supplier_reach_oracle_parity(spark, sf_check):
         registry.ORACLES["supplier_reach"],
         sf_check,
     )
+
+
+def test_basket_triples_downward_closure(spark, sf_smoke):
+    """Every reported triple's support can't exceed any of its
+    sub-pairs' support (downward closure), and confidence/lift are
+    the exact integer ratios they claim to be."""
+    from mapreduce_implementation_grpc_spark.operators.basket import (
+        market_basket_pairs,
+        market_basket_triples,
+    )
+
+    pairs = {
+        (r.p1, r.p2): r.pair_n
+        for r in market_basket_pairs(spark, sf_smoke, top_n=10**9).collect()
+    }
+    tris = market_basket_triples(spark, sf_smoke).collect()
+    assert tris
+    for t in tris:
+        for sub in [(t.p1, t.p2), (t.p1, t.p3), (t.p2, t.p3)]:
+            assert sub in pairs and pairs[sub] >= t.tri_n
+        assert abs(t.confidence - t.tri_n / pairs[(t.p1, t.p2)]) < 1e-12
