@@ -2221,6 +2221,50 @@ q_user_retention = analytics.user_retention
 q_events_sessionize = analytics.events_sessionize
 
 
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average value per user (TWAP): each event's value
+    holds until the user's next event (LOCF semantics, as the gap-fill
+    and SCD2 operators); the average weights by that holding duration
+    instead of by event count -- the correct aggregate whenever
+    sampling is irregular (a value held for 6 h must outweigh one
+    replaced after 3 s). The user's last event has no successor and
+    carries no weight.
+
+    Scale: one user-keyed window (lead) + one groupBy on the same key
+    -- Catalyst reuses a single exchange. Exactness: value is exact
+    DECIMAL(10,2), the holding time exact integer microseconds as
+    DECIMAL(16,0); their product (27,2) never hits Spark's 38-digit
+    precision reduction (the narrow-both-operands rule), so numerator
+    and denominator are exact and only the final division is floating
+    point (then round 6)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur = F.lead(us).over(w) - us
+    g = ev.withColumn("dur", dur).filter(F.col("dur").isNotNull())
+    num = F.sum(
+        F.col("value").cast("decimal(10,2)") * F.col("dur").cast("decimal(16,0)")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.sum("dur").cast("long").alias("active_us"),
+            num.cast("string").cast("double").alias("_num"),
+        )
+        .select(
+            "user_id",
+            "active_us",
+            F.round(F.col("_num") / F.col("active_us").cast("double"), 6).alias(
+                "twap"
+            ),
+        )
+    )
+
+
 def q_session_concurrency(spark: SparkSession, sf_dir: str,
                           gap_seconds: int = 1800) -> DataFrame:
     """Peak-load sweep line: per day, how many user sessions were
@@ -4920,6 +4964,19 @@ ORACLES: dict[str, str] = {
       FROM att GROUP BY first_touch
       ORDER BY n_purchases DESC, first_touch
     """,
+    "user_value_twap": """
+      WITH d AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) - epoch_us(ts) AS dur
+        FROM events)
+      SELECT user_id,
+             CAST(sum(dur) AS BIGINT) AS active_us,
+             round(CAST(CAST(sum(CAST(value AS DECIMAL(10,2))
+                                 * CAST(dur AS DECIMAL(16,0))) AS VARCHAR) AS DOUBLE)
+                   / CAST(sum(dur) AS DOUBLE), 6) AS twap
+      FROM d WHERE dur IS NOT NULL GROUP BY user_id
+    """,
     "session_concurrency": """
       WITH g AS (
         SELECT user_id, ts, event_id,
@@ -5960,6 +6017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_retention": q_user_retention,
     "events_sessionize": q_events_sessionize,
     "session_concurrency": q_session_concurrency,
+    "user_value_twap": q_user_value_twap,
     "events_session_window": q_events_session_window,
     "user_state_intervals": analytics.user_state_intervals,
     "purchase_attribution": q_purchase_attribution,
@@ -6117,6 +6175,10 @@ BENCH_QUERIES = [
     "ann_rank_quality",
     "session_concurrency",
     "mmr_rerank",
+    "user_value_twap",
+    "market_basket_triples",
+    "supplier_reach",
+    "user_day_snapshot_diff",
     # cosupply_kcore is NOT benched: its dominant cost is the same
     # co-supply pair build cosupply_triangles already measures (the
     # sf0.1 graph fixpoints in one peel round on top of that)

@@ -183,3 +183,28 @@ def test_session_concurrency_crafted_and_bruteforce(spark, tmp_path, sf_smoke):
         for r in QUERIES["session_concurrency"](spark, sf_smoke).collect()
     }
     assert got2 == expect
+
+
+def test_user_value_twap_crafted(spark, tmp_path):
+    """Value 10 held 3 h then 20 held 1 h -> TWAP 12.5, count-mean 15;
+    a lone-event user has no held interval and no row."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0), 10.0),
+        (2, 1, dt.datetime(2024, 1, 1, 3), 20.0),
+        (3, 1, dt.datetime(2024, 1, 1, 4), 99.0),   # terminal: weight 0
+        (4, 2, dt.datetime(2024, 1, 1, 5), 7.0),    # lone event
+    ]
+    pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    got = {
+        r.user_id: (r.active_us, r.twap)
+        for r in QUERIES["user_value_twap"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (4 * 3600 * 1_000_000, 12.5)}
