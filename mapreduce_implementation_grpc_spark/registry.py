@@ -3491,6 +3491,62 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_basket_triples(spark, sf_dir)
 
 
+def q_item_item_cf(spark: SparkSession, sf_dir: str, min_pair: int = 2,
+                   topn: int = 5) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., WWW'01) over
+    binary order baskets: cosine sim(p1, p2) = c12 / sqrt(c1 * c2),
+    top-5 neighbors per part -- the 'customers who bought this also
+    bought' table. Reuses the A-priori pair machinery: support-pruned
+    pair counts symmetrized, then a per-item window over the pruned
+    neighbor lists (never the full item x item matrix).
+
+    Exactness: c1*c2 is an exact integer < 2^53 at every tested SF,
+    so sqrt and the division are engine-identical; round 6; ties on
+    neighbor id."""
+    from pyspark.sql import Window
+
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = materialize(b)
+    item = b.groupBy("p").agg(F.count("*").alias("item_n"))
+    a1 = b.select("o", F.col("p").alias("p1"))
+    a2 = b.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a1.join(a2, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_pair)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "c12"
+        )
+    )
+    scored = (
+        sym.join(item.select(F.col("p").alias("p1"), F.col("item_n").alias("c1")), "p1")
+        .join(item.select(F.col("p").alias("p2"), F.col("item_n").alias("c2")), "p2")
+        .select(
+            F.col("p1").alias("part"),
+            F.col("p2").alias("neighbor"),
+            "c12",
+            F.round(
+                F.col("c12")
+                / F.sqrt((F.col("c1") * F.col("c2")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+    )
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-wide data-quality audit (operators/dq.py): 17
     checks — domain, PK uniqueness, referential integrity, decimal
@@ -5788,6 +5844,26 @@ ORACLES["market_basket_triples"] = """
   LIMIT 30
 """
 
+ORACLES["item_item_cf"] = """
+  WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
+  pairs AS (SELECT a.p AS p1, c.p AS p2, count(*) AS c12
+            FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+  sym AS (SELECT p1, p2, c12 FROM pairs
+          UNION ALL SELECT p2, p1, c12 FROM pairs),
+  scored AS (SELECT sym.p1 AS part, sym.p2 AS neighbor, c12,
+                    round(c12 / sqrt(CAST(i1.item_n * i2.item_n AS DOUBLE)), 6)
+                      AS cosine
+             FROM sym
+             JOIN item i1 ON i1.p = sym.p1
+             JOIN item i2 ON i2.p = sym.p2)
+  SELECT part, neighbor, c12, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY part
+              ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rank
+    FROM scored) WHERE rank <= 5
+"""
+
 ORACLES["dq_audit"] = """
   WITH lt AS (
     SELECT l_orderkey,
@@ -5920,6 +5996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_audit": q_dq_audit,
     "market_basket_pairs": q_market_basket_pairs,
     "market_basket_triples": q_market_basket_triples,
+    "item_item_cf": q_item_item_cf,
     "cosupply_kcore": q_cosupply_kcore,
     "supplier_reach": q_supplier_reach,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,

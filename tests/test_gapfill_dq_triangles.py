@@ -366,3 +366,20 @@ def test_basket_triples_downward_closure(spark, sf_smoke):
         for sub in [(t.p1, t.p2), (t.p1, t.p3), (t.p2, t.p3)]:
             assert sub in pairs and pairs[sub] >= t.tri_n
         assert abs(t.confidence - t.tri_n / pairs[(t.p1, t.p2)]) < 1e-12
+
+
+def test_item_item_cf_symmetric_and_bounded(spark, sf_smoke):
+    """cosine in (0, 1]; sim(a, b) == sim(b, a) wherever both rows
+    survive the top-k cut; rank is dense per part."""
+    rows = registry.QUERIES["item_item_cf"](spark, sf_smoke).collect()
+    assert rows
+    sims = {(r.part, r.neighbor): r.cosine for r in rows}
+    by_part = {}
+    for r in rows:
+        assert 0.0 < r.cosine <= 1.0
+        by_part.setdefault(r.part, []).append(r.rank)
+    for (a, b), s in sims.items():
+        if (b, a) in sims:
+            assert sims[(b, a)] == s
+    for ranks in by_part.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
