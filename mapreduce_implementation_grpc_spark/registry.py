@@ -2311,6 +2311,10 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str,
             F.col("day") + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND"),
         ).alias("b"),
     )
+    # the start/end endpoint selects both consume seg: without pinning,
+    # the union DUPLICATES the whole session-build subtree (two
+    # user-keyed shuffles over events instead of one)
+    seg = materialize(seg)
     pts = (
         seg.select("day", F.col("a").alias("ts"), F.lit(1).alias("cs"), F.lit(0).alias("ce"))
         .unionByName(
