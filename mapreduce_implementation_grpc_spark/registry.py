@@ -3495,6 +3495,65 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_basket_triples(spark, sf_dir)
 
 
+def q_training_negatives(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Deterministic negative sampling for (customer, part) training
+    pairs -- the contrastive-training data op: every positive
+    interaction gets k pseudo-random negative parts, drawn by portable
+    hash (seeded, reproducible across runs AND engines) over the DENSE
+    part id space, then FALSE negatives (parts the customer actually
+    bought) are dropped by one anti-join against the positive set --
+    rejection without iteration, the scale-safe form (retry loops
+    serialize; an anti-join is one shuffle). Expected loss is
+    |positives per user| / |parts| -- negligible, and exactly
+    reproducible.
+
+    Plan: positives = one distinct over the order->part join; the k
+    slots are a bounded explode; the candidate draw is map-only
+    hashing; the anti-join is the only extra shuffle. Output keeps the
+    slot so the (pos, slot) -> negative mapping is stable for epoch
+    replay."""
+    from .operators.dedup import portable_hash32
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("custkey")
+    )
+    pos = li.join(orders, "okey").select("custkey", "part").distinct()
+    pos = materialize(pos)  # consumed by the explode AND the anti-join
+    n_parts = load_table(spark, sf_dir, "part").agg(
+        F.count("*").alias("n_parts")
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(n_parts))
+        .select(
+            "custkey",
+            F.col("part").alias("pos_part"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"),
+            "n_parts",
+        )
+        .withColumn(
+            "neg_part",
+            portable_hash32(
+                F.concat_ws(
+                    ":",
+                    F.lit("neg1"),
+                    F.col("custkey").cast("string"),
+                    F.col("pos_part").cast("string"),
+                    F.col("slot").cast("string"),
+                )
+            )
+            % F.col("n_parts"),
+        )
+    )
+    return cand.join(
+        pos.select("custkey", F.col("part").alias("neg_part")),
+        ["custkey", "neg_part"],
+        "left_anti",
+    ).select("custkey", "pos_part", F.col("slot").cast("long").alias("slot"), "neg_part")
+
+
 def q_item_item_cf(spark: SparkSession, sf_dir: str, min_pair: int = 2,
                    topn: int = 5) -> DataFrame:
     """Item-item collaborative filtering (Sarwar et al., WWW'01) over
@@ -5848,6 +5907,23 @@ ORACLES["market_basket_triples"] = """
   LIMIT 30
 """
 
+ORACLES["training_negatives"] = """
+  WITH pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS part
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  np AS (SELECT count(*) AS n_parts FROM part),
+  cand AS (SELECT custkey, part AS pos_part, slot,
+                  CAST(concat('0x', substr(md5(concat_ws(':', 'neg1',
+                        CAST(custkey AS VARCHAR), CAST(part AS VARCHAR),
+                        CAST(slot AS VARCHAR))), 1, 8)) AS BIGINT)
+                  % n_parts AS neg_part
+           FROM pos CROSS JOIN np
+           CROSS JOIN (SELECT unnest(range(1, 4)) AS slot))
+  SELECT custkey, pos_part, CAST(slot AS BIGINT) AS slot, neg_part
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.custkey = c.custkey AND p.part = c.neg_part)
+"""
+
 ORACLES["item_item_cf"] = """
   WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
   item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
@@ -6001,6 +6077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_basket_pairs": q_market_basket_pairs,
     "market_basket_triples": q_market_basket_triples,
     "item_item_cf": q_item_item_cf,
+    "training_negatives": q_training_negatives,
     "cosupply_kcore": q_cosupply_kcore,
     "supplier_reach": q_supplier_reach,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,

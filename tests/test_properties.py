@@ -86,3 +86,29 @@ def test_salted_join_identical_to_plain_join(spark, fact_rows, n_salt):
         )
     )
     assert got == want
+
+
+def test_training_negatives_are_true_negatives_and_stable(spark, sf_smoke):
+    """No sampled negative may be a positive for the same customer;
+    the (custkey, pos_part, slot) -> neg_part mapping is a pure hash,
+    so a second build is identical (epoch replay stability)."""
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey")
+    pos = {
+        (r.o_custkey, r.l_partkey)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    got = QUERIES["training_negatives"](spark, sf_smoke).collect()
+    assert got
+    for r in got:
+        assert (r.custkey, r.neg_part) not in pos
+        assert 1 <= r.slot <= 3
+    again = QUERIES["training_negatives"](spark, sf_smoke).collect()
+    key = lambda r: (r.custkey, r.pos_part, r.slot, r.neg_part)
+    assert sorted(map(key, got)) == sorted(map(key, again))
