@@ -3495,6 +3495,91 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_basket_triples(spark, sf_dir)
 
 
+# RAKE delimiter set for the synthetic corpus: the two true function
+# words plus the high-frequency modifier vocabulary, so candidate
+# phrases are short noun runs. Real corpora swap in a full stopword
+# list -- the operator shape (delimit -> islands -> deg/freq -> sum)
+# is unchanged. Mirrored literally in the SQL oracle.
+RAKE_STOPWORDS = ("the", "a", "join", "merge", "small", "fast", "slow", "big")
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str, max_len: int = 4,
+                      topn: int = 20) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs (capped at max_len, the
+    standard RAKE cut); word score = deg(w)/freq(w) where deg counts
+    phrase-mate co-occurrence including self; phrase score = sum of
+    member word scores. Returns the top phrases by score with their
+    corpus frequency -- the cheap unsupervised 'what is this corpus
+    about' report.
+
+    Scale: one doc-keyed window builds the islands (running stopword
+    count); word stats are one groupBy over phrase members; the
+    per-phrase score sum uses the round-9dp decimal-sum recipe so
+    member order can't move the hash. Everything is token-count
+    linear."""
+    from pyspark.sql import Window
+
+    from .functions.text_stats import with_token_array
+
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "word")
+    ).withColumn("is_stop", F.col("word").isin(*RAKE_STOPWORDS).cast("long"))
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    members = (
+        words.withColumn("phrase_id", F.sum("is_stop").over(wd))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "phrase_id", "pos", "word")
+    )
+    members = materialize(members)  # word stats + phrase build share it
+    phr = members.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    ).filter(F.col("plen") <= max_len)
+    wstat = (
+        members.join(
+            phr.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"]
+        )
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "word", (F.col("deg") / F.col("freq")).alias("wscore")
+        )
+    )
+    pscore = (
+        members.join(phr.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .join(wstat, "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(
+                F.round(F.col("wscore"), 9).cast("decimal(20,9)")
+            ).cast("string").cast("double").alias("score")
+        )
+    )
+    agg = (
+        phr.join(pscore, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(F.count("*").alias("n"), F.max("score").alias("score"))
+    )
+    return (
+        agg.select("phrase", "n", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(topn)
+    )
+
+
 def q_training_negatives(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Deterministic negative sampling for (customer, part) training
     pairs -- the contrastive-training data op: every positive
@@ -5907,6 +5992,39 @@ ORACLES["market_basket_triples"] = """
   LIMIT 30
 """
 
+ORACLES["rake_keyphrases"] = f"""
+  WITH t AS ({_SQL_TOKS}),
+  w AS (SELECT doc_id,
+               unnest(generate_series(1, len(toks))) AS pos,
+               unnest(toks) AS word
+        FROM t),
+  m AS (SELECT doc_id, pos, word,
+               CASE WHEN word IN ('the', 'a', 'join', 'merge', 'small', 'fast', 'slow', 'big') THEN 1 ELSE 0 END AS is_stop
+        FROM w),
+  isl AS (SELECT doc_id, pos, word,
+                 sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id,
+                 is_stop
+          FROM m),
+  members AS (SELECT doc_id, phrase_id, pos, word FROM isl WHERE is_stop = 0),
+  phr AS (SELECT doc_id, phrase_id,
+                 string_agg(word, ' ' ORDER BY pos) AS phrase,
+                 count(*) AS plen
+          FROM members GROUP BY 1, 2 HAVING count(*) <= 4),
+  wstat AS (SELECT word, sum(plen) / count(*) AS wscore
+            FROM members JOIN phr USING (doc_id, phrase_id) GROUP BY 1),
+  pscore AS (SELECT doc_id, phrase_id,
+                    CAST(CAST(sum(CAST(round(wscore, 9) AS DECIMAL(20,9)))
+                         AS VARCHAR) AS DOUBLE) AS score
+             FROM members JOIN phr USING (doc_id, phrase_id)
+                          JOIN wstat USING (word)
+             GROUP BY 1, 2)
+  SELECT phrase, count(*) AS n, round(max(score), 6) AS score
+  FROM phr JOIN pscore USING (doc_id, phrase_id)
+  GROUP BY phrase
+  ORDER BY score DESC, phrase ASC LIMIT 20
+"""
+
 ORACLES["training_negatives"] = """
   WITH pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS part
                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -6078,6 +6196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_basket_triples": q_market_basket_triples,
     "item_item_cf": q_item_item_cf,
     "training_negatives": q_training_negatives,
+    "rake_keyphrases": q_rake_keyphrases,
     "cosupply_kcore": q_cosupply_kcore,
     "supplier_reach": q_supplier_reach,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,
@@ -6337,6 +6456,9 @@ BENCH_QUERIES = [
     "market_basket_triples",
     "supplier_reach",
     "user_day_snapshot_diff",
+    "item_item_cf",
+    "training_negatives",
+    "rake_keyphrases",
     # cosupply_kcore is NOT benched: its dominant cost is the same
     # co-supply pair build cosupply_triangles already measures (the
     # sf0.1 graph fixpoints in one peel round on top of that)

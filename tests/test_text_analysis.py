@@ -149,3 +149,29 @@ def test_bm25_ranks_matching_docs_first(spark, sf_smoke):
     }
     for r in top:
         assert any(t in docs[r["doc_id"]].split() for t in BM25_QUERY)
+
+
+def test_rake_crafted_scores(spark, tmp_path):
+    """One hand-computed corpus: 'data table the data table scan a scan'
+    -> phrases [data table], [data table scan], [scan];
+    freq: data 2, table 2, scan 2;
+    deg:  data 2+3=5, table 2+3=5, scan 3+1=4;
+    wscore: data 2.5, table 2.5, scan 2.0;
+    scores: 'data table' 5.0, 'data table scan' 7.0, 'scan' 2.0."""
+    import pandas as pd
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    pd.DataFrame(
+        [(1, "data table the data table scan a scan", "en", "web")],
+        columns=["doc_id", "text", "lang", "source"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.phrase: (r.n, r.score)
+        for r in QUERIES["rake_keyphrases"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "data table scan": (1, 7.0),
+        "data table": (1, 5.0),
+        "scan": (1, 2.0),
+    }
