@@ -351,15 +351,25 @@ def test_basket_triples_downward_closure(spark, sf_smoke):
     """Every reported triple's support can't exceed any of its
     sub-pairs' support (downward closure), and confidence/lift are
     the exact integer ratios they claim to be."""
+    from collections import Counter
+    from itertools import combinations
+
     from mapreduce_implementation_grpc_spark.operators.basket import (
-        market_basket_pairs,
         market_basket_triples,
     )
 
-    pairs = {
-        (r.p1, r.p2): r.pair_n
-        for r in market_basket_pairs(spark, sf_smoke, top_n=10**9).collect()
-    }
+    baskets: dict[int, set[int]] = {}
+    for r in (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pairs = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            pairs[(a, b)] += 1
     tris = market_basket_triples(spark, sf_smoke).collect()
     assert tris
     for t in tris:
