@@ -139,3 +139,46 @@ def test_asof_nearest_oracle_parity(spark, sf_check):
         registry.ORACLES["events_asof_nearest"],
         sf_check,
     )
+
+
+def test_asof_nearest_matches_naive_pair_join(spark):
+    """Differential: on 20k synthetic events (hash-scattered users and
+    timestamps), the union+window nearest join returns EXACTLY the
+    naive pair-join argmin pairs, tie-break included."""
+    import tools.temporal_probe as tp
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.asof import asof_join_nearest
+
+    ev = tp.synth_events(spark, 20_000).localCheckpoint()
+    purchases = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_id") % 5 == 1)
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    op = asof_join_nearest(
+        purchases, clicks, by="user_id", value_cols=["click_id"],
+        tolerance_us=tp.TOL_US,
+    )
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in op.filter(F.col("click_id").isNotNull())
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    p2 = purchases.select(
+        "user_id", "purchase_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("pus"),
+    )
+    c2 = clicks.select(
+        "user_id", "click_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("cus"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in tp.nearest_naive(p2, c2).select("purchase_id", "click_id").collect()
+    }
+    assert got and got == want
