@@ -2221,6 +2221,71 @@ q_user_retention = analytics.user_retention
 q_events_sessionize = analytics.events_sessionize
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str, slack: float = 0.5,
+                   threshold: float = 4.0) -> DataFrame:
+    """CUSUM change-point monitor (Page 1954) over the daily count
+    series of each event type: standardize counts against the series'
+    own mean/std, then the one-sided upper CUSUM
+    s_t = max(0, s_{t-1} + z_t - slack), alert when s_t > threshold --
+    the sequential drift detector a pipeline runs on its volume
+    metrics (z-score anomaly flags single spikes; CUSUM accumulates
+    small sustained shifts).
+
+    Cross-engine exactness: the recursion is computed in its CLOSED
+    FORM s_t = P_t - min(0, min_{j<=t} P_j) with P the running prefix
+    sum of (round(z, 9) - slack) accumulated in DECIMAL(20,9) --
+    double running sums are NOT portable here (DuckDB's windowed sum
+    aggregates via a segment tree, so its float association differs
+    from Spark's sequential adds; measured: one last-ulp mismatch in
+    150 rows at sf0.1). Decimal sums are exact, the min and the
+    threshold compare happen on exact decimals, and only the final
+    reported value string-routes to double. Scale: two type-keyed
+    windows over a types x days table; everything upstream is one
+    groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    std = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n) / n
+    )
+    z = F.round((F.col("cnt").cast("double") - F.col("mean")) / F.col("std"), 9)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    y_dec = z.cast("decimal(20,9)") - F.lit(str(slack)).cast("decimal(20,9)")
+    zero = F.lit("0").cast("decimal(30,9)")
+    scored = (
+        daily.join(
+            F.broadcast(stats.select("event_type", mean.alias("mean"), std.alias("std"))),
+            "event_type",
+        )
+        .select("event_type", "day", "cnt", y_dec.alias("y"))
+        .withColumn("p", F.sum("y").over(w))
+        .withColumn("mp", F.min("p").over(w))
+        .withColumn("m", F.when(F.col("mp") < zero, F.col("mp")).otherwise(zero))
+    )
+    s_dec = F.col("p") - F.col("m")
+    return scored.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "cnt",
+        s_dec.cast("string").cast("double").alias("cusum"),
+        (s_dec > F.lit(str(threshold)).cast("decimal(20,9)")).alias("alert"),
+    )
+
+
 def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-weighted average value per user (TWAP): each event's value
     holds until the user's next event (LOCF semantics, as the gap-fill
@@ -5168,6 +5233,39 @@ ORACLES: dict[str, str] = {
       FROM att GROUP BY first_touch
       ORDER BY n_purchases DESC, first_touch
     """,
+    "events_cusum": """
+      WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                            count(*) AS cnt
+                     FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, count(*) AS n,
+                    sum(cnt) AS s1, sum(cnt * cnt) AS s2
+             FROM daily GROUP BY 1),
+      j AS (SELECT d.event_type, d.day, d.cnt,
+                   CAST(round((CAST(cnt AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         / sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 9)
+                        AS DECIMAL(20,9))
+                   - CAST('0.5' AS DECIMAL(20,9)) AS y
+            FROM daily d JOIN st USING (event_type)),
+      pw AS (SELECT event_type, day, cnt,
+                    sum(y) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+             FROM j),
+      mw AS (SELECT event_type, day, cnt, p,
+                    -- CASE, not least(): DuckDB's least() promotes
+                    -- DECIMAL args to DOUBLE and reintroduces dust
+                    CASE WHEN mp < CAST('0' AS DECIMAL(38,9)) THEN mp
+                         ELSE CAST('0' AS DECIMAL(38,9)) END AS m
+             FROM (SELECT *, min(p) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+                   FROM pw))
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, cnt,
+             CAST(CAST(p - m AS VARCHAR) AS DOUBLE) AS cusum,
+             (p - m) > CAST('4.0' AS DECIMAL(20,9)) AS alert
+      FROM mw
+    """,
     "user_value_twap": """
       WITH d AS (
         SELECT user_id, value,
@@ -6295,6 +6393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "session_concurrency": q_session_concurrency,
     "user_value_twap": q_user_value_twap,
+    "events_cusum": q_events_cusum,
     "events_session_window": q_events_session_window,
     "user_state_intervals": analytics.user_state_intervals,
     "purchase_attribution": q_purchase_attribution,
@@ -6459,6 +6558,7 @@ BENCH_QUERIES = [
     "item_item_cf",
     "training_negatives",
     "rake_keyphrases",
+    "events_cusum",
     # cosupply_kcore is NOT benched: its dominant cost is the same
     # co-supply pair build cosupply_triangles already measures (the
     # sf0.1 graph fixpoints in one peel round on top of that)

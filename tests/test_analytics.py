@@ -208,3 +208,43 @@ def test_user_value_twap_crafted(spark, tmp_path):
         for r in QUERIES["user_value_twap"](spark, str(tmp_path)).collect()
     }
     assert got == {1: (4 * 3600 * 1_000_000, 12.5)}
+
+
+def test_events_cusum_recursion_equivalence_and_shift_alert(spark, tmp_path):
+    """The closed form P_t - min(0, min P_j) must equal the textbook
+    recursion s_t = max(0, s_{t-1} + z_t - slack) computed directly
+    (exact decimals, so equality is exact), and a sustained +shift in
+    the back half of a flat series must raise an alert."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for day in range(1, 29):
+        n = 10 if day <= 14 else 18   # sustained shift, not a spike
+        for k in range(n):
+            rows.append((eid, 1, dt.datetime(2024, 1, day, 1 + (k % 20)), 1.0, "purchase"))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "value", "event_type"]
+    ).to_parquet(tmp_path / "events.parquet")
+    got = sorted(
+        QUERIES["events_cusum"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.day_s,
+    )
+    assert any(r.alert for r in got if r.day_s >= "2024-01-16")
+    assert not any(r.alert for r in got if r.day_s <= "2024-01-14")
+    # direct recursion on the same z values (exact decimal arithmetic)
+    cnts = [r.cnt for r in got]
+    n = len(cnts)
+    mean = sum(cnts) / n
+    std = ((sum(c * c for c in cnts) - sum(cnts) ** 2 / n) / n) ** 0.5
+    s = Decimal(0)
+    for r, c in zip(got, cnts):
+        z = Decimal(repr(round((c - mean) / std, 9)))
+        s = max(Decimal(0), s + z - Decimal("0.5"))
+        assert float(s) == r.cusum, (r.day_s, float(s), r.cusum)
