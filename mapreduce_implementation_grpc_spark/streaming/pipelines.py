@@ -1018,3 +1018,125 @@ def streaming_event_transitions(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    baseline: dict,
+    slack: str = "0.5",
+    threshold: str = "4.0",
+) -> DataFrame:
+    """Stateful online twin of registry.q_events_cusum: per-event-type
+    daily-count CUSUM with a FROZEN baseline -- the deployment shape
+    of change-point monitoring (fit mean/std per key on a batch
+    window, then stream residuals with O(1) state per key; the batch
+    query's self-referential whole-series baseline is a training-time
+    construct).
+
+    baseline: {event_type: (mean, std)} of the daily counts, frozen
+    batch-side (the batch-trained-model-serving pattern, as the
+    frozen-BPE/PQ serving operators). State per key: the OPEN day's
+    count plus the exact DECIMAL prefix-sum pair (p, running min p)
+    of the closed-form CUSUM, carried as strings. A day is emitted
+    when a later day's first event arrives (days with zero events
+    don't exist in the batch series either, so a multi-day jump
+    closes only the open day); the final open day stays unemitted
+    until the stream moves past it.
+
+    Bit-exactness contract vs the batch closed form: z rounds HALF_UP
+    to 9dp via Decimal(repr(x)) (== F.round), the fold is exact
+    decimal arithmetic identical to the batch DECIMAL(20,9) windows,
+    and the emitted double is float(of the same decimal string) ==
+    the batch's VARCHAR->DOUBLE route. In-order contract ENFORCED as
+    in streaming_user_activity_decay: state carries the last folded
+    (ts_us, event_id); exact redelivery is skipped as idempotent,
+    genuinely out-of-order arrival fails the batch loudly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day_s", StringType()),
+            StructField("cnt", LongType()),
+            StructField("cusum", DoubleType()),
+            StructField("alert", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("day_us", LongType()),
+            StructField("cnt", LongType()),
+            StructField("p_str", StringType()),
+            StructField("mp_str", StringType()),
+            StructField("last_ts_us", LongType()),
+            StructField("last_event_id", LongType()),
+        ]
+    )
+    DAY_US = 86_400_000_000
+    slack_d = Decimal(slack)
+    thr_d = Decimal(threshold)
+
+    def update(key, pdfs, state: GroupState):
+        etype = key[0]
+        mean, std = baseline[etype]
+        day_us, cnt, p_str, mp_str, last_us, last_id = (
+            state.get if state.exists else (-1, 0, "0", "", -(2**63), -(2**63))
+        )
+        p = Decimal(p_str)
+        mp = Decimal(mp_str) if mp_str else None
+        rows = []
+
+        def close_day(closed_day_us, closed_cnt):
+            nonlocal p, mp
+            z_raw = (closed_cnt - mean) / std
+            z = Decimal(repr(z_raw)).quantize(
+                Decimal("0.000000001"), rounding=ROUND_HALF_UP
+            )
+            p = p + (z - slack_d)
+            mp = p if mp is None else min(mp, p)
+            m = mp if mp < 0 else Decimal(0)
+            s = p - m
+            day = pd.Timestamp(closed_day_us, unit="us").strftime("%Y-%m-%d")
+            rows.append((etype, day, closed_cnt, float(s), s > thr_d))
+
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if (ts_us, int(eid)) == (last_us, last_id):
+                continue  # idempotent redelivery of the last folded event
+            if (ts_us, int(eid)) < (last_us, last_id):
+                raise ValueError(
+                    f"streaming_cusum: out-of-order event (type {etype}, "
+                    f"event_id {int(eid)}) after state folded ts_us="
+                    f"{last_us} -- in-order contract broken"
+                )
+            last_us, last_id = ts_us, int(eid)
+            d_us = (ts_us // DAY_US) * DAY_US
+            if day_us < 0:
+                day_us, cnt = d_us, 1
+            elif d_us == day_us:
+                cnt += 1
+            else:
+                close_day(day_us, cnt)
+                day_us, cnt = d_us, 1
+        state.update(
+            (day_us, cnt, str(p), "" if mp is None else str(mp), last_us, last_id)
+        )
+        yield pd.DataFrame(
+            rows, columns=["event_type", "day_s", "cnt", "cusum", "alert"]
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -350,3 +350,95 @@ def test_streaming_transitions_stitch_across_batches(spark, tmp_path):
         ("view", "purchase"): 1,  # the cross-batch pair
         ("signup", "error"): 1,
     }
+
+
+def test_streaming_cusum_matches_batch_closed_days(spark, tmp_path, sf_smoke):
+    """Frozen-baseline streaming CUSUM == the batch closed form on
+    every CLOSED day (bit-exact cusum doubles and alert booleans),
+    with the batch split across two microbatches mid-series."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+    from mapreduce_implementation_grpc_spark.streaming import streaming_cusum
+
+    batch = {
+        (r.event_type, r.day_s): (r.cnt, r.cusum, r.alert)
+        for r in QUERIES["events_cusum"](spark, sf_smoke).collect()
+    }
+    # freeze the baseline exactly as the batch computes it (integer
+    # daily counts -> the same IEEE mean/std doubles)
+    daily = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    stats = {}
+    for r in daily:
+        stats.setdefault(r.event_type, []).append(r.cnt)
+    baseline = {}
+    for t, cnts in stats.items():
+        n = len(cnts)
+        s1 = sum(cnts)
+        s2 = sum(c * c for c in cnts)
+        mean = s1 / n
+        std = ((s2 - s1 * s1 / n) / n) ** 0.5
+        baseline[t] = (mean, std)
+
+    ev = sorted(
+        (
+            (r.event_id, r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"), r.event_type)
+            for r in load_table(spark, sf_smoke, "events")
+            .select("event_id", "ts", "event_type")
+            .collect()
+        ),
+        key=lambda x: x[1],
+    )
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    half = len(ev) // 2
+    for name, chunk in (("b1.json", ev[:half]), ("b2.json", ev[half:])):
+        with open(os.path.join(src, name), "w") as f:
+            for eid, ts, et in chunk:
+                f.write(_json.dumps({"event_id": eid, "ts": ts, "event_type": et}) + "\n")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        streaming_cusum(stream, baseline)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                (r.event_type, r.day_s): (r.cnt, r.cusum, r.alert)
+                for r in spark.sql("SELECT * FROM cusum_stream").collect()
+            }
+            if len(got) >= len(batch) - len(baseline):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    # every streamed (closed) day must match the batch row bit-exactly;
+    # only each type's final open day may be missing
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v, (k, batch[k], v)
+    missing = set(batch) - set(got)
+    assert len(missing) == len(baseline)
+    last_days = {t: max(d for (tt, d) in batch if tt == t) for t in baseline}
+    assert missing == {(t, d) for t, d in last_days.items()}
