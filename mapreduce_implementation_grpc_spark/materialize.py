@@ -43,6 +43,12 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
+def _resolve(reliable: bool | None) -> bool:
+    if reliable is None:
+        return os.environ.get("SPARK_GRAFT_RELIABLE_MATERIALIZE", "") == "1"
+    return reliable
+
+
 def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     """Pin one shared materialization of `df` for multiple consumers.
 
@@ -51,8 +57,58 @@ def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     first consumer acts. Results are identical either way -- only the
     executor-loss behavior differs (see module docstring).
     """
-    if reliable is None:
-        reliable = os.environ.get("SPARK_GRAFT_RELIABLE_MATERIALIZE", "") == "1"
-    if reliable:
+    if _resolve(reliable):
         return df.persist(StorageLevel.DISK_ONLY)
     return df.localCheckpoint(eager=False)
+
+
+def materialize_eager(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Pin `df` and FORCE the materialization before returning — the
+    per-round primitive of the iterative loops (k-core peeling, label
+    propagation, BFS frontiers). Each round must be computed NOW so
+    (a) the convergence check's count scans pinned blocks instead of
+    replaying rounds 1..N-1 and (b) the next round's plan starts from
+    a flat scan, never a nested lineage.
+
+    - ``reliable=False``: ``localCheckpoint(eager=True)`` — lineage
+      truncated; an executor lost between rounds kills the query (the
+      zero-cost choice in single-JVM local mode).
+    - ``reliable=True``: ``persist(DISK_ONLY)`` + a forcing count —
+      lineage retained, so on a real cluster a block lost between peel
+      rounds is recomputed from the previous round's (still-pinned)
+      blocks instead of failing the query. Callers should `release()`
+      round N-1 once round N is pinned so executor disk holds at most
+      two rounds, not the whole peeling history.
+    """
+    if _resolve(reliable):
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)
+
+
+def release(df: DataFrame) -> None:
+    """Drop a `materialize*`-pinned table the loop no longer needs.
+
+    For the persist path this frees the executor-disk blocks
+    immediately (non-blocking); for localCheckpoint the blocks are
+    owned by the checkpointed RDD and are reclaimed when the RDD is
+    garbage-collected — unpersist() is then a harmless no-op. Call it
+    on round N-1 after round N is pinned."""
+    df.unpersist(blocking=False)
+
+
+def pin_before_overwrite(df: DataFrame) -> DataFrame:
+    """EAGERLY pin `df` WITHOUT lineage, for read-modify-OVERWRITE of
+    the very files the plan reads (the parquet upsert/rollup sinks).
+
+    This is the one site where `reliable=True` persist would be
+    actively WRONG, not just slower: persist keeps the lineage, and a
+    block lost after mode("overwrite") has deleted the source files
+    would be "recomputed" from a scan of paths that no longer exist —
+    failing at best, silently reading half-overwritten data at worst.
+    Lineage truncation (localCheckpoint eager=True) is the only
+    correct pin here; durable crash-safety for these sinks comes from
+    the rename-aside protocol in sources/sinks.py, not from Spark
+    block recovery."""
+    return df.localCheckpoint(eager=True)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..materialize import materialize
+from ..materialize import materialize, pin_before_overwrite
 from ..operators.normalize import normalized_col
 from ..operators.tokenize import tokens_col
 
@@ -418,9 +418,9 @@ def parquet_upsert_sink(spark, path: str, key_cols: list[str]):
     is O(table + batch); state lives in the table, not the stream."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(key_cols).localCheckpoint()
+        batch = pin_before_overwrite(batch_df.dropDuplicates(key_cols))
         try:
-            cur = spark.read.parquet(path).localCheckpoint()
+            cur = pin_before_overwrite(spark.read.parquet(path))
         except Exception:
             cur = None
         merged = batch if cur is None else cur.join(
@@ -750,7 +750,7 @@ def hll_rollup_sink(spark, path: str):
             if prev is None
             else merge_registers(prev.unionByName(regs), ["event_type", "d"])
         )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        pin_before_overwrite(merged).write.mode("overwrite").parquet(path)
 
     return sink
 

@@ -286,3 +286,26 @@ def test_salted_join_spreads_hot_keys_and_never_broadcasts(spark, sf_check):
     assert not any(
         "BroadcastHashJoin" in ln and "word" in ln for ln in plan.splitlines()
     ), plan
+
+
+def test_no_bare_local_checkpoint_outside_materialize():
+    """Every materialization pin must route through materialize.py so
+    the executor-loss story (reliable persist vs lineage truncation,
+    and the one documented overwrite-safety exception) is chosen at a
+    single audited site -- a bare localCheckpoint() elsewhere silently
+    opts an operator out of the reliable-mode sweep."""
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "mapreduce_implementation_grpc_spark")
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py") or fname == "materialize.py":
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as fh:
+                for i, line in enumerate(fh, 1):
+                    if ".localCheckpoint(" in line:
+                        offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
