@@ -40,6 +40,37 @@ def _micros(c: Column) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def _validate_asof_columns(
+    left: DataFrame,
+    right: DataFrame,
+    left_payload: list[str],
+    value_cols: list[str],
+    reserved: set[str],
+) -> None:
+    """Loud build-time guard (ADVICE r5): a left payload column that
+    shares a name with a right value column would silently SHADOW one
+    of the two in the output (duplicate names resolve positionally),
+    and a user column named like an internal staging column (`_t`,
+    `_tus`, `_side`, `_snap`) or the `asof_ts_us` output would be
+    clobbered mid-plan. Wrong-but-plausible feature frames are worse
+    than an error, so both collisions raise."""
+    clash = set(left_payload) & set(value_cols)
+    if clash:
+        raise ValueError(
+            "asof join: left payload and right value columns must be "
+            f"disjoint, got both-sides columns {sorted(clash)} -- "
+            "rename one side before joining"
+        )
+    used = set(left.columns) | set(right.columns)
+    hit = used & reserved
+    if hit:
+        raise ValueError(
+            f"asof join: column names {sorted(hit)} are reserved for "
+            "internal staging / the asof_ts_us output -- rename them "
+            "before joining"
+        )
+
+
 def asof_join_nearest(
     left: DataFrame,
     right: DataFrame,
@@ -73,6 +104,10 @@ def asof_join_nearest(
         c for c in right.columns if c not in (by, right_ts)
     ]
     left_payload = [c for c in left.columns if c not in (by, left_ts)]
+    _validate_asof_columns(
+        left, right, left_payload, value_cols,
+        reserved={"_t", "_tus", "_side", "_snap", "_rts", "asof_ts_us"},
+    )
     snap_type = StructType(
         [StructField("_rts", LongType())]
         + [StructField(c, right.schema[c].dataType) for c in value_cols]
@@ -153,6 +188,10 @@ def asof_join(
         c for c in right.columns if c not in (by, right_ts)
     ]
     left_payload = [c for c in left.columns if c not in (by, left_ts)]
+    _validate_asof_columns(
+        left, right, left_payload, value_cols,
+        reserved={"_t", "_side", "_snap"},
+    )
     snap_type = StructType(
         [StructField(c, right.schema[c].dataType) for c in value_cols]
     )

@@ -173,9 +173,17 @@ def market_basket_triples(
             "tri_n",
             (F.col("tri_n") / F.col("n")).alias("support"),
             (F.col("tri_n") / F.col("pair_n")).alias("confidence"),
+            # both triple products in DOUBLE (ADVICE r5): Spark long
+            # multiplication is non-ANSI by default and would WRAP
+            # silently past 2^63 (n ~ 2.6M at 100TB-scale order counts
+            # already puts tri_n*n*n there), where the DuckDB oracle's
+            # BIGINT product errors. Doubles are exact below 2^53 per
+            # factor step (true at every tested SF, so oracle hashes
+            # are unchanged) and degrade to rounding -- never to a
+            # wrapped sign-flipped lift -- beyond it.
             (
-                (F.col("tri_n") * F.col("n") * F.col("n"))
-                / (F.col("c1") * F.col("c2") * F.col("c3"))
+                (F.col("tri_n").cast("double") * F.col("n") * F.col("n"))
+                / (F.col("c1").cast("double") * F.col("c2") * F.col("c3"))
             ).alias("lift"),
         )
         .orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2"), F.asc("p3"))

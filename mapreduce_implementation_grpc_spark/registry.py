@@ -1573,8 +1573,16 @@ def q_ann_rank_quality(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
     rounds its ln's to 9dp (libm parity), then the term to 9dp, and
     sums as DECIMAL(20,9) (order-independent); the final nDCG division
     string-routes both decimal sums to double and rounds to 6dp. MRR
-    and recall are exact small rationals rounded to 6dp."""
-    ann = q_ann_ivf(spark, sf_dir).select(
+    and recall are exact small rationals rounded to 6dp.
+
+    `k` is plumbed through BOTH rankings: the ANN list and the exact
+    ground truth are each cut at depth k, and rel = k+1-exact_rank
+    derives from the same k -- so recall@k/nDCG@k stay internally
+    consistent at any k (ADVICE r5: the previous form graded a
+    k-deep ANN list against a hard-pinned top-5 truth). The DuckDB
+    oracle covers the driver's k=5 call."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = ann_ivf_topk(emb, _query_vectors(spark, sf_dir), k=k).select(
         "query_id", "neighbor_id", F.col("rank").alias("ann_rank")
     )
     return _rank_quality_df(spark, sf_dir, ann, k=k)
@@ -1582,12 +1590,14 @@ def q_ann_rank_quality(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
 
 def _rank_quality_df(spark, sf_dir, ann: DataFrame, k: int = 5) -> DataFrame:
     """Graded eval core: `ann` is any (query_id, neighbor_id,
-    ann_rank) ranking; ground truth is the exact brute-force top-k.
-    Self-eval invariant (pytest-pinned): feeding the exact ranking
-    itself yields recall = mrr = ndcg = 1.0 for every query."""
+    ann_rank) ranking cut at depth `k`; ground truth is the exact
+    brute-force top-k AT THE SAME k. Self-eval invariant
+    (pytest-pinned): feeding the exact ranking itself yields
+    recall = mrr = ndcg = 1.0 for every query."""
+    emb = load_table(spark, sf_dir, "embeddings")
     exact = materialize(
-        q_knn_cosine(spark, sf_dir).select(
-            "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+        knn_brute_force(emb, _query_vectors(spark, sf_dir), k=k).select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("exact_rank")
         )
     )
     ln2 = F.round(F.log(F.lit(2.0)), 9)

@@ -1087,8 +1087,32 @@ def streaming_cusum(
     slack_d = Decimal(slack)
     thr_d = Decimal(threshold)
 
+    # Loud build-time validation (ADVICE r5): a degenerate std would
+    # otherwise surface as an opaque ZeroDivisionError inside the
+    # state function of a running stream -- fail at wiring time, with
+    # the key named.
+    if not baseline:
+        raise ValueError("streaming_cusum: empty baseline -- fit it batch-side first")
+    for k, (mean, std) in baseline.items():
+        if not (std > 0):
+            raise ValueError(
+                f"streaming_cusum: baseline std for event_type {k!r} is "
+                f"{std!r}; a frozen CUSUM baseline needs std > 0 -- "
+                "refit on a window with variance or drop the key"
+            )
+
     def update(key, pdfs, state: GroupState):
         etype = key[0]
+        if etype not in baseline:
+            # the normal new-key case in a deployed stream: fail with
+            # the key named (matching the loud out-of-order contract)
+            # rather than an opaque KeyError -- silently scoring a key
+            # the model never saw would be a wrong answer
+            raise ValueError(
+                f"streaming_cusum: event_type {etype!r} has no frozen "
+                "baseline; refit the batch baseline to cover new keys "
+                "(or pre-filter the stream to baseline keys)"
+            )
         mean, std = baseline[etype]
         day_us, cnt, p_str, mp_str, last_us, last_id = (
             state.get if state.exists else (-1, 0, "0", "", -(2**63), -(2**63))

@@ -182,3 +182,35 @@ def test_asof_nearest_matches_naive_pair_join(spark):
         for r in tp.nearest_naive(p2, c2).select("purchase_id", "click_id").collect()
     }
     assert got and got == want
+
+
+def test_asof_column_collisions_raise(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.asof import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 99.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # shared payload name `v`: would silently shadow one side's column
+    with pytest.raises(ValueError, match="disjoint"):
+        asof_join_nearest(left, right, by="k")
+    with pytest.raises(ValueError, match="disjoint"):
+        asof_join(left, right, by="k")
+    # reserved internal/output names must raise, not be clobbered
+    bad = left.withColumnRenamed("v", "asof_ts_us")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join_nearest(bad, right.withColumnRenamed("v", "w"), by="k")
+    bad2 = left.withColumnRenamed("v", "_snap")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(bad2, right.withColumnRenamed("v", "w"), by="k")
+    # disjoint names still work
+    ok = asof_join_nearest(left, right.withColumnRenamed("v", "w"), by="k")
+    assert ok.collect()[0].w == 99.0

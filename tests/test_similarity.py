@@ -197,6 +197,36 @@ def test_ann_rank_quality_self_eval_is_perfect(spark, sf_smoke):
         assert 0.0 <= r.ndcg <= 1.0 + 1e-9
 
 
+def test_ann_rank_quality_k_plumbs_to_ground_truth(spark, sf_smoke):
+    """ADVICE r5: k must cut BOTH the ANN list and the exact ground
+    truth -- recall@3's denominator is 3, n_hits <= 3, and the
+    self-eval invariant holds at k=3 exactly as at the default 5."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.similarity import (
+        knn_brute_force,
+    )
+    from mapreduce_implementation_grpc_spark.registry import (
+        QUERIES,
+        _query_vectors,
+        _rank_quality_df,
+        load_table,
+    )
+
+    for r in QUERIES["ann_rank_quality"](spark, sf_smoke, k=3).collect():
+        assert 0 <= r.n_hits <= 3
+        assert abs(r.recall - r.n_hits / 3.0) < 5e-7  # recall is 6dp-rounded
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+    exact3 = knn_brute_force(
+        load_table(spark, sf_smoke, "embeddings"),
+        _query_vectors(spark, sf_smoke),
+        k=3,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("ann_rank"))
+    rows = _rank_quality_df(spark, sf_smoke, exact3, k=3).collect()
+    assert rows
+    assert all(r.recall == 1.0 and r.mrr == 1.0 and r.ndcg == 1.0 for r in rows)
+
+
 def test_ann_rank_quality_oracle_parity(spark, sf_check):
     from mapreduce_implementation_grpc_spark import registry
     from tests.oracle_utils import assert_matches_oracle

@@ -442,3 +442,62 @@ def test_streaming_cusum_matches_batch_closed_days(spark, tmp_path, sf_smoke):
     assert len(missing) == len(baseline)
     last_days = {t: max(d for (tt, d) in batch if tt == t) for t in baseline}
     assert missing == {(t, d) for t, d in last_days.items()}
+
+
+def test_streaming_cusum_baseline_validation_is_loud(spark):
+    """ADVICE r5: a degenerate (std<=0 / NaN / empty) baseline must
+    fail at wiring time with the key named, not as ZeroDivisionError
+    inside a running stream's state function."""
+    import math
+
+    import pytest
+
+    from mapreduce_implementation_grpc_spark.streaming import streaming_cusum
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS event_id", "timestamp AS ts", "'click' AS event_type")
+    )
+    with pytest.raises(ValueError, match="empty baseline"):
+        streaming_cusum(stream, {})
+    with pytest.raises(ValueError, match="'click'.*std > 0"):
+        streaming_cusum(stream, {"click": (10.0, 0.0)})
+    with pytest.raises(ValueError, match="std > 0"):
+        streaming_cusum(stream, {"click": (10.0, math.nan)})
+
+
+def test_streaming_cusum_unknown_event_type_fails_with_named_key(spark, tmp_path):
+    """A streamed key absent from the frozen baseline (the normal
+    new-key case in deployment) must kill the query with the key
+    NAMED -- silently scoring it would be a wrong answer."""
+    import json as _json
+
+    import pytest
+
+    from mapreduce_implementation_grpc_spark.streaming import streaming_cusum
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(_json.dumps({"event_id": 1, "ts": "2024-01-01 00:00:00.000000",
+                             "event_type": "brand_new"}) + "\n")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        streaming_cusum(stream, {"click": (10.0, 2.0)})
+        .writeStream.format("memory")
+        .queryName("cusum_unknown_key")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="brand_new.*no frozen"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
