@@ -373,6 +373,47 @@ def streaming_sessionize(
     )
 
 
+def streaming_session_window(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Deployment twin of registry.q_events_session_window: the SAME
+    native session_window aggregation over an unbounded stream, with
+    a watermark so sessions FINALIZE (append mode emits a session
+    exactly once, when the watermark passes its end -- late events
+    inside the watermark still merge into their session first).
+
+    Column-for-column the batch query's schema (user_id,
+    session_start, session_end, n_events, n_types); the one mechanical
+    difference is n_types = size(collect_set(event_type)) because
+    exact count_distinct isn't supported inside a streaming
+    aggregation -- set-size equals the batch distinct count exactly,
+    so closed sessions are BIT-EXACT against the batch rows
+    (pytest-pinned across a multi-microbatch split).
+
+    Scale: session merging is per-group operator state keyed by
+    user_id (one shuffle); state is bounded by OPEN sessions only --
+    the watermark evicts every closed session, so state size tracks
+    concurrent users, not history. The collect_set per open session
+    is bounded by the event-type vocabulary, not event volume."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.size(F.collect_set("event_type")).alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            F.col("n_types").cast("long").alias("n_types"),
+        )
+    )
+
+
 def streaming_curate(
     docs: DataFrame,
     text_col: str = "text",

@@ -501,3 +501,88 @@ def test_streaming_cusum_unknown_event_type_fails_with_named_key(spark, tmp_path
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_session_window_matches_batch_closed_sessions(
+    spark, tmp_path, sf_smoke
+):
+    """VERDICT r5 #4: the watermarked streaming form of the native
+    session_window query must emit every CLOSED session bit-exactly
+    equal to its batch twin (same user_id/start/end/n_events/n_types),
+    across a multi-microbatch split; only sessions the final watermark
+    has not passed may be missing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_session_window,
+    )
+
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.n_types)
+        for r in QUERIES["events_session_window"](spark, sf_smoke).collect()
+    }
+    ev = sorted(
+        (
+            (r.event_id, r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"), r.user_id, r.event_type)
+            for r in load_table(spark, sf_smoke, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+            .collect()
+        ),
+        key=lambda x: x[1],
+    )
+    max_ts = max(x[1] for x in ev)
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    third = len(ev) // 3
+    chunks = (ev[:third], ev[third : 2 * third], ev[2 * third :])
+    for i, chunk in enumerate(chunks):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for eid, ts, uid, et in chunk:
+                f.write(
+                    _json.dumps(
+                        {"event_id": eid, "ts": ts, "user_id": uid, "event_type": et}
+                    )
+                    + "\n"
+                )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        streaming_session_window(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events, r.n_types)
+            for r in spark.sql("SELECT * FROM session_stream").collect()
+        }
+    finally:
+        q.stop()
+    # every emitted (closed) session equals its batch twin bit-exactly
+    assert got
+    for k, v in got.items():
+        assert k in batch and batch[k] == v, (k, batch.get(k), v)
+    # only sessions not yet passed by the final watermark may be
+    # missing: final watermark = max event time - 1 hour, and append
+    # mode finalizes a session once watermark > session_end
+    import datetime as _dt
+
+    wm = _dt.datetime.strptime(max_ts, "%Y-%m-%d %H:%M:%S.%f") - _dt.timedelta(hours=1)
+    for k, (end_s, _n, _t) in batch.items():
+        end = _dt.datetime.strptime(end_s, "%Y-%m-%d %H:%M:%S")
+        if end < wm:
+            assert k in got, (k, end_s, "closed session never emitted")
