@@ -346,12 +346,24 @@ def write_zordered(
     y: str,
     n_files: int = 32,
     bits: int = BITS,
+    curve: str = "morton",
 ) -> None:
-    """Write `df` as parquet laid out along the Z-curve of integer
-    columns (`x`, `y`): bin both dimensions, interleave, range-
-    partition on the Morton code (contiguous z-ranges -> files whose
-    footer min/max cover bounded rectangles in BOTH dimensions), sort
-    within partitions so row groups inherit the same locality."""
+    """Write `df` as parquet laid out along a space-filling curve of
+    integer columns (`x`, `y`): bin both dimensions, compute the
+    curve index, range-partition on it (contiguous curve ranges ->
+    files whose footer min/max cover bounded rectangles in BOTH
+    dimensions), sort within partitions so row groups inherit the
+    same locality.
+
+    curve="morton" (default) interleaves bits -- one flat expression.
+    curve="hilbert" uses the xy2d recurrence (with_hilbert): the
+    measured successor-locality win (curve_locality_stats: 28428 vs
+    43562 total successor span at sf0.1) is thereby available at the
+    WRITE path, while file-level skipping spans tie at aligned
+    power-of-two chunks (hilbert_skipping_summary pins the tie).
+    Both variants are map-only up to the single range shuffle."""
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"write_zordered: unknown curve {curve!r}")
     stats = df.agg(
         F.min(x).alias("lo_x"),
         F.max(x).alias("hi_x"),
@@ -360,10 +372,20 @@ def write_zordered(
     )
     bx = F.expr(f"(({x} - lo_x) * {1 << bits}) div (hi_x - lo_x + 1)")
     by = F.expr(f"(({y} - lo_y) * {1 << bits}) div (hi_y - lo_y + 1)")
-    (
+    binned = (
         df.crossJoin(F.broadcast(stats))
-        .withColumn("_z", morton_col(bx.cast("long"), by.cast("long"), bits))
+        .withColumn("_bx", bx.cast("long"))
+        .withColumn("_by", by.cast("long"))
         .drop("lo_x", "hi_x", "lo_y", "hi_y")
+    )
+    if curve == "morton":
+        keyed = binned.withColumn(
+            "_z", morton_col(F.col("_bx"), F.col("_by"), bits)
+        )
+    else:
+        keyed = with_hilbert(binned, x="_bx", y="_by", bits=bits, out="_z")
+    (
+        keyed.drop("_bx", "_by")
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
