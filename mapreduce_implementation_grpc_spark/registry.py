@@ -3605,6 +3605,19 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_basket_pairs(spark, sf_dir)
 
 
+def q_cosupply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (operators/linkpred.py): top-20 NON-adjacent
+    supplier pairs of the thresholded co-supply graph by Adamic-Adar,
+    with common-neighbor count and Jaccard. Adamic-Adar is a 9dp
+    decimal sum string-routed to double (order-independent); Jaccard
+    is a single int/int IEEE division shipped unrounded. The oracle
+    is the naive wedge-join in SQL; the hash match proves the
+    anti-join + degree arithmetic exact."""
+    from .operators.linkpred import cosupply_link_prediction
+
+    return cosupply_link_prediction(spark, sf_dir, top_n=20)
+
+
 def q_user_day_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reload reconciliation via operators/diffing.snapshot_diff: the
     OLD per-(user, day) rollup was built from a load that missed every
@@ -6069,6 +6082,40 @@ ORACLES["cosupply_triangles"] = """
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
 ORACLES["supplier_reach"] = _bfs_ctes()
 
+# Naive wedge enumeration + anti-join; deg_w >= 2 for any common
+# neighbor, so ln(deg) > 0 always. Adamic-Adar terms are rounded to
+# 9dp and summed as DECIMAL (order-independent), then string-routed
+# to double; jaccard is one int/int division, shipped unrounded.
+ORACLES["cosupply_link_prediction"] = """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  und AS MATERIALIZED (SELECT s1 AS w, s2 AS x FROM e
+                       UNION ALL SELECT s2, s1 FROM e),
+  deg AS MATERIALIZED (SELECT w, count(*) AS d FROM und GROUP BY 1),
+  wedge AS (
+    SELECT a.x AS x1, b.x AS x2,
+           CAST(round(1.0 / ln(CAST(deg.d AS DOUBLE)), 9)
+                AS DECIMAL(12,9)) AS term
+    FROM und a JOIN und b ON a.w = b.w AND a.x < b.x
+               JOIN deg ON deg.w = a.w),
+  pairs AS (
+    SELECT x1, x2, count(*) AS cn, sum(term) AS aa
+    FROM wedge GROUP BY 1, 2),
+  nonadj AS (
+    SELECT p.* FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM e
+                      WHERE e.s1 = p.x1 AND e.s2 = p.x2))
+  SELECT n.x1 AS s1, n.x2 AS s2, n.cn AS common_neighbors,
+         CAST(n.cn AS DOUBLE) / (d1.d + d2.d - n.cn) AS jaccard,
+         CAST(CAST(n.aa AS VARCHAR) AS DOUBLE) AS adamic_adar
+  FROM nonadj n JOIN deg d1 ON d1.w = n.x1 JOIN deg d2 ON d2.w = n.x2
+  ORDER BY adamic_adar DESC, common_neighbors DESC, s1, s2
+  LIMIT 20
+"""
+
 ORACLES["user_day_snapshot_diff"] = """
   WITH o AS (SELECT user_id, date_trunc('day', ts) AS day,
                count(*) AS n_events,
@@ -6418,6 +6465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keyphrases": q_rake_keyphrases,
     "cosupply_kcore": q_cosupply_kcore,
     "supplier_reach": q_supplier_reach,
+    "cosupply_link_prediction": q_cosupply_link_prediction,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
