@@ -1,0 +1,151 @@
+"""Exact classifier-evaluation metrics: tie-corrected ROC AUC and
+calibration (reliability) bins.
+
+A quality-classifier gate is a standard stage of a pretraining-data
+pipeline (score documents, keep the top slice); before trusting the
+gate you measure (a) how well the score RANKS positives above
+negatives (AUC) and (b) whether the score's magnitude means what it
+claims (calibration / expected-calibration-error bins, Guo et al.,
+"On Calibration of Modern Neural Networks").
+
+AUC here is the exact Mann-Whitney rank-sum form WITH tie
+correction -- ties credit half:
+
+    U   = sum over distinct scores s of
+             pos_s * neg_below(s) + pos_s * neg_s / 2
+    AUC = U / (n_pos * n_neg)
+
+computed entirely from per-distinct-score aggregates: no per-row
+rank is ever materialized, and the only order-dependent quantity
+(negatives strictly below each score) reuses the two-level bucketed
+cumulative-sum machinery of operators/ranking.py -- per-bucket totals
+cross a single-partition exchange only as a <= n_buckets-row
+AGGREGATE, and the within-bucket running sum is a per-bucket window
+over the distinct-score table. Everything is integer arithmetic
+(u2 = 2U stays integral, accumulated as DECIMAL so a 100 TB corpus
+widens instead of wrapping); the final AUC is a fixed-shape chain of
+IEEE double ops, bit-identical across engines.
+
+Scale: one pass over the scored rows (partial-agg'd groupBy on the
+score), then all work happens on the distinct-score table. Heavy
+score ties are FINE -- they collapse into single rows at the first
+groupBy (the opposite of a per-row ranking, where ties are the skew
+case).
+
+Reference scope note: the reference engine (greeter_client.cc /
+greeter_server.cc) has no evaluation surface; this is part of the
+SURVEY's LLM-pipeline extension brief (quality-gate evaluation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ranking import bucket_offsets, bucketize_by_key
+
+
+def auc_rank_sum(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 1024,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC of `score_col` predicting the 0/1
+    `label_col`: one row [n_pos, n_neg, u2, auc] where u2 = 2U (the
+    doubled Mann-Whitney statistic, exact integer as DECIMAL(38,0))
+    and auc = u2 / (2 * n_pos * n_neg) as one deterministic double
+    chain. Degenerate inputs (no positives or no negatives) raise
+    loudly rather than returning a meaningless 0/0."""
+    per_score = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("_neg"),
+    )
+    # negatives strictly below each distinct score: bucket offsets
+    # (neg-weighted) + a within-bucket running sum ending at the
+    # PREVIOUS row -- each score is one row post-groupBy, so "previous
+    # rows in score order" is exactly "strictly lower scores"
+    bk = bucketize_by_key(
+        per_score, "_s", n_buckets=n_buckets, reliable=reliable
+    )
+    offs = bucket_offsets(bk, weight=F.col("_neg"))
+    w_below = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.asc("_ak"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_below = (
+        bk.withColumn(
+            "_neg_below_local", F.coalesce(F.sum("_neg").over(w_below), F.lit(0))
+        )
+        .join(F.broadcast(offs), "_bkt")
+        .withColumn("_neg_below", F.col("_off") + F.col("_neg_below_local"))
+    )
+    # u2 contribution per score: pos * (2*neg_below + neg) -- exact
+    # integers; DECIMAL(18,0) x DECIMAL(19,0) keeps precision <= 38
+    contrib = F.col("_pos").cast("decimal(18,0)") * (
+        F.lit(2) * F.col("_neg_below") + F.col("_neg")
+    ).cast("decimal(19,0)")
+    agg = with_below.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+        F.sum(contrib).cast("decimal(38,0)").alias("u2"),
+    )
+    guard = F.when(
+        (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+        F.raise_error(
+            F.lit(
+                "auc_rank_sum: need at least one positive AND one "
+                "negative label -- AUC is undefined on a one-class "
+                "sample"
+            )
+        ).cast("double"),
+    )
+    auc = guard.otherwise(
+        F.col("u2").cast("double")
+        / (
+            F.lit(2.0)
+            * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double")
+        )
+    )
+    return agg.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+
+
+def calibration_bins(
+    scored: DataFrame,
+    p_col: Column,
+    label_col: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probability column in [0, 1]:
+    [bin, n, frac_pos, mean_p, abs_gap] per non-empty bin, bin =
+    floor(p * n_bins) with p = 1.0 clamped into the last bin.
+    mean_p accumulates 9dp-decimal-rounded terms (order-independent
+    sums, the doc_perplexity recipe) string-routed back to double;
+    frac_pos is one int/int division; abs_gap = |mean_p - frac_pos|
+    on those deterministic doubles. One partial-agg'd pass; output is
+    n_bins rows."""
+    b = F.least(F.lit(n_bins - 1), F.floor(p_col * F.lit(n_bins))).cast("long")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(label_col.cast("long")).alias("_npos"),
+            F.sum(F.round(p_col, 9).cast("decimal(12,9)")).alias("_sp"),
+        )
+        .select(
+            "bin",
+            "n",
+            (F.col("_npos").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+            (
+                F.col("_sp").cast("string").cast("double")
+                / F.col("n").cast("double")
+            ).alias("mean_p"),
+        )
+        .withColumn("abs_gap", F.abs(F.col("mean_p") - F.col("frac_pos")))
+        .orderBy("bin")
+    )

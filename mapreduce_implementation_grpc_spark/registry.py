@@ -3618,6 +3618,39 @@ def q_cosupply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_link_prediction(spark, sf_dir, top_n=20)
 
 
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC (operators/evalmetrics.py) of the
+    document-length score n_chars predicting lang='en' -- the
+    quality-gate evaluation primitive. One row [n_pos, n_neg, u2,
+    auc]; u2 = 2U stays exact-integer DECIMAL, auc is one fixed IEEE
+    double chain. The oracle computes the same per-distinct-score
+    aggregate form with a native window; the hash match proves the
+    two-level bucketed cumulative sum exact."""
+    from .operators.evalmetrics import auc_rank_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return auc_rank_sum(docs)
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/evalmetrics.py) for the
+    rational pseudo-probability p = n_chars / (n_chars + 300)
+    predicting lang='en' (monotone in length, purely rational -- no
+    transcendental, so both engines compute bit-identical p). 10
+    bins; mean_p via 9dp-decimal accumulation string-routed to
+    double."""
+    from .operators.evalmetrics import calibration_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.col("n_chars").cast("double") / (
+        F.col("n_chars") + F.lit(300)
+    ).cast("double")
+    return calibration_bins(docs, p, (F.col("lang") == "en").cast("int"))
+
+
 def q_user_day_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reload reconciliation via operators/diffing.snapshot_diff: the
     OLD per-(user, day) rollup was built from a load that missed every
@@ -6082,6 +6115,52 @@ ORACLES["cosupply_triangles"] = """
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
 ORACLES["supplier_reach"] = _bfs_ctes()
 
+# Per-distinct-score aggregate Mann-Whitney with tie credit: the
+# native window's "negatives strictly below" vs the Spark side's
+# two-level bucketed cumulative sum; u2 integer arithmetic identical.
+ORACLES["score_auc"] = """
+  WITH per AS (
+    SELECT n_chars AS s,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+           sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+    FROM documents GROUP BY 1),
+  cum AS (
+    SELECT s, pos, neg,
+           coalesce(sum(neg) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS neg_below
+    FROM per),
+  agg AS (
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(sum(CAST(pos AS DECIMAL(18,0))
+                    * CAST(2 * neg_below + neg AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS u2
+    FROM cum)
+  SELECT n_pos, n_neg, u2,
+         CAST(u2 AS DOUBLE)
+           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+  FROM agg
+"""
+
+ORACLES["calibration_bins"] = """
+  WITH p AS (
+    SELECT CAST(n_chars AS DOUBLE) / CAST(n_chars + 300 AS DOUBLE) AS p,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+    FROM documents),
+  b AS (
+    SELECT CAST(least(9, floor(p * 10)) AS BIGINT) AS bin, p, label FROM p)
+  SELECT bin, count(*) AS n,
+         CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos,
+         CAST(CAST(sum(CAST(round(p, 9) AS DECIMAL(12,9))) AS VARCHAR)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_p,
+         abs(CAST(CAST(sum(CAST(round(p, 9) AS DECIMAL(12,9))) AS VARCHAR)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             - CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+           AS abs_gap
+  FROM b GROUP BY 1 ORDER BY 1
+"""
+
 # Naive wedge enumeration + anti-join; deg_w >= 2 for any common
 # neighbor, so ln(deg) > 0 always. Adamic-Adar terms are rounded to
 # 9dp and summed as DECIMAL (order-independent), then string-routed
@@ -6466,6 +6545,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosupply_kcore": q_cosupply_kcore,
     "supplier_reach": q_supplier_reach,
     "cosupply_link_prediction": q_cosupply_link_prediction,
+    "score_auc": q_score_auc,
+    "calibration_bins": q_calibration_bins,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
