@@ -3651,6 +3651,43 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(docs, p, (F.col("lang") == "en").cast("int"))
 
 
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture drift between two corpus halves
+    (operators/drift.categorical_drift): even doc_ids are the frozen
+    baseline, odd the current snapshot; per-lang PSI and KL terms.
+    Proportions are int/int divisions; each ln ratio is rounded to
+    9dp (one value per row, never cross-engine-summed). A lang with
+    zero mass on either side raises loudly."""
+    from .operators.drift import categorical_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return categorical_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
+def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic
+    (operators/drift.ks_test) between purchase and click value
+    distributions: the numeric-feature drift monitor. Cumulative
+    fractions ride the two-level bucketed cumsum (no row table
+    crosses SinglePartition); the statistic is a TakeOrdered(1) with
+    a smallest-value tie-break. Oracle = native-window CDF SQL."""
+    from .operators.drift import ks_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_test(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("value").alias("v")
+        ),
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("value").alias("v")
+        ),
+    )
+
+
 def q_user_day_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reload reconciliation via operators/diffing.snapshot_diff: the
     OLD per-(user, day) rollup was built from a load that missed every
@@ -6161,6 +6198,48 @@ ORACLES["calibration_bins"] = """
   FROM b GROUP BY 1 ORDER BY 1
 """
 
+ORACLES["corpus_drift_psi"] = """
+  WITH a AS (SELECT lang AS cat, count(*) AS n_base FROM documents
+             WHERE doc_id % 2 = 0 GROUP BY 1),
+  b AS (SELECT lang AS cat, count(*) AS n_curr FROM documents
+        WHERE doc_id % 2 = 1 GROUP BY 1),
+  ta AS (SELECT CAST(sum(n_base) AS BIGINT) AS t FROM a),
+  tb AS (SELECT CAST(sum(n_curr) AS BIGINT) AS t FROM b),
+  j AS (SELECT cat, n_base, n_curr,
+          CAST(n_base AS DOUBLE) / CAST(ta.t AS DOUBLE) AS p_base,
+          CAST(n_curr AS DOUBLE) / CAST(tb.t AS DOUBLE) AS p_curr
+        FROM a JOIN b USING (cat), ta, tb)
+  SELECT cat, n_base, n_curr, p_base, p_curr,
+         (p_curr - p_base) * round(ln(p_curr / p_base), 9) AS psi_term,
+         p_curr * round(ln(p_curr / p_base), 9) AS kl_term
+  FROM j ORDER BY cat
+"""
+
+# Right-continuous empirical CDFs over the union of distinct values;
+# the hash match proves the bucketed cumsum + argmax tie-break exact.
+ORACLES["value_drift_ks"] = """
+  WITH ca AS (SELECT value AS v, count(*) AS ca FROM events
+              WHERE event_type = 'purchase' GROUP BY 1),
+  cb AS (SELECT value AS v, count(*) AS cb FROM events
+         WHERE event_type = 'click' GROUP BY 1),
+  u AS (SELECT coalesce(ca.v, cb.v) AS v,
+               coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+  t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb FROM u),
+  cum AS (SELECT v,
+                 sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS la,
+                 sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lb
+          FROM u)
+  SELECT t.na AS n_a, t.nb AS n_b,
+         abs(CAST(la AS DOUBLE) / CAST(t.na AS DOUBLE)
+             - CAST(lb AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS ks_d,
+         v AS at_value
+  FROM cum, t ORDER BY ks_d DESC, v LIMIT 1
+"""
+
 # Naive wedge enumeration + anti-join; deg_w >= 2 for any common
 # neighbor, so ln(deg) > 0 always. Adamic-Adar terms are rounded to
 # 9dp and summed as DECIMAL (order-independent), then string-routed
@@ -6547,6 +6626,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosupply_link_prediction": q_cosupply_link_prediction,
     "score_auc": q_score_auc,
     "calibration_bins": q_calibration_bins,
+    "corpus_drift_psi": q_corpus_drift_psi,
+    "value_drift_ks": q_value_drift_ks,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
