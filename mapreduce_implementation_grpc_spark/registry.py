@@ -3688,6 +3688,19 @@ def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (operators/seqmine.py): top-20
+    contiguous event-type trigrams by distinct-user support. One
+    user-keyed window (total order via the unique event_id tiebreak)
+    chains two lead()s; exact distinct support via the two-phase
+    (gram, user) -> (gram) groupBy. Oracle = native lead() SQL."""
+    from .operators.seqmine import contiguous_sequences
+
+    return contiguous_sequences(
+        load_table(spark, sf_dir, "events"), n=3, top_n=20
+    )
+
+
 def q_user_day_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reload reconciliation via operators/diffing.snapshot_diff: the
     OLD per-(user, day) rollup was built from a load that missed every
@@ -6198,6 +6211,25 @@ ORACLES["calibration_bins"] = """
   FROM b GROUP BY 1 ORDER BY 1
 """
 
+ORACLES["frequent_event_trigrams"] = """
+  WITH g AS (
+    SELECT user_id,
+           event_type AS step_1,
+           lead(event_type, 1) OVER w AS step_2,
+           lead(event_type, 2) OVER w AS step_3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  pu AS (
+    SELECT user_id, step_1, step_2, step_3, count(*) AS occ
+    FROM g WHERE step_3 IS NOT NULL GROUP BY 1, 2, 3, 4)
+  SELECT step_1, step_2, step_3,
+         count(*) AS support,
+         CAST(sum(occ) AS BIGINT) AS occurrences
+  FROM pu GROUP BY 1, 2, 3
+  ORDER BY support DESC, occurrences DESC, step_1, step_2, step_3
+  LIMIT 20
+"""
+
 ORACLES["corpus_drift_psi"] = """
   WITH a AS (SELECT lang AS cat, count(*) AS n_base FROM documents
              WHERE doc_id % 2 = 0 GROUP BY 1),
@@ -6628,6 +6660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "corpus_drift_psi": q_corpus_drift_psi,
     "value_drift_ks": q_value_drift_ks,
+    "frequent_event_trigrams": q_frequent_event_trigrams,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
