@@ -3594,6 +3594,66 @@ def _bfs_ctes(rounds: int = REACH_HOPS) -> str:
     return "".join(parts) + "\n" + tail
 
 
+def q_supplier_cheapest_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted blast radius (graph_motifs.sssp_min_cost): cheapest
+    <= 3-hop Bellman-Ford path cost from NATION_19's suppliers over
+    the co-supply graph, edge cost = (max co-supply weight + 1) - c
+    (strongest tie = cheapest hop). All-integer min-plus -- exact;
+    the oracle unrolls the 3 relaxation rounds as MATERIALIZED
+    CTEs."""
+    from .operators.graph_motifs import cosupply_cheapest_reach
+
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == REACH_NATION
+    )
+    sources = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
+    return cosupply_cheapest_reach(
+        spark, sf_dir, sources, rounds=REACH_HOPS
+    )
+
+
+def _sssp_ctes(rounds: int = REACH_HOPS) -> str:
+    """Unrolled Bellman-Ford oracle over the weighted co-supply CTEs
+    (sources = REACH_NATION's suppliers at cost 0)."""
+    parts = [
+        f"""
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2, c FROM w, t WHERE c >= thr),
+  mx AS (SELECT max(c) + 1 AS mx FROM e),
+  we AS MATERIALIZED (SELECT s1, s2, CAST(mx.mx - c AS BIGINT) AS wt
+                      FROM e, mx),
+  und AS MATERIALIZED (SELECT s1 AS u, s2 AS v, wt FROM we
+                       UNION ALL SELECT s2, s1, wt FROM we),
+  d0 AS MATERIALIZED (SELECT DISTINCT s_suppkey AS suppkey,
+                             CAST(0 AS BIGINT) AS mc
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{REACH_NATION}')"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+  d{i} AS MATERIALIZED (
+    SELECT suppkey, CAST(min(mc) AS BIGINT) AS mc FROM (
+      SELECT suppkey, mc FROM d{i-1}
+      UNION ALL
+      SELECT und.v, d{i-1}.mc + und.wt FROM und
+      JOIN d{i-1} ON und.u = d{i-1}.suppkey)
+    GROUP BY 1)"""
+        )
+    parts.append(
+        f"""
+  SELECT suppkey, mc AS min_cost FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
 def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori pair stage with association metrics
     (operators/basket.py): top part pairs by lift among pairs
@@ -6164,6 +6224,7 @@ ORACLES["cosupply_triangles"] = """
 
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
 ORACLES["supplier_reach"] = _bfs_ctes()
+ORACLES["supplier_cheapest_reach"] = _sssp_ctes()
 
 # Per-distinct-score aggregate Mann-Whitney with tie credit: the
 # native window's "negatives strictly below" vs the Spark side's
@@ -6656,6 +6717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosupply_kcore": q_cosupply_kcore,
     "supplier_reach": q_supplier_reach,
     "cosupply_link_prediction": q_cosupply_link_prediction,
+    "supplier_cheapest_reach": q_supplier_cheapest_reach,
     "score_auc": q_score_auc,
     "calibration_bins": q_calibration_bins,
     "corpus_drift_psi": q_corpus_drift_psi,
