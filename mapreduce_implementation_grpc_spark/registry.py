@@ -3748,6 +3748,54 @@ def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier report (operators/robust.mad_outliers):
+    exact lower-median + MAD + Hampel cut (k=3, sigma scale 1.4826).
+    The robust twin of events_anomaly_zscore -- judged against the
+    median, so the outliers can't inflate their own yardstick. Lower
+    medians are integer-rank SELECTION (no midpoint interpolation to
+    diverge cross-engine)."""
+    from .operators.robust import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type: [event_type, dow
+    (0=Sunday), n, mean_value, seasonal_index = dow mean / overall
+    type mean]. The classical seasonal-index decomposition at the
+    weekly grain -- the monitoring companion to revenue_forecast's
+    trend fit. Means accumulate 9dp-decimal terms (order-independent)
+    string-routed to double; the index is one division of those
+    deterministic doubles. Two partial-agg'd passes collapse to
+    |types| x 7 rows; the per-type totals broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.round(F.col("value"), 9).cast("decimal(20,9)")
+    per = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - F.lit(1)).alias("dow")
+    ).agg(F.count("*").alias("n"), F.sum(dec).alias("_sv"))
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").alias("_nt"), F.sum(dec).alias("_st")
+    )
+    mean_dow = F.col("_sv").cast("string").cast("double") / F.col("n").cast(
+        "double"
+    )
+    mean_typ = F.col("_st").cast("string").cast("double") / F.col(
+        "_nt"
+    ).cast("double")
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            mean_dow.alias("mean_value"),
+            (mean_dow / mean_typ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
 def q_frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern mining (operators/seqmine.py): top-20
     contiguous event-type trigrams by distinct-user support. One
@@ -6272,6 +6320,61 @@ ORACLES["calibration_bins"] = """
   FROM b GROUP BY 1 ORDER BY 1
 """
 
+# Lower medians by integer-rank selection: cm >= (n+1) div 2 picks
+# the smallest value reaching the ceil(n/2) position -- no midpoint
+# interpolation, so there is no float association to diverge.
+ORACLES["events_anomaly_mad"] = """
+  WITH c AS (SELECT event_type AS g, value AS v, count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+  tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+  cum AS (SELECT g, v, cnt,
+                 sum(cnt) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+          FROM c),
+  med AS (SELECT cum.g, min(v) AS med
+          FROM cum JOIN tot USING (g)
+          WHERE cm >= CAST(floor((n + 1) / 2.0) AS BIGINT) GROUP BY 1),
+  dv AS (SELECT c.g, med, abs(v - med) AS dev,
+                CAST(sum(cnt) AS BIGINT) AS cnt
+         FROM c JOIN med ON c.g = med.g GROUP BY 1, 2, 3),
+  cum2 AS (SELECT g, dev, cnt,
+                  sum(cnt) OVER (PARTITION BY g ORDER BY dev
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+           FROM dv),
+  mad AS (SELECT cum2.g, min(dev) AS mad
+          FROM cum2 JOIN tot USING (g)
+          WHERE cm >= CAST(floor((n + 1) / 2.0) AS BIGINT) GROUP BY 1)
+  SELECT dv.g AS event_type,
+         CAST(sum(dv.cnt) AS BIGINT) AS n,
+         dv.med AS med, mad.mad AS mad,
+         mad.mad * 3.0 * 1.4826 AS hampel_cut,
+         CAST(sum(CASE WHEN dev > mad.mad * 3.0 * 1.4826
+                       THEN dv.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+         max(dev) AS max_dev
+  FROM dv JOIN mad ON dv.g = mad.g
+  GROUP BY 1, 3, 4 ORDER BY 1
+"""
+
+ORACLES["events_dow_seasonality"] = """
+  WITH per AS (
+    SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(round(value, 9) AS DECIMAL(20,9)))
+                     AS VARCHAR) AS DOUBLE) AS sv
+    FROM events GROUP BY 1, 2),
+  tot AS (
+    SELECT event_type, count(*) AS nt,
+           CAST(CAST(sum(CAST(round(value, 9) AS DECIMAL(20,9)))
+                     AS VARCHAR) AS DOUBLE) AS st
+    FROM events GROUP BY 1)
+  SELECT per.event_type, dow, n,
+         sv / CAST(n AS DOUBLE) AS mean_value,
+         (sv / CAST(n AS DOUBLE)) / (st / CAST(nt AS DOUBLE))
+           AS seasonal_index
+  FROM per JOIN tot USING (event_type)
+  ORDER BY 1, 2
+"""
+
 ORACLES["frequent_event_trigrams"] = """
   WITH g AS (
     SELECT user_id,
@@ -6723,6 +6826,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift_psi": q_corpus_drift_psi,
     "value_drift_ks": q_value_drift_ks,
     "frequent_event_trigrams": q_frequent_event_trigrams,
+    "events_anomaly_mad": q_events_anomaly_mad,
+    "events_dow_seasonality": q_events_dow_seasonality,
     "user_day_snapshot_diff": q_user_day_snapshot_diff,
     "purchase_hits": q_purchase_hits,
     "event_transitions": q_event_transitions,
