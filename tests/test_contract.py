@@ -225,7 +225,14 @@ def test_staleness_report_covers_registry():
     from mapreduce_implementation_grpc_spark import registry
 
     last_green, last_checked, never = staleness_report.gather()
-    assert never == [], f"queries with no driver row ever: {never}"
-    assert set(registry.QUERIES) <= set(last_green), (
-        sorted(set(registry.QUERIES) - set(last_green))
+    # queries registered AFTER the last driver round legitimately
+    # have no row yet (they get front rotation slots next round);
+    # anything older with no row ever is a rotation hole
+    fresh = staleness_report.new_this_round()
+    stale_never = sorted(set(never) - fresh)
+    assert stale_never == [], (
+        f"queries with no driver row ever: {stale_never}"
+    )
+    assert set(registry.QUERIES) - fresh <= set(last_green), (
+        sorted(set(registry.QUERIES) - fresh - set(last_green))
     )

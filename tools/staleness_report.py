@@ -62,6 +62,30 @@ def gather() -> tuple[dict[str, int], dict[str, int], list[str]]:
     return last_green, last_checked, never
 
 
+def new_this_round() -> set[str]:
+    """Queries added since the last driver round: absent from the
+    newest BENCH_r*.json artifact's three sections (that artifact is
+    written from the full registry at round end, so anything missing
+    was registered after it). These legitimately have no driver
+    CORRECTNESS row yet -- and because __spark_entry__ orders its
+    queries least-verified-first, they are guaranteed front slots in
+    the NEXT driver rotation."""
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    if not paths:
+        return set()
+    with open(paths[-1]) as fh:
+        doc = json.load(fh)
+    benched: set[str] = set()
+    for sec in ("queries", "eager_queries", "extended_queries"):
+        benched |= set(doc.get(sec) or {})
+    from mapreduce_implementation_grpc_spark import registry
+
+    return set(registry.QUERIES) - benched
+
+
 def main() -> None:
     from mapreduce_implementation_grpc_spark import registry
 
@@ -80,7 +104,19 @@ def main() -> None:
 
     print(f"latest driver round: r{latest:02d}")
     if never:
-        print(f"NEVER driver-checked ({len(never)}): {', '.join(never)}")
+        fresh = new_this_round()
+        stale_never = sorted(set(never) - fresh)
+        if stale_never:
+            print(
+                f"NEVER driver-checked ({len(stale_never)}): "
+                f"{', '.join(stale_never)}"
+            )
+        added = sorted(set(never) & fresh)
+        if added:
+            print(
+                f"new this round, first driver check pending "
+                f"({len(added)}): {', '.join(added)}"
+            )
     red = sorted(
         n for n in last_checked
         if n in registry.QUERIES and last_green.get(n, 0) < last_checked[n]
