@@ -7123,6 +7123,7 @@ EAGER_BENCH_QUERIES = [
     "curate_documents",
     "cosupply_kcore",
     "segment_affinity_suppliers",
+    "supplier_cheapest_reach",
 ]
 
 # Everything else: measured once per bench run so every registry

@@ -59,7 +59,11 @@ def test_undirected_relaxation(spark):
     assert got == {1: 0, 5: 7}
 
 
-def test_negative_weight_raises(spark):
-    ed = _edges(spark, [(1, 2, -1)])
-    with pytest.raises(ValueError, match="negative edge weights"):
-        sssp_min_cost(ed, _sources(spark, [1]), rounds=1)
+def test_negative_weight_raises_at_execution(spark):
+    # the guard is per-row (raise_error in the projection): whenever
+    # the weights are first computed -- here the loop's first
+    # materialization, like every iterative operator -- the job dies
+    # loudly, naming the offending weight
+    ed = _edges(spark, [(1, 2, -1), (2, 3, 4)])
+    with pytest.raises(Exception, match="negative edge weight"):
+        sssp_min_cost(ed, _sources(spark, [1]), rounds=1).collect()
