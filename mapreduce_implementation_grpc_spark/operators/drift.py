@@ -59,6 +59,15 @@ def categorical_drift(
     b = curr.groupBy(F.col(cat_col).alias("cat")).agg(
         F.count("*").alias("n_curr")
     )
+    return categorical_drift_from_counts(a, b)
+
+
+def categorical_drift_from_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """categorical_drift, starting from already-aggregated per-
+    category counts [cat, n_base] / [cat, n_curr] -- the shared tail
+    for the batch operator and the streaming monitor (which maintains
+    its running counts in an idempotent sink and must emit the
+    IDENTICAL report arithmetic on them)."""
     ta = a.agg(F.sum("n_base").alias("_ta"))
     tb = b.agg(F.sum("n_curr").alias("_tb"))
     joined = (

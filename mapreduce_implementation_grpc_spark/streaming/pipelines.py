@@ -985,6 +985,52 @@ def dq_monitor_totals(spark, path: str) -> DataFrame:
     )
 
 
+def drift_monitor_sink(spark, path: str, cat_col: str = "lang"):
+    """foreachBatch sink: continuous distribution-drift monitoring --
+    the streaming half of operators/drift.categorical_drift. Every
+    microbatch collapses to per-category counts (a |categories|-sized
+    write, never data-sized) appended as rows partitioned by
+    _batch_id; drift_report then reads the running totals and applies
+    the IDENTICAL report arithmetic as the batch operator
+    (categorical_drift_from_counts is shared code, so monitor and
+    batch report can never drift from each other).
+
+    Replay safety: a crashed batch is re-delivered under the SAME
+    batch_id; the dynamic partition overwrite replaces that batch's
+    own rows instead of appending a second copy (the dq_monitor_sink
+    contract), so running counts never double-count."""
+    from ..sources.sinks import overwrite_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy(F.col(cat_col).alias("cat"))
+            .agg(F.count("*").alias("n"))
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        overwrite_partitions(rows, path, ["_batch_id"])
+
+    return sink
+
+
+def drift_report(spark, path: str, baseline_counts: DataFrame) -> DataFrame:
+    """PSI/KL drift report of everything streamed so far vs a FROZEN
+    baseline distribution [cat, n_base] (fit batch-side -- the
+    frozen-model-serving pattern of streaming_cusum). Reads the
+    monitor table's running per-category counts and hands them to the
+    exact batch report tail; a category the baseline has never seen
+    raises loudly there, which IS the alert for a deployed stream."""
+    from ..operators.drift import categorical_drift_from_counts
+
+    curr = (
+        spark.read.parquet(path)
+        .groupBy("cat")
+        .agg(F.sum("n").cast("long").alias("n_curr"))
+    )
+    return categorical_drift_from_counts(
+        baseline_counts.select("cat", "n_base"), curr
+    )
+
+
 def streaming_event_transitions(events: DataFrame) -> DataFrame:
     """Stateful streaming twin of registry.q_event_transitions'
     counting stage: per-user first-order transition increments with
