@@ -1,0 +1,105 @@
+"""Probabilistic record linkage: Fellegi-Sunter field-agreement
+scoring over blocked candidate pairs.
+
+The entity-resolution primitive (Fellegi & Sunter, "A Theory for
+Record Linkage", JASA 1969): two record sets describing overlapping
+real-world entities are joined on a cheap BLOCKING key, each
+candidate pair gets a per-field agreement vector, and the pair score
+is the sum of log-likelihood-ratio weights
+
+    w_agree(f)    = log2(m_f / u_f)
+    w_disagree(f) = log2((1 - m_f) / (1 - u_f))
+
+where m = P(field agrees | same entity) and u = P(agrees | different
+entities). Pairs above a threshold are classified matches. The m/u
+parameters here are fixed, documented constants (the EM estimation
+of the full FS model is a fitting procedure, not a query; with fixed
+parameters the operator is deterministic and oracle-checkable) --
+embedded as PRE-COMPUTED double literals so Spark and the SQL oracle
+parse the identical number instead of each evaluating log2.
+
+Scale shape: the ONLY join is the equi-join on the blocking key --
+candidate count is sum over blocks of |A_b| x |B_b|, so blocking-key
+granularity is THE scale knob (the wedge-fan-out story of every
+pair operator in this repo). A coarse key (nation alone) is
+quadratic per nation; the composed (nation, floor(balance)) key
+bounds blocks to near-constant size. Everything after the join is
+per-row expression work: agreement booleans, a fixed-order sum of
+two-to-five doubles, a filter. Blocking RECALL is the documented
+trade: a corruption that moves a record's blocking key (balance
+noise crossing a floor boundary) hides that pair entirely --
+classic sorted-neighborhood territory, out of scope here.
+
+Reference scope note: no linkage surface in the reference engine
+(greeter_client.cc / greeter_server.cc); SURVEY extension brief
+(entity resolution for training-data provenance).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (field, m, u): m/u chosen for a near-unique name, a near-unique
+# balance, and a 5-category segment (u = 1/5 by construction)
+FS_FIELDS: list[tuple[str, float, float]] = [
+    ("nm", 0.95, 0.01),
+    ("bal", 0.90, 0.02),
+    ("seg", 0.95, 0.20),
+]
+
+
+def fs_weights() -> dict[str, tuple[float, float]]:
+    """{field: (w_agree, w_disagree)} as exact Python doubles -- the
+    same values are formatted into the SQL oracle as literals."""
+    return {
+        f: (math.log2(m / u), math.log2((1.0 - m) / (1.0 - u)))
+        for f, m, u in FS_FIELDS
+    }
+
+
+def fs_score_pairs(
+    master: DataFrame,
+    contacts: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.0,
+    top_n: int = 100,
+) -> DataFrame:
+    """Score blocked candidate pairs. `master` must carry
+    [custkey, nm, bal, seg, *block_cols], `contacts`
+    [contact_id, nm, bal, seg, *block_cols]. Output: [custkey,
+    contact_id, nm_agree, bal_agree, seg_agree, score, is_match]
+    ordered score desc then keys, top_n rows."""
+    w = fs_weights()
+    m = master.select(
+        "custkey",
+        *[F.col(c).alias(f"_bk_{c}") for c in block_cols],
+        *[F.col(f).alias(f"_m_{f}") for f, _, _ in FS_FIELDS],
+    )
+    c = contacts.select(
+        "contact_id",
+        *[F.col(c_).alias(f"_bk_{c_}") for c_ in block_cols],
+        *[F.col(f).alias(f"_c_{f}") for f, _, _ in FS_FIELDS],
+    )
+    pairs = m.join(c, [f"_bk_{b}" for b in block_cols])
+    agrees = {
+        f: (F.col(f"_m_{f}") == F.col(f"_c_{f}")) for f, _, _ in FS_FIELDS
+    }
+    score = None
+    for f, _, _ in FS_FIELDS:
+        wa, wd = w[f]
+        term = F.when(agrees[f], F.lit(wa)).otherwise(F.lit(wd))
+        score = term if score is None else score + term
+    return (
+        pairs.select(
+            "custkey",
+            "contact_id",
+            *[agrees[f].alias(f"{f}_agree") for f, _, _ in FS_FIELDS],
+            score.alias("score"),
+        )
+        .withColumn("is_match", F.col("score") > F.lit(float(threshold)))
+        .orderBy(F.desc("score"), F.asc("custkey"), F.asc("contact_id"))
+        .limit(top_n)
+    )

@@ -3711,6 +3711,43 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(docs, p, (F.col("lang") == "en").cast("int"))
 
 
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage (operators/linkage.py) between
+    customers and a deterministically-corrupted contacts copy (the
+    FEBRL-style benchmark construction: every 5th contact's name is
+    truncated, every 3rd's balance nudged +0.01). Blocking on
+    (nation, floor(balance)); per-field log-likelihood weights as
+    PRE-COMPUTED double literals shared with the oracle. Pairs with
+    two corrupted fields fall below threshold -- the documented FS
+    false-negative class, visible in the output as is_match=false
+    true pairs."""
+    from .operators.linkage import fs_score_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.lower(F.col("c_name")).alias("nm"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    master = cust.withColumn("blk", F.floor("bal"))
+    contacts = cust.select(
+        (F.col("custkey") + F.lit(10_000_000)).alias("contact_id"),
+        F.when(
+            F.col("custkey") % 5 == 0,
+            F.expr("substring(nm, 1, length(nm) - 3)"),
+        )
+        .otherwise(F.col("nm"))
+        .alias("nm"),
+        F.when(F.col("custkey") % 3 == 0, F.col("bal") + F.lit(0.01))
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+        "seg",
+        "nat",
+    ).withColumn("blk", F.floor("bal"))
+    return fs_score_pairs(master, contacts, ["nat", "blk"])
+
+
 def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture drift between two corpus halves
     (operators/drift.categorical_drift): even doc_ids are the frozen
@@ -6394,6 +6431,54 @@ ORACLES["frequent_event_trigrams"] = """
   LIMIT 20
 """
 
+def _linkage_oracle_sql() -> str:
+    """GENERATED from operators/linkage.fs_weights so the oracle's
+    weight literals can never drift from the Spark expression (the
+    pii_redact pattern); repr() of a Python double round-trips
+    exactly in both engines."""
+    from .operators.linkage import fs_weights
+
+    w = fs_weights()
+    # CAST each literal: DuckDB types a bare decimal literal as
+    # DECIMAL, not DOUBLE -- the sum would be exact-decimal while
+    # Spark sums doubles
+    score = " + ".join(
+        f"CASE WHEN {f}_agree THEN CAST({wa!r} AS DOUBLE) "
+        f"ELSE CAST({wd!r} AS DOUBLE) END"
+        for f, (wa, wd) in w.items()
+    )
+    return f"""
+  WITH m AS (
+    SELECT c_custkey AS custkey, lower(c_name) AS nm, c_acctbal AS bal,
+           c_mktsegment AS seg, c_nationkey AS nat,
+           CAST(floor(c_acctbal) AS BIGINT) AS blk
+    FROM customer),
+  c AS (
+    SELECT c_custkey + 10000000 AS contact_id,
+           CASE WHEN c_custkey % 5 = 0
+                THEN substr(lower(c_name), 1, length(c_name) - 3)
+                ELSE lower(c_name) END AS nm,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 0.01
+                ELSE c_acctbal END AS bal,
+           c_mktsegment AS seg, c_nationkey AS nat
+    FROM customer),
+  p AS (
+    SELECT m.custkey, c.contact_id,
+           m.nm = c.nm AS nm_agree,
+           m.bal = c.bal AS bal_agree,
+           m.seg = c.seg AS seg_agree
+    FROM m JOIN c
+      ON m.nat = c.nat AND m.blk = CAST(floor(c.bal) AS BIGINT)),
+  s AS (SELECT custkey, contact_id, nm_agree, bal_agree, seg_agree,
+               ({score}) AS score
+        FROM p)
+  SELECT *, score > 0.0 AS is_match FROM s
+  ORDER BY score DESC, custkey, contact_id LIMIT 100
+"""
+
+
+ORACLES["record_linkage_fs"] = _linkage_oracle_sql()
+
 ORACLES["corpus_drift_psi"] = """
   WITH a AS (SELECT lang AS cat, count(*) AS n_base FROM documents
              WHERE doc_id % 2 = 0 GROUP BY 1),
@@ -6825,6 +6910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "corpus_drift_psi": q_corpus_drift_psi,
     "value_drift_ks": q_value_drift_ks,
+    "record_linkage_fs": q_record_linkage_fs,
     "frequent_event_trigrams": q_frequent_event_trigrams,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_dow_seasonality": q_events_dow_seasonality,
