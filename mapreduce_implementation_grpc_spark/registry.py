@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from .materialize import materialize
 
@@ -3711,6 +3711,119 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(docs, p, (F.col("lang") == "en").cast("int"))
 
 
+def q_parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: rank parts by revenue
+    desc, class A = parts up to 80% cumulative revenue share, B to
+    95%, C the tail; one row per class [abc_class, n_parts, revenue,
+    revenue_share]. Exactness: per-item revenue in integer MICROS
+    (the scale-6 decimal product x 1e6 is integral), the cumulative
+    sum rides the two-level bucketed machinery (operators/ranking.py
+    -- no part row crosses SinglePartition), and the 80/95 boundaries
+    are INTEGER comparisons (5*cum <= 4*tot, 20*cum <= 19*tot): no
+    division decides a class. ANSI mode makes a 2^63 overflow of the
+    micro sums loud, not silent."""
+    from .operators.ranking import bucket_offsets, bucketize_by_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    pr = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum((rev * F.lit(1_000_000)).cast("long")).alias("micros")
+    )
+    bk = bucketize_by_key(pr, "micros", ascending=False)
+    offs = bucket_offsets(bk, weight=F.col("micros"))
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.asc("_ak"), F.asc("partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bk.withColumn("_lc", F.sum("micros").over(w))
+        .join(F.broadcast(offs), "_bkt")
+        .select(
+            "partkey",
+            "micros",
+            (F.col("_off") + F.col("_lc")).alias("cm"),
+            F.col("_tot").alias("tot"),
+        )
+    )
+    cls = F.when(F.lit(5) * F.col("cm") <= F.lit(4) * F.col("tot"), "A").when(
+        F.lit(20) * F.col("cm") <= F.lit(19) * F.col("tot"), "B"
+    ).otherwise("C")
+    return (
+        cum.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("micros").alias("_mi"),
+            F.max("tot").alias("_tot"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            (F.col("_mi").cast("double") / F.lit(1_000_000.0)).alias("revenue"),
+            (F.col("_mi").cast("double") / F.col("_tot").cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer spend concentration: one
+    row [n_customers, total_cents, gini], G = (2*S - (n+1)*T) /
+    (n*T) with S = sum of rank_i * spend_i (ranks ascending), all in
+    exact integer/decimal arithmetic (rank x cents products as
+    DECIMAL(38,0), the score_auc recipe) -- gini is one division of
+    the two routed exact numbers. Ranks come from the two-level
+    global row_number (operators/ranking.py): no customer row
+    crosses SinglePartition. Ties in spend are rank-order-invariant
+    for S (consecutive ranks times equal spend), tie-broken by
+    custkey for determinism anyway."""
+    from .operators.ranking import with_global_row_number
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    ranked = with_global_row_number(
+        spend, "cents", tiebreaks=(F.asc("custkey"),), out_col="rn"
+    )
+    # 2*rn folded into the per-row term: a later 2 * S would need
+    # precision 57 > 38; (2*rn) x cents stays dec(18)+dec(19) -> 38
+    s2_term = (F.lit(2) * F.col("rn")).cast("decimal(18,0)") * F.col(
+        "cents"
+    ).cast("decimal(19,0)")
+    agg = ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(s2_term).cast("decimal(38,0)").alias("_s2"),
+    )
+    num = (
+        F.col("_s2")
+        - (F.col("n_customers") + F.lit(1)).cast("decimal(18,0)")
+        * F.col("total_cents").cast("decimal(19,0)")
+    )
+    den = F.col("n_customers").cast("decimal(18,0)") * F.col(
+        "total_cents"
+    ).cast("decimal(19,0)")
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        (
+            num.cast("string").cast("double")
+            / den.cast("string").cast("double")
+        ).alias("gini"),
+    )
+
+
 def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (operators/linkage.py) between
     customers and a deterministically-corrupted contacts copy (the
@@ -6479,6 +6592,61 @@ def _linkage_oracle_sql() -> str:
 
 ORACLES["record_linkage_fs"] = _linkage_oracle_sql()
 
+# Integer-micro revenue, native window cumsum, INTEGER 80/95
+# boundaries (5*cum <= 4*tot etc.) -- no division decides a class.
+ORACLES["parts_abc_analysis"] = """
+  WITH pr AS (
+    SELECT l_partkey AS partkey,
+           CAST(sum(CAST(
+             (CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+             * 1000000 AS BIGINT)) AS BIGINT) AS micros
+    FROM lineitem GROUP BY 1),
+  t AS (SELECT CAST(sum(micros) AS BIGINT) AS tot FROM pr),
+  cum AS (
+    SELECT partkey, micros,
+           sum(micros) OVER (ORDER BY micros DESC, partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+    FROM pr),
+  cls AS (
+    SELECT CASE WHEN 5 * cm <= 4 * tot THEN 'A'
+                WHEN 20 * cm <= 19 * tot THEN 'B'
+                ELSE 'C' END AS abc_class,
+           micros, tot
+    FROM cum, t)
+  SELECT abc_class, count(*) AS n_parts,
+         CAST(CAST(sum(micros) AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
+         CAST(CAST(sum(micros) AS BIGINT) AS DOUBLE)
+           / CAST(max(tot) AS DOUBLE) AS revenue_share
+  FROM cls GROUP BY 1 ORDER BY 1
+"""
+
+# Exact-integer Gini: HUGEINT arithmetic on DuckDB's side, DECIMAL
+# on Spark's; both string-route the identical exact numbers.
+ORACLES["customer_spend_gini"] = """
+  WITH spend AS (
+    SELECT o_custkey AS custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1),
+  ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, custkey) AS rn
+    FROM spend),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           sum(CAST(2 * rn AS HUGEINT) * CAST(cents AS HUGEINT)) AS s2
+    FROM ranked)
+  SELECT n_customers, total_cents,
+         CAST(CAST(s2 - CAST(n_customers + 1 AS HUGEINT)
+                        * CAST(total_cents AS HUGEINT) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(CAST(n_customers AS HUGEINT)
+                        * CAST(total_cents AS HUGEINT) AS VARCHAR) AS DOUBLE)
+           AS gini
+  FROM agg
+"""
+
 ORACLES["corpus_drift_psi"] = """
   WITH a AS (SELECT lang AS cat, count(*) AS n_base FROM documents
              WHERE doc_id % 2 = 0 GROUP BY 1),
@@ -6911,6 +7079,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift_psi": q_corpus_drift_psi,
     "value_drift_ks": q_value_drift_ks,
     "record_linkage_fs": q_record_linkage_fs,
+    "parts_abc_analysis": q_parts_abc_analysis,
+    "customer_spend_gini": q_customer_spend_gini,
     "frequent_event_trigrams": q_frequent_event_trigrams,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_dow_seasonality": q_events_dow_seasonality,
