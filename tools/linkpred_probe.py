@@ -5,18 +5,20 @@ SCALING.md.
 The operator's cost driver is the wedge fan-out sum over centers of
 C(deg_w, 2) (operators/linkpred.py docstring): unlike triangle
 counting it CANNOT be orientation-pruned, because every
-common-neighbor pair is an output. This probe demonstrates the two
-consequences on the triangle_probe hub graph (one deg-`n_spokes` hub
-+ uniform edges, avg degree ~40):
+common-neighbor pair is an output. Graph: one deg-8000 hub + sparse
+uniform edges (avg degree ~8), so the hub's C(8000, 2) = 32M wedges
+DOMINATE the uniform graph's ~7 per-node wedges -- the quadratic
+term is the measured object, not background noise:
 
-  - exact: the hub alone contributes C(n_spokes, 2) wedges -- at
-    2 000 spokes that is ~2M rows from ONE center, dwarfing the
-    uniform graph's contribution and growing quadratically with hub
-    degree while the rest of the graph grows linearly;
-  - max_degree=64 (drops only centers above ~1.5x avg degree): cost
-    returns to the uniform graph's linear-in-E profile, and the
-    predicted-wedge count (computed from the degree table for free)
-    quantifies exactly what was dropped.
+  - exact: hub wedges are emitted by ONE center -- a single
+    straggler task computing tens of millions of rows, growing
+    quadratically with hub degree while the rest grows linearly;
+  - max_degree=64 (well above the ~8 average): drops ONLY the hub;
+    cost returns to the uniform graph's linear-in-E profile. The
+    predicted-wedge counts (free, from the degree table) quantify
+    exactly what was dropped.
+
+Timing is best-of-RUNS to damp GC/page-cache noise.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/linkpred_probe.py [n_uniform ...]
        (default ladder: 1_000_000 4_000_000)
@@ -47,8 +49,9 @@ from mapreduce_implementation_grpc_spark.operators.linkpred import (
 from mapreduce_implementation_grpc_spark.session import get_spark
 from tools.triangle_probe import build_edges
 
-N_SPOKES = 2_000
+N_SPOKES = 8_000
 CAP = 64
+RUNS = 2
 
 
 def predicted_wedges(edges, cap=None) -> int:
@@ -70,7 +73,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for n_uniform in sizes:
-        n_nodes = max(n_uniform // 20, N_SPOKES * 2)
+        n_nodes = max(n_uniform // 4, N_SPOKES * 2)
         edges = materialize_eager(
             build_edges(spark, N_SPOKES, n_uniform, n_nodes)
         )
@@ -78,13 +81,18 @@ def main() -> None:
         w_exact = predicted_wedges(edges)
         w_capped = predicted_wedges(edges, CAP)
 
-        t0 = time.perf_counter()
-        link_prediction(edges, top_n=20).collect()
-        t_exact = time.perf_counter() - t0
+        def best_of(fn) -> float:
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn().collect()
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-        t0 = time.perf_counter()
-        link_prediction(edges, top_n=20, max_degree=CAP).collect()
-        t_capped = time.perf_counter() - t0
+        t_exact = best_of(lambda: link_prediction(edges, top_n=20))
+        t_capped = best_of(
+            lambda: link_prediction(edges, top_n=20, max_degree=CAP)
+        )
 
         row = {
             "n_edges": n_edges,
