@@ -3711,6 +3711,64 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(docs, p, (F.col("lang") == "en").cast("int"))
 
 
+def q_lang_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each language's unigram
+    distribution: [lang, n_tokens, vocab, entropy_bits]. The
+    compressibility/diversity gauge of a corpus slice (entropy is
+    the lower bound on bits-per-token any tokenizer can reach). One
+    tokenize pass (the shared with_token_array barrier), p = one
+    int/int division per distinct (lang, word), -p*log2(p) rounded
+    9dp into the order-independent decimal sum."""
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    term = F.round(-(p * F.log2(p)), 9).cast("decimal(12,9)")
+    return (
+        cnt.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "n_tokens", "vocab")
+        .agg(
+            F.sum(term).cast("string").cast("double").alias("entropy_bits")
+        )
+        .orderBy("lang")
+    )
+
+
+K_ANON = 10
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier (nation, market segment, balance rounded to
+    1000): one row [k, n_groups, n_violating_groups, rows_at_risk,
+    min_group_size] -- the privacy gate a training-data release runs
+    before shipping joined user attributes. Pure integer aggregate
+    over quasi-identifier groups (one partial-agg'd shuffle on the
+    quasi key); rows_at_risk = rows in groups smaller than k, the
+    re-identifiable population."""
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_k"),
+    ).agg(F.count("*").alias("g"))
+    return groups.agg(
+        F.lit(K_ANON).alias("k"),
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("g") < K_ANON).cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(F.col("g") < K_ANON, F.col("g")).otherwise(F.lit(0))).alias(
+            "rows_at_risk"
+        ),
+        F.min("g").alias("min_group_size"),
+    )
+
+
 def q_parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto inventory classification: rank parts by revenue
     desc, class A = parts up to 80% cumulative revenue share, B to
@@ -6592,6 +6650,38 @@ def _linkage_oracle_sql() -> str:
 
 ORACLES["record_linkage_fs"] = _linkage_oracle_sql()
 
+ORACLES["lang_token_entropy"] = f"""
+  WITH t AS ({{TOKS}}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, count(*) AS c FROM tk GROUP BY 1, 2),
+  tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS vocab
+          FROM cnt GROUP BY 1)
+  SELECT cnt.lang, n_tokens, vocab,
+         CAST(CAST(sum(CAST(round(
+             -((CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               * log2(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))), 9)
+           AS DECIMAL(12,9))) AS VARCHAR) AS DOUBLE) AS entropy_bits
+  FROM cnt JOIN tot USING (lang)
+  GROUP BY 1, 2, 3 ORDER BY 1
+""".replace("{TOKS}", _SQL_TOKS)
+
+ORACLES["k_anonymity_report"] = f"""
+  WITH g AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+           count(*) AS g
+    FROM customer GROUP BY 1, 2, 3)
+  SELECT {K_ANON} AS k,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN g < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_groups,
+         CAST(sum(CASE WHEN g < {K_ANON} THEN g ELSE 0 END) AS BIGINT)
+           AS rows_at_risk,
+         min(g) AS min_group_size
+  FROM g
+"""
+
 # Integer-micro revenue, native window cumsum, INTEGER 80/95
 # boundaries (5*cum <= 4*tot etc.) -- no division decides a class.
 ORACLES["parts_abc_analysis"] = """
@@ -7081,6 +7171,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_linkage_fs": q_record_linkage_fs,
     "parts_abc_analysis": q_parts_abc_analysis,
     "customer_spend_gini": q_customer_spend_gini,
+    "lang_token_entropy": q_lang_token_entropy,
+    "k_anonymity_report": q_k_anonymity_report,
     "frequent_event_trigrams": q_frequent_event_trigrams,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_dow_seasonality": q_events_dow_seasonality,
