@@ -3711,6 +3711,18 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(docs, p, (F.col("lang") == "en").cast("int"))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact directed set-containment join at C >= 9/10
+    (operators/setjoin.containment_prefix_pairs): the asymmetric
+    near-dup Jaccard cannot see -- a chunk quoted whole inside a
+    larger document. Probe-side-only prefix filter (rarest tokens),
+    integer threshold predicate. The oracle is the NAIVE all-pairs
+    SQL; the hash match proves the prefix filter lossless."""
+    from .operators.setjoin import containment_prefix_pairs
+
+    return containment_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_lang_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (bits) of each language's unigram
     distribution: [lang, n_tokens, vocab, entropy_bits]. The
@@ -6650,6 +6662,23 @@ def _linkage_oracle_sql() -> str:
 
 ORACLES["record_linkage_fs"] = _linkage_oracle_sql()
 
+# NAIVE all-pairs containment (the size pre-filter is implied by the
+# final predicate -- inter <= |B| and 10*inter >= 9*|A| force
+# 10*|B| >= 9*|A| -- so adding it changes nothing but the bill).
+ORACLES["containment_pairs"] = f"""
+  WITH g AS (SELECT doc_id, shset AS st FROM ({_SQL_SHINGLES})
+             WHERE len(shset) > 0),
+  p AS (SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+          CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS inter,
+          CAST(len(a.st) AS BIGINT) AS size_small
+        FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        WHERE len(b.st) * 10 >= len(a.st) * 9)
+  SELECT doc_small, doc_big, inter, size_small,
+         round(CAST(inter AS DOUBLE) / size_small, 6) AS containment
+  FROM p WHERE 10 * inter >= 9 * size_small
+  ORDER BY doc_small, doc_big
+"""
+
 ORACLES["lang_token_entropy"] = f"""
   WITH t AS ({{TOKS}}),
   tk AS (SELECT lang, unnest(toks) AS w FROM t),
@@ -7173,6 +7202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_spend_gini": q_customer_spend_gini,
     "lang_token_entropy": q_lang_token_entropy,
     "k_anonymity_report": q_k_anonymity_report,
+    "containment_pairs": q_containment_pairs,
     "frequent_event_trigrams": q_frequent_event_trigrams,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_dow_seasonality": q_events_dow_seasonality,
