@@ -3894,6 +3894,71 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline (Pareto frontier) of customers over (total spend,
+    order count, recency): no customer in the answer is beaten on all
+    three axes by another (operators/skyline.py, grid-pruned exact
+    form). All dims are exact integers (cents, counts, epoch days) so
+    dominance is engine-independent; the quadratic NOT-EXISTS oracle
+    doubles as the proof that grid pruning is lossless."""
+    from .operators.skyline import skyline
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+                .cast("long")
+            ).alias("spend_cents"),
+            F.count("*").alias("n_orders"),
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("last_day"),
+        )
+    )
+    return skyline(agg, ["spend_cents", "n_orders", "last_day"]).orderBy(
+        F.desc("spend_cents"), "custkey"
+    )
+
+
+def q_part_sales_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of parts over (units shipped, revenue): the
+    sort/staircase form (operators/skyline.skyline_2d) -- two window
+    functions over the part-grain aggregate, zero self-joins. The
+    windowed pass runs at part grain (already reduced rows); the
+    grid-pruned `skyline` is the scale path when even the aggregate
+    grain is too large for a global sort."""
+    from .operators.skyline import skyline_2d
+
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,0)"))
+            .cast("long").alias("total_qty"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * F.lit(100))
+                .cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+    return skyline_2d(agg, "total_qty", "revenue_cents").orderBy(
+        F.desc("total_qty"), "partkey"
+    )
+
+
+def q_cosupply_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier in the co-supply
+    graph (graph_motifs.clustering_coefficients): triangle side
+    reuses the degree-oriented O(E^1.5) enumeration, coefficient is
+    one long/long IEEE division shipped unrounded."""
+    from .operators.graph_motifs import clustering_coefficients, cosupply_edges
+
+    return clustering_coefficients(cosupply_edges(spark, sf_dir))
+
+
 def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (operators/linkage.py) between
     customers and a deterministically-corrupted contacts copy (the
@@ -6490,6 +6555,32 @@ ORACLES["cosupply_triangles"] = """
   SELECT suppkey, count(*) AS n_triangles FROM corners GROUP BY 1
 """
 
+# Naive 3-way-join triangles + degree table; the coefficient is one
+# int/int division both engines compute on identical integers.
+ORACLES["cosupply_clustering"] = """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  und AS (SELECT s1 AS suppkey FROM e UNION ALL SELECT s2 FROM e),
+  deg AS (SELECT suppkey, count(*) AS degree FROM und GROUP BY 1),
+  tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+          FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+                    JOIN e e3 ON e1.s1 = e3.s1 AND e2.s2 = e3.s2),
+  corners AS (SELECT a AS suppkey FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri),
+  tc AS (SELECT suppkey, count(*) AS n_triangles FROM corners GROUP BY 1)
+  SELECT deg.suppkey, deg.degree,
+         CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+         CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)
+           / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) AS clustering_coeff
+  FROM deg LEFT JOIN tc USING (suppkey)
+  WHERE deg.degree >= 2
+  ORDER BY clustering_coeff DESC, suppkey
+"""
+
 ORACLES["cosupply_kcore"] = _kcore_ctes(k=8, rounds=8)
 ORACLES["supplier_reach"] = _bfs_ctes()
 ORACLES["supplier_cheapest_reach"] = _sssp_ctes()
@@ -7130,6 +7221,43 @@ ORACLES["dq_audit"] = """
 """
 
 
+# Quadratic NOT-EXISTS dominance -- the oracle's simplicity is the
+# point: it proves the distributed grid-prune/staircase forms lossless.
+ORACLES["customer_skyline"] = """
+  WITH agg AS (
+    SELECT o_custkey AS custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS spend_cents,
+           count(*) AS n_orders,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS last_day
+    FROM orders GROUP BY 1)
+  SELECT p.* FROM agg p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM agg q
+    WHERE q.spend_cents >= p.spend_cents AND q.n_orders >= p.n_orders
+      AND q.last_day >= p.last_day
+      AND (q.spend_cents > p.spend_cents OR q.n_orders > p.n_orders
+           OR q.last_day > p.last_day))
+  ORDER BY spend_cents DESC, custkey
+"""
+
+ORACLES["part_sales_skyline"] = """
+  WITH agg AS (
+    SELECT l_partkey AS partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem GROUP BY 1)
+  SELECT p.* FROM agg p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM agg q
+    WHERE q.total_qty >= p.total_qty AND q.revenue_cents >= p.revenue_cents
+      AND (q.total_qty > p.total_qty OR q.revenue_cents > p.revenue_cents))
+  ORDER BY total_qty DESC, partkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
     "wordcount": q_wordcount,
@@ -7190,6 +7318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_negatives": q_training_negatives,
     "rake_keyphrases": q_rake_keyphrases,
     "cosupply_kcore": q_cosupply_kcore,
+    "cosupply_clustering": q_cosupply_clustering,
     "supplier_reach": q_supplier_reach,
     "cosupply_link_prediction": q_cosupply_link_prediction,
     "supplier_cheapest_reach": q_supplier_cheapest_reach,
@@ -7200,6 +7329,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_linkage_fs": q_record_linkage_fs,
     "parts_abc_analysis": q_parts_abc_analysis,
     "customer_spend_gini": q_customer_spend_gini,
+    "customer_skyline": q_customer_skyline,
+    "part_sales_skyline": q_part_sales_skyline,
     "lang_token_entropy": q_lang_token_entropy,
     "k_anonymity_report": q_k_anonymity_report,
     "containment_pairs": q_containment_pairs,

@@ -393,3 +393,50 @@ def test_item_item_cf_symmetric_and_bounded(spark, sf_smoke):
             assert sims[(b, a)] == s
     for ranks in by_part.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_clustering_coefficients_hand_computed(spark):
+    """Triangles (1,2,3) and (1,2,4): nodes 1/2 sit in both (c=2/3),
+    node 3 closes its single pair (c=1), node 4's pendant neighbor 5
+    opens two unclosed pairs (c=1/3); degree-1 node 5 is excluded."""
+    from mapreduce_implementation_grpc_spark.operators.graph_motifs import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (4, 5)],
+        "s1 long, s2 long",
+    )
+    rows = {r.suppkey: r for r in clustering_coefficients(edges).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # node 5 is degree-1
+    assert rows[1].degree == 3 and rows[1].n_triangles == 2
+    assert rows[1].clustering_coeff == 2 * 2 / (3 * 2)
+    assert rows[3].degree == 2 and rows[3].clustering_coeff == 1.0
+    assert rows[4].degree == 3 and rows[4].n_triangles == 1
+    assert rows[4].clustering_coeff == 2 * 1 / (3 * 2)
+
+
+def test_clustering_coefficient_triangle_free_is_zero(spark):
+    from mapreduce_implementation_grpc_spark.operators.graph_motifs import (
+        clustering_coefficients,
+    )
+
+    # a path graph: no triangles anywhere, interior nodes score 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "s1 long, s2 long"
+    )
+    rows = {r.suppkey: r for r in clustering_coefficients(edges).collect()}
+    assert set(rows) == {2, 3}
+    assert all(r.n_triangles == 0 and r.clustering_coeff == 0.0 for r in rows.values())
+
+
+def test_cosupply_clustering_oracle(spark, sf_check):
+    from tests.oracle_utils import assert_matches_oracle
+
+    from mapreduce_implementation_grpc_spark import registry
+
+    assert_matches_oracle(
+        registry.QUERIES["cosupply_clustering"](spark, sf_check),
+        registry.ORACLES["cosupply_clustering"],
+        sf_check,
+    )
