@@ -3959,6 +3959,87 @@ def q_cosupply_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficients(cosupply_edges(spark, sf_dir))
 
 
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue trend: closed-form OLS slope /
+    intercept / r^2 over (month index, revenue micros) via
+    operators/regression.ols_fit -- one aggregation pass computes the
+    sufficient statistics for every nation at once; no per-group
+    iteration. Revenue lands as exact integer micros (per-row
+    decimal product x 1e6), month index is integral, so all six OLS
+    sums are exact and both engines divide identical routed doubles.
+    The nation dim is broadcast; the orders->customer join flows into
+    the one groupBy shuffle."""
+    from .operators.regression import ols_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    monthly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - F.lit(1992 * 12 + 1)
+            ).cast("long").alias("month_idx"),
+        )
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("rev_micros"))
+    )
+    return ols_fit(monthly, ["nation"], "month_idx", "rev_micros").orderBy(
+        "nation"
+    )
+
+
+def q_zipf_word_fit(spark: SparkSession, sf_dir: str, top_n: int = 500) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of ln(count) on
+    ln(rank) over the top-N words -- the standard log-log diagnostic
+    (slope near -1 on natural text). Ranks come from a window over
+    the LIMITed top-N (reduced rows -- the full vocab never crosses a
+    global sort); ln terms are rounded to 9dp and summed as DECIMAL
+    (order-independent), and slope/intercept/r2 are IEEE expressions
+    over the string-routed exact sums, identical in both engines."""
+    wc = q_wordcount(spark, sf_dir)
+    top = wc.orderBy(F.desc("cnt"), "word").limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), "word")
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9)
+        .cast("decimal(12,9)").alias("lx"),
+        F.round(F.log(F.col("cnt").cast("double")), 9)
+        .cast("decimal(12,9)").alias("ly"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("n_words"),
+        F.sum("lx").cast("decimal(22,9)").alias("_sx"),
+        F.sum("ly").cast("decimal(22,9)").alias("_sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("decimal(32,18)").alias("_sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("decimal(32,18)").alias("_sxx"),
+        F.sum(F.col("ly") * F.col("ly")).cast("decimal(32,18)").alias("_syy"),
+    )
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    n = F.col("n_words").cast("double")
+    sx, sy = sdbl(F.col("_sx")), sdbl(F.col("_sy"))
+    sxy, sxx, syy = sdbl(F.col("_sxy")), sdbl(F.col("_sxx")), sdbl(F.col("_syy"))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return agg.select(
+        "n_words",
+        (num / den).alias("slope"),
+        ((sy * sxx - sx * sxy) / den).alias("intercept"),
+        (num * num / (den * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
 def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (operators/linkage.py) between
     customers and a deterministically-corrupted contacts copy (the
@@ -7221,6 +7302,63 @@ ORACLES["dq_audit"] = """
 """
 
 
+# HUGEINT mirror of the exact-integer OLS sufficient statistics; the
+# final divisions run on string-routed identical doubles.
+ORACLES["nation_revenue_trend"] = """
+  WITH monthly AS (
+    SELECT n_name AS nation,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS x,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS y
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  stats AS (
+    SELECT nation, count(*) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx, sum(y) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           sum(y * y) AS syy
+    FROM monthly GROUP BY 1),
+  vals AS (
+    SELECT nation, CAST(n AS BIGINT) AS n_points,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+           CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den,
+           CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE) AS inum,
+           CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS ydev
+    FROM stats)
+  SELECT nation, n_points, num / den AS slope, inum / den AS intercept,
+         CASE WHEN ydev <> 0 THEN num * num / (den * ydev) END AS r2
+  FROM vals WHERE den <> 0 ORDER BY nation
+"""
+
+ORACLES["zipf_word_fit"] = f"""
+  WITH wc AS ({_SQL_WORDCOUNT}),
+  top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 500),
+  pts AS (
+    SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, word)
+                              AS DOUBLE)), 9) AS DECIMAL(12,9)) AS lx,
+           CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(12,9)) AS ly
+    FROM top),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           CAST(CAST(sum(lx) AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sum(ly) AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sum(lx * ly) AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(sum(lx * lx) AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(ly * ly) AS VARCHAR) AS DOUBLE) AS syy
+    FROM pts)
+  SELECT n_words,
+         (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) AS slope,
+         (sy * sxx - sx * sxy) / (n_words * sxx - sx * sx) AS intercept,
+         (n_words * sxy - sx * sy) * (n_words * sxy - sx * sy)
+           / ((n_words * sxx - sx * sx) * (n_words * syy - sy * sy)) AS r2
+  FROM agg
+"""
+
 # Quadratic NOT-EXISTS dominance -- the oracle's simplicity is the
 # point: it proves the distributed grid-prune/staircase forms lossless.
 ORACLES["customer_skyline"] = """
@@ -7331,6 +7469,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_spend_gini": q_customer_spend_gini,
     "customer_skyline": q_customer_skyline,
     "part_sales_skyline": q_part_sales_skyline,
+    "nation_revenue_trend": q_nation_revenue_trend,
+    "zipf_word_fit": q_zipf_word_fit,
     "lang_token_entropy": q_lang_token_entropy,
     "k_anonymity_report": q_k_anonymity_report,
     "containment_pairs": q_containment_pairs,
