@@ -4040,6 +4040,38 @@ def q_zipf_word_fit(spark: SparkSession, sf_dir: str, top_n: int = 500) -> DataF
     )
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
+    """Exact daily-count autocorrelogram per event type at lags 1..7
+    (operators/acf.py): counts land on a dense zero-filled day spine
+    (types x days -- metadata-sized), then the mean-cleared integer
+    form makes every numerator/denominator an exact decimal; one IEEE
+    division per (type, lag). The spine guarantees the complete-series
+    contract the ACF formula assumes."""
+    from .operators.acf import autocorrelation
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_d0"), F.max(F.to_date("ts")).alias("_d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day"), "_d0"
+    )
+    types = ev.select("event_type").distinct()
+    series = (
+        types.crossJoin(F.broadcast(days))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.datediff("day", "_d0").cast("long").alias("t"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    return autocorrelation(series, "event_type", "t", "y", max_lag=max_lag)
+
+
 def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (operators/linkage.py) between
     customers and a deterministically-corrupted contacts copy (the
@@ -7302,6 +7334,43 @@ ORACLES["dq_audit"] = """
 """
 
 
+# Mean-cleared integer ACF: z = n*y - S makes both sums exact
+# integers; the n^2 scale factor cancels in the ratio.
+ORACLES["events_acf"] = """
+  WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+             FROM events),
+  days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                    AS day, d0
+           FROM b),
+  types AS (SELECT DISTINCT event_type FROM events),
+  counts AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+             FROM events GROUP BY 1, 2),
+  series AS (
+    SELECT t.event_type, date_diff('day', d.d0, d.day) AS tt,
+           coalesce(c.y, 0) AS y
+    FROM types t CROSS JOIN days d
+         LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+  st AS (SELECT event_type, count(*) AS n, sum(y) AS s FROM series GROUP BY 1),
+  z AS (SELECT series.event_type, tt,
+               CAST(st.n * series.y - st.s AS HUGEINT) AS z, st.n
+        FROM series JOIN st USING (event_type)),
+  den AS (SELECT event_type, sum(z * z) AS den, max(n) AS n_points
+          FROM z GROUP BY 1),
+  lagged AS (SELECT event_type, tt, z, l.lag
+             FROM z CROSS JOIN
+                  (SELECT unnest(generate_series(1, 7)) AS lag) l),
+  num AS (SELECT a.event_type, a.lag, sum(a.z * b2.z) AS num
+          FROM lagged a JOIN z b2 ON b2.event_type = a.event_type
+                                 AND b2.tt = a.tt + a.lag
+          GROUP BY 1, 2)
+  SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+         CAST(d.n_points AS BIGINT) AS n_points,
+         CAST(CAST(n.num AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(d.den AS VARCHAR) AS DOUBLE) AS acf
+  FROM num n JOIN den d USING (event_type)
+  WHERE d.den <> 0 ORDER BY event_type, lag
+"""
+
 # HUGEINT mirror of the exact-integer OLS sufficient statistics; the
 # final divisions run on string-routed identical doubles.
 ORACLES["nation_revenue_trend"] = """
@@ -7471,6 +7540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_sales_skyline": q_part_sales_skyline,
     "nation_revenue_trend": q_nation_revenue_trend,
     "zipf_word_fit": q_zipf_word_fit,
+    "events_acf": q_events_acf,
     "lang_token_entropy": q_lang_token_entropy,
     "k_anonymity_report": q_k_anonymity_report,
     "containment_pairs": q_containment_pairs,
