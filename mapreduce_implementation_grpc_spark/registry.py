@@ -4072,6 +4072,17 @@ def q_events_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFram
     return autocorrelation(series, "event_type", "t", "y", max_lag=max_lag)
 
 
+def q_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-churn survival table
+    (operators/survival.py): lifetimes = first->last active day per
+    user, censored within 7 days of the corpus edge; the curve ships
+    in log form (9dp-rounded ln factors summed as DECIMAL) -- the one
+    unguarded cross-engine exp() is deliberately left to callers."""
+    from .operators.survival import kaplan_meier, user_lifetimes
+
+    return kaplan_meier(user_lifetimes(load_table(spark, sf_dir, "events")))
+
+
 def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (operators/linkage.py) between
     customers and a deterministically-corrupted contacts copy (the
@@ -7334,6 +7345,50 @@ ORACLES["dq_audit"] = """
 """
 
 
+# Product-limit estimator at duration grain; ln factors rounded 9dp
+# and summed as DECIMAL, curve shipped in log form.
+ORACLES["user_survival_km"] = """
+  WITH spans AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                        CAST(max(ts) AS DATE) AS l
+                 FROM events GROUP BY 1),
+  edge AS (SELECT CAST(max(ts) AS DATE) AS e FROM events),
+  subj AS (SELECT date_diff('day', f, l) AS duration,
+                  (date_diff('day', l, e) < 7) AS censored
+           FROM spans, edge),
+  grain AS (SELECT duration,
+                   CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_events,
+                   CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_censored,
+                   count(*) AS n_total
+            FROM subj GROUP BY 1),
+  tot AS (SELECT count(*) AS n_subjects FROM subj),
+  km AS (
+    SELECT g.duration, g.n_events, g.n_censored,
+           t.n_subjects - coalesce(sum(g.n_total) OVER (ORDER BY g.duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+    FROM grain g, tot t),
+  km2 AS (
+    SELECT duration, n_risk, n_events, n_censored,
+           CASE WHEN n_risk > n_events
+                THEN CAST(round(ln(CAST(n_risk - n_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE)), 9)
+                          AS DECIMAL(20,9)) END AS term,
+           max(CASE WHEN n_risk = n_events THEN 1 ELSE 0 END)
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+             AS survival_zero
+    FROM km)
+  SELECT CAST(duration AS BIGINT) AS duration,
+         CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+         survival_zero,
+         CASE WHEN NOT survival_zero
+              THEN CAST(CAST(sum(term) OVER (ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS VARCHAR) AS DOUBLE) END AS log_survival
+  FROM km2 ORDER BY duration
+"""
+
 # Mean-cleared integer ACF: z = n*y - S makes both sums exact
 # integers; the n^2 scale factor cancels in the ratio.
 ORACLES["events_acf"] = """
@@ -7541,6 +7596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_revenue_trend": q_nation_revenue_trend,
     "zipf_word_fit": q_zipf_word_fit,
     "events_acf": q_events_acf,
+    "user_survival_km": q_user_survival_km,
     "lang_token_entropy": q_lang_token_entropy,
     "k_anonymity_report": q_k_anonymity_report,
     "containment_pairs": q_containment_pairs,
