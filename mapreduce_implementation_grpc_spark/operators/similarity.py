@@ -310,3 +310,47 @@ def semantic_dedup(
     return cells.join(
         dropped.withColumn("dup", F.lit(True)), "vec_id", "left"
     ).select("vec_id", "cell", F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"))
+
+
+def mutual_nearest_pairs(pairs: DataFrame) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs from a candidate pair list
+    [vec_a, vec_b, cosine] (vec_a < vec_b): keep (a, b) iff b is a's
+    single best partner AND a is b's -- the high-precision match
+    filter used for bitext mining / duplicate canonicalization
+    (margin-based mutual-NN, Artetxe & Schwenk): a one-directional
+    top-1 can be a hub artifact, a reciprocal one rarely is.
+
+    Scale: runs on the (already thresholded/bucketed) candidate
+    pairs, never all-pairs -- symmetrize, one per-node window for
+    argmax (deterministic tie-break cosine desc then neighbor id),
+    and a self-equi-join of the two argmax directions. All shapes are
+    node- or candidate-sized.
+
+    Output: [vec_a, vec_b, cosine] with vec_a < vec_b."""
+    sym = pairs.select(
+        F.col("vec_a").alias("v"), F.col("vec_b").alias("nb"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("v"), F.col("vec_a").alias("nb"), "cosine"
+        )
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cosine"), F.asc("nb"))
+    best = (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    other = best.select(
+        F.col("v").alias("_bv"), F.col("nb").alias("_bnb")
+    )
+    return (
+        best.join(
+            other,
+            (F.col("nb") == F.col("_bv")) & (F.col("_bnb") == F.col("v")),
+        )
+        .filter(F.col("v") < F.col("nb"))
+        .select(
+            F.col("v").alias("vec_a"), F.col("nb").alias("vec_b"), "cosine"
+        )
+        .orderBy("vec_a")
+    )

@@ -4083,6 +4083,73 @@ def q_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(user_lifetimes(load_table(spark, sf_dir, "events")))
 
 
+def q_embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs over the embedding corpus
+    (similarity.mutual_nearest_pairs): candidates come from the
+    thresholded pair scan, the reciprocity filter is two node-grain
+    argmax windows + one equi-join. The high-precision subset of
+    embedding_dup_pairs."""
+    from .operators.similarity import mutual_nearest_pairs
+
+    pairs = embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.35
+    )
+    return mutual_nearest_pairs(pairs)
+
+
+def q_nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period league table: each nation's revenue rank in
+    1995 vs 1996 and the rank delta (positive = climbed). Ranks are
+    per-year windows over the 25-row nation aggregate (reduced rows);
+    revenue is exact integer micros so ranking and deltas are
+    engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    yearly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("rev_micros"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("rev_micros"), F.asc("nation"))
+    ranked = yearly.withColumn("rnk", F.row_number().over(w).cast("long"))
+    a = ranked.filter(F.col("yr") == 1995).select(
+        "nation",
+        F.col("rnk").alias("rank_1995"),
+        F.col("rev_micros").cast("string").cast("double").alias("rev_1995"),
+    )
+    b = ranked.filter(F.col("yr") == 1996).select(
+        "nation",
+        F.col("rnk").alias("rank_1996"),
+        F.col("rev_micros").cast("string").cast("double").alias("rev_1996"),
+    )
+    return (
+        a.join(b, "nation")
+        .select(
+            "nation",
+            "rank_1995",
+            "rank_1996",
+            (F.col("rank_1995") - F.col("rank_1996")).alias("rank_delta"),
+            "rev_1995",
+            "rev_1996",
+        )
+        .orderBy(F.desc("rank_delta"), "nation")
+    )
+
+
 def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (operators/linkage.py) between
     customers and a deterministically-corrupted contacts copy (the
@@ -7345,6 +7412,52 @@ ORACLES["dq_audit"] = """
 """
 
 
+ORACLES["embedding_mutual_nn"] = """
+  WITH pairs AS (
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.35),
+  sym AS (SELECT vec_a AS v, vec_b AS nb, cosine FROM pairs
+          UNION ALL SELECT vec_b, vec_a, cosine FROM pairs),
+  best AS (SELECT v, nb, cosine,
+                  row_number() OVER (PARTITION BY v
+                                     ORDER BY cosine DESC, nb) AS rn
+           FROM sym),
+  b1 AS (SELECT v, nb, cosine FROM best WHERE rn = 1)
+  SELECT a.v AS vec_a, a.nb AS vec_b, a.cosine
+  FROM b1 a JOIN b1 b ON a.nb = b.v AND b.nb = a.v AND a.v < a.nb
+  ORDER BY vec_a
+"""
+
+ORACLES["nation_rank_movers"] = """
+  WITH yearly AS (
+    SELECT n_name AS nation, year(o_orderdate) AS yr,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT nation, yr,
+           CAST(row_number() OVER (PARTITION BY yr
+                                   ORDER BY rev DESC, nation) AS BIGINT) AS rnk,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revd
+    FROM yearly)
+  SELECT a.nation, a.rnk AS rank_1995, b.rnk AS rank_1996,
+         a.rnk - b.rnk AS rank_delta,
+         a.revd AS rev_1995, b.revd AS rev_1996
+  FROM ranked a JOIN ranked b ON a.nation = b.nation
+  WHERE a.yr = 1995 AND b.yr = 1996
+  ORDER BY rank_delta DESC, a.nation
+"""
+
 # Product-limit estimator at duration grain; ln factors rounded 9dp
 # and summed as DECIMAL, curve shipped in log form.
 ORACLES["user_survival_km"] = """
@@ -7597,6 +7710,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_word_fit": q_zipf_word_fit,
     "events_acf": q_events_acf,
     "user_survival_km": q_user_survival_km,
+    "embedding_mutual_nn": q_embedding_mutual_nn,
+    "nation_rank_movers": q_nation_rank_movers,
     "lang_token_entropy": q_lang_token_entropy,
     "k_anonymity_report": q_k_anonymity_report,
     "containment_pairs": q_containment_pairs,
