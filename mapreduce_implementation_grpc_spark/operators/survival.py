@@ -61,20 +61,17 @@ def kaplan_meier(
         F.sum(F.col(censored_col).cast("long")).alias("n_censored"),
         F.count("*").alias("_n_total"),
     )
-    totals = subjects.agg(F.count("*").alias("_n_subjects"))
-    w_before = Window.orderBy("duration").rowsBetween(
-        Window.unboundedPreceding, -1
+    # at-risk at t = subjects with duration >= t: a suffix sum over
+    # the duration grain -- no separate totals pass, and the one
+    # single-partition window runs strictly over aggregated rows
+    w_risk = Window.orderBy("duration").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
     )
     w_cum = Window.orderBy("duration").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     km = (
-        grain.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "n_risk",
-            F.col("_n_subjects")
-            - F.coalesce(F.sum("_n_total").over(w_before), F.lit(0)),
-        )
+        grain.withColumn("n_risk", F.sum("_n_total").over(w_risk))
         .withColumn(
             "_term",
             F.when(

@@ -7475,12 +7475,11 @@ ORACLES["user_survival_km"] = """
                      AS n_censored,
                    count(*) AS n_total
             FROM subj GROUP BY 1),
-  tot AS (SELECT count(*) AS n_subjects FROM subj),
   km AS (
-    SELECT g.duration, g.n_events, g.n_censored,
-           t.n_subjects - coalesce(sum(g.n_total) OVER (ORDER BY g.duration
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-    FROM grain g, tot t),
+    SELECT duration, n_events, n_censored,
+           sum(n_total) OVER (ORDER BY duration
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+    FROM grain),
   km2 AS (
     SELECT duration, n_risk, n_events, n_censored,
            CASE WHEN n_risk > n_events
@@ -7982,6 +7981,14 @@ BENCH_QUERIES = [
     "rake_keyphrases",
     "events_cusum",
     "customer_rfm",
+    # r6 continuation: skyline / clustering coefficient / OLS trend /
+    # ACF / Kaplan-Meier / reciprocal-NN matching
+    "customer_skyline",
+    "cosupply_clustering",
+    "nation_revenue_trend",
+    "events_acf",
+    "user_survival_km",
+    "embedding_mutual_nn",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
