@@ -4150,6 +4150,36 @@ def q_nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_wallet_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance per user (credits on purchase,
+    debits on click) WITHOUT iteration: the Lindley recursion
+    B_t = max(0, B_{t-1} + x_t) looks inherently sequential, but its
+    closed form is B_t = S_t - min(0, min_{u<=t} S_u) (the reflected
+    random walk), so the whole operator is two per-user cumulative
+    windows sharing ONE exchange+sort -- the same rewrite class as
+    the CUSUM/decay operators (registry events_cusum). Everything is
+    exact integer cents; ordering is the unique (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    sign = F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    flow = sign * (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = ev.select(
+        "user_id", "event_id", "ts", flow.alias("flow_cents")
+    ).withColumn("_run", F.sum("flow_cents").over(w))
+    return base.withColumn(
+        "balance_cents",
+        F.col("_run") - F.least(F.lit(0), F.min("_run").over(w)),
+    ).select("user_id", "event_id", "flow_cents", "balance_cents")
+
+
 def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (operators/linkage.py) between
     customers and a deterministically-corrupted contacts copy (the
@@ -7412,6 +7442,25 @@ ORACLES["dq_audit"] = """
 """
 
 
+# Lindley reflection in closed form: B = S - min(0, running min S).
+ORACLES["user_wallet_balance"] = """
+  WITH base AS (
+    SELECT user_id, event_id, ts,
+           (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+             * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS flow_cents
+    FROM events WHERE event_type IN ('purchase', 'click')),
+  runs AS (
+    SELECT user_id, event_id, ts, flow_cents,
+           sum(flow_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM base)
+  SELECT user_id, event_id, flow_cents,
+         run - least(0, min(run) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS balance_cents
+  FROM runs
+"""
+
 ORACLES["embedding_mutual_nn"] = """
   WITH pairs AS (
     SELECT * FROM (
@@ -7711,6 +7760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_survival_km": q_user_survival_km,
     "embedding_mutual_nn": q_embedding_mutual_nn,
     "nation_rank_movers": q_nation_rank_movers,
+    "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
     "k_anonymity_report": q_k_anonymity_report,
     "containment_pairs": q_containment_pairs,

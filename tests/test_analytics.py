@@ -248,3 +248,39 @@ def test_events_cusum_recursion_equivalence_and_shift_alert(spark, tmp_path):
         z = Decimal(repr(round((c - mean) / std, 9)))
         s = max(Decimal(0), s + z - Decimal("0.5"))
         assert float(s) == r.cusum, (r.day_s, float(s), r.cusum)
+
+
+def test_wallet_balance_matches_sequential_lindley(spark, sf_check):
+    """The windowed closed form B = S - min(0, min-prefix S) must
+    equal the naive sequential recursion B_t = max(0, B_{t-1} + x_t)
+    replayed per user in Python."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        registry.load_table(spark, sf_check, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                * (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("flow"),
+        )
+        .collect()
+    )
+    seq: dict[tuple, int] = {}
+    bal = defaultdict(int)
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        bal[r.user_id] = max(0, bal[r.user_id] + r.flow)
+        seq[(r.user_id, r.event_id)] = bal[r.user_id]
+    got = registry.QUERIES["user_wallet_balance"](spark, sf_check).collect()
+    assert len(got) == len(seq)
+    for r in got:
+        assert r.balance_cents == seq[(r.user_id, r.event_id)], r
+        assert r.balance_cents >= 0 and r.balance_cents >= 0
