@@ -1736,3 +1736,103 @@ def purchase_attribution(
             F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
         )
     )
+
+
+def attribution_position_weighted(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    session's FIRST purchase distributes its value across the
+    non-purchase touches that precede it in the session -- 40% to the
+    first touch, 40% to the last touch before the purchase, 20%
+    split evenly over the middle (1 touch keeps 100%, 2 split
+    50/50). The standard position-based model between the two
+    single-touch extremes (purchase_attribution is first-touch).
+
+    Shape: sessionization is the same one-sort window stack as
+    purchase_attribution; the first purchase per session is a
+    row_number pick; touches attach via ONE equi-join on
+    (user_id, session_id) with fan-out bounded by session length.
+    Credits: weights are IEEE expressions both engines build from
+    identical integers (0.4, 0.5, 0.2/(n-2)); each per-touch credit
+    rounds to 6dp and sums as DECIMAL(20,6), so the per-type totals
+    are order-independent and hash-exact.
+
+    Output: [touch_type, position, n_touches, credit_total] with
+    position in first/middle/last."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(starts).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wp = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    firstp = (
+        sess.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "session_id",
+            F.col("ts").alias("_p_ts"),
+            F.col("event_id").alias("_p_id"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("_p_cents"),
+        )
+    )
+    touches = (
+        sess.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id", "session_id", "ts", "event_id",
+            F.col("event_type").alias("touch_type"),
+        )
+        .join(firstp, ["user_id", "session_id"])
+        .filter(
+            (F.col("ts") < F.col("_p_ts"))
+            | ((F.col("ts") == F.col("_p_ts")) & (F.col("event_id") < F.col("_p_id")))
+        )
+    )
+    wt = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("user_id", "session_id")
+    scored = (
+        touches.withColumn("_idx", F.row_number().over(wt))
+        .withColumn("_n", F.count("*").over(wn))
+        .withColumn(
+            "position",
+            F.when(F.col("_idx") == 1, F.lit("first"))
+            .when(F.col("_idx") == F.col("_n"), F.lit("last"))
+            .otherwise(F.lit("middle")),
+        )
+        .withColumn(
+            "_w",
+            F.when(F.col("_n") == 1, F.lit(1.0))
+            .when(
+                F.col("_idx") == 1,
+                F.when(F.col("_n") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+            )
+            .when(
+                F.col("_idx") == F.col("_n"),
+                F.when(F.col("_n") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+            )
+            .otherwise(F.lit(0.2) / (F.col("_n") - 2)),
+        )
+        .withColumn(
+            "_credit",
+            F.round(F.col("_p_cents") * F.col("_w"), 6).cast("decimal(20,6)"),
+        )
+    )
+    return (
+        scored.groupBy("touch_type", "position")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("_credit").cast("string").cast("double").alias("credit_total"),
+        )
+        .orderBy("touch_type", "position")
+    )

@@ -7442,6 +7442,58 @@ ORACLES["dq_audit"] = """
 """
 
 
+# U-shaped multi-touch credits: weights are IEEE expressions over
+# identical integers; per-touch credits round 6dp and sum as DECIMAL.
+ORACLES["attribution_position_weighted"] = """
+  WITH s AS (
+    SELECT event_id, user_id, ts, event_type, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS st
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+  s2 AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+             AS session_id FROM s),
+  fp AS (SELECT user_id, session_id, ts AS p_ts, event_id AS p_id,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_cents,
+                row_number() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM s2 WHERE event_type = 'purchase'),
+  fp1 AS (SELECT * FROM fp WHERE rn = 1),
+  touches AS (
+    SELECT t.user_id, t.session_id, t.ts, t.event_id,
+           t.event_type AS touch_type, f.p_cents
+    FROM s2 t JOIN fp1 f ON t.user_id = f.user_id
+                         AND t.session_id = f.session_id
+    WHERE t.event_type <> 'purchase'
+      AND (t.ts < f.p_ts OR (t.ts = f.p_ts AND t.event_id < f.p_id))),
+  scored AS (
+    SELECT touch_type,
+           row_number() OVER wt AS idx,
+           count(*) OVER wn AS n,
+           p_cents
+    FROM touches
+    WINDOW wt AS (PARTITION BY user_id, session_id ORDER BY ts, event_id),
+           wn AS (PARTITION BY user_id, session_id)),
+  cr AS (
+    SELECT touch_type,
+           CASE WHEN idx = 1 THEN 'first' WHEN idx = n THEN 'last'
+                ELSE 'middle' END AS position,
+           CAST(round(p_cents * (CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                 WHEN idx = 1 THEN CASE WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                                        ELSE CAST(0.4 AS DOUBLE) END
+                 WHEN idx = n THEN CASE WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                                        ELSE CAST(0.4 AS DOUBLE) END
+                 ELSE CAST(0.2 AS DOUBLE) / (n - 2) END), 6)
+                AS DECIMAL(20,6)) AS credit
+    FROM scored)
+  SELECT touch_type, position, count(*) AS n_touches,
+         CAST(CAST(sum(credit) AS VARCHAR) AS DOUBLE) AS credit_total
+  FROM cr GROUP BY 1, 2 ORDER BY touch_type, position
+"""
+
 # Lindley reflection in closed form: B = S - min(0, running min S).
 ORACLES["user_wallet_balance"] = """
   WITH base AS (
@@ -7869,6 +7921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_state_intervals": analytics.user_state_intervals,
     "purchase_attribution": q_purchase_attribution,
     "attribution_summary": q_attribution_summary,
+    "attribution_position_weighted": analytics.attribution_position_weighted,
     "events_json_stats": q_events_json_stats,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,

@@ -284,3 +284,56 @@ def test_wallet_balance_matches_sequential_lindley(spark, sf_check):
     for r in got:
         assert r.balance_cents == seq[(r.user_id, r.event_id)], r
         assert r.balance_cents >= 0 and r.balance_cents >= 0
+
+
+def test_attribution_position_weighted_hand_computed(spark, sf_smoke):
+    """Crafted sessions: U-shape 40/20/40, the 1- and 2-touch edge
+    cases, and credit conservation (credits sum to the purchase)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.plans.analytics import (
+        attribution_position_weighted,
+    )
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    rows = []
+
+    def ev(eid, uid, minute, etype, value=10.0):
+        rows.append((eid, f"2024-01-01 10:{minute:02d}:00", uid, etype, value, "{}"))
+
+    # user 1: 4 touches then a 100.00 purchase -> 40/10/10/40 dollars
+    for i, t in enumerate(["view", "click", "click", "signup"]):
+        ev(i + 1, 1, i, t)
+    ev(5, 1, 4, "purchase", 100.0)
+    # user 2: single touch keeps 100% of 50.00
+    ev(10, 2, 0, "view")
+    ev(11, 2, 1, "purchase", 50.0)
+    # user 3: two touches split 50/50 of 20.00
+    ev(20, 3, 0, "view")
+    ev(21, 3, 1, "error")
+    ev(22, 3, 2, "purchase", 20.0)
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="attr_")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    )
+    df.toPandas().to_parquet(os.path.join(tmp, "events.parquet"))
+    got = {
+        (r.touch_type, r.position): r
+        for r in attribution_position_weighted(spark, tmp).collect()
+    }
+    # user 1 credits (cents): first view 4000, middle clicks 1000 each,
+    # last signup 4000; user 2: first view 5000; user 3: view 1000,
+    # error 1000 (2-touch split of 2000)
+    assert got[("view", "first")].credit_total == 4000 + 5000 + 1000
+    assert got[("click", "middle")].n_touches == 2
+    assert got[("click", "middle")].credit_total == 2000
+    assert got[("signup", "last")].credit_total == 4000
+    assert got[("error", "last")].credit_total == 1000
+    total = sum(r.credit_total for r in got.values())
+    assert total == (100 + 50 + 20) * 100  # conservation, in cents
