@@ -60,18 +60,15 @@ def fs_weights() -> dict[str, tuple[float, float]]:
     }
 
 
-def fs_score_pairs(
+def _scored_pairs(
     master: DataFrame,
     contacts: DataFrame,
     block_cols: list[str],
-    threshold: float = 0.0,
-    top_n: int = 100,
+    threshold: float,
 ) -> DataFrame:
-    """Score blocked candidate pairs. `master` must carry
-    [custkey, nm, bal, seg, *block_cols], `contacts`
-    [contact_id, nm, bal, seg, *block_cols]. Output: [custkey,
-    contact_id, nm_agree, bal_agree, seg_agree, score, is_match]
-    ordered score desc then keys, top_n rows."""
+    """Blocked candidate pairs with agreement vector, score, and
+    is_match -- unordered and unlimited (shared by the ranked report
+    and the golden-record consumer)."""
     w = fs_weights()
     m = master.select(
         "custkey",
@@ -92,14 +89,132 @@ def fs_score_pairs(
         wa, wd = w[f]
         term = F.when(agrees[f], F.lit(wa)).otherwise(F.lit(wd))
         score = term if score is None else score + term
+    return pairs.select(
+        "custkey",
+        "contact_id",
+        *[agrees[f].alias(f"{f}_agree") for f, _, _ in FS_FIELDS],
+        score.alias("score"),
+    ).withColumn("is_match", F.col("score") > F.lit(float(threshold)))
+
+
+def fs_score_pairs(
+    master: DataFrame,
+    contacts: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.0,
+    top_n: int = 100,
+) -> DataFrame:
+    """Score blocked candidate pairs. `master` must carry
+    [custkey, nm, bal, seg, *block_cols], `contacts`
+    [contact_id, nm, bal, seg, *block_cols]. Output: [custkey,
+    contact_id, nm_agree, bal_agree, seg_agree, score, is_match]
+    ordered score desc then keys, top_n rows."""
     return (
-        pairs.select(
-            "custkey",
-            "contact_id",
-            *[agrees[f].alias(f"{f}_agree") for f, _, _ in FS_FIELDS],
-            score.alias("score"),
-        )
-        .withColumn("is_match", F.col("score") > F.lit(float(threshold)))
+        _scored_pairs(master, contacts, block_cols, threshold)
         .orderBy(F.desc("score"), F.asc("custkey"), F.asc("contact_id"))
         .limit(top_n)
+    )
+
+
+def fs_match_pairs(
+    master: DataFrame,
+    contacts: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Every pair classified a match -- [custkey, contact_id],
+    unordered/unlimited (no global sort: match volume is
+    cluster-sized, not report-sized)."""
+    return (
+        _scored_pairs(master, contacts, block_cols, threshold)
+        .filter(F.col("is_match"))
+        .select("custkey", "contact_id")
+    )
+
+
+def golden_records(
+    master: DataFrame,
+    contacts: DataFrame,
+    matches: DataFrame,
+) -> DataFrame:
+    """Survivorship merge of each master with its matched contacts --
+    the step AFTER linkage that actually repairs the data (the
+    'golden record' of MDM practice). Master-anchored clusters: the
+    group for custkey k is the master row plus every contact matched
+    to k (a contact matched to two masters feeds both groups -- the
+    documented trade of skipping a full connected-components pass;
+    transitive contact-contact identity is dedup_clusters territory).
+
+    Per-field survivorship rules, each deterministic and expressible
+    as one aggregate over the member frame:
+      name    -- longest value wins (typo truncation loses), ties
+                 break lexicographically;
+      balance -- most frequent exact cents value wins (the corrupted
+                 +0.01 copy is outvoted or, on a 1-1 tie, the MIN --
+                 i.e. the un-nudged original -- survives);
+      segment -- most frequent, ties lexicographic.
+    Implemented as min(struct(...)) aggregates (argmax by sort key),
+    so no per-cluster iteration and no window over fact rows.
+
+    Output: [custkey, n_sources, golden_name, golden_bal_cents,
+    golden_seg, name_repaired] -- name_repaired flags clusters where
+    survivorship CHANGED the master's own name (a truncated master
+    healed by its contact)."""
+    mem_m = master.select(
+        "custkey",
+        F.col("nm"),
+        (F.col("bal").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.col("seg"),
+    )
+    mem_c = (
+        matches.join(contacts, "contact_id")
+        .select(
+            "custkey",
+            F.col("nm"),
+            (F.col("bal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("seg"),
+        )
+    )
+    members = mem_m.unionByName(mem_c)
+    name_pick = members.groupBy("custkey").agg(
+        F.count("*").alias("n_sources"),
+        F.min(
+            F.struct((-F.length("nm")).alias("k"), F.col("nm").alias("v"))
+        ).alias("_nm"),
+    )
+    bal_pick = (
+        members.groupBy("custkey", "cents")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("custkey")
+        .agg(
+            F.min(
+                F.struct((-F.col("_c")).alias("k"), F.col("cents").alias("v"))
+            ).alias("_bal")
+        )
+    )
+    seg_pick = (
+        members.groupBy("custkey", "seg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("custkey")
+        .agg(
+            F.min(
+                F.struct((-F.col("_c")).alias("k"), F.col("seg").alias("v"))
+            ).alias("_seg")
+        )
+    )
+    return (
+        name_pick.join(bal_pick, "custkey")
+        .join(seg_pick, "custkey")
+        .join(master.select("custkey", F.col("nm").alias("_master_nm")), "custkey")
+        .select(
+            "custkey",
+            "n_sources",
+            F.col("_nm.v").alias("golden_name"),
+            F.col("_bal.v").alias("golden_bal_cents"),
+            F.col("_seg.v").alias("golden_seg"),
+            (F.col("_nm.v") != F.col("_master_nm")).alias("name_repaired"),
+        )
+        .orderBy("custkey")
     )

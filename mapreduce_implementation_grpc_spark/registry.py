@@ -4192,6 +4192,13 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     true pairs."""
     from .operators.linkage import fs_score_pairs
 
+    master, contacts = _linkage_frames(spark, sf_dir)
+    return fs_score_pairs(master, contacts, ["nat", "blk"])
+
+
+def _linkage_frames(spark: SparkSession, sf_dir: str):
+    """The FEBRL-style master/corrupted-contacts pair shared by the
+    linkage report and the golden-record merge."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
         F.lower(F.col("c_name")).alias("nm"),
@@ -4214,7 +4221,22 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         "nat",
     ).withColumn("blk", F.floor("bal"))
-    return fs_score_pairs(master, contacts, ["nat", "blk"])
+    return master, contacts
+
+
+def q_linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over the FS linkage matches
+    (operators/linkage.golden_records): master-anchored clusters,
+    longest-name / most-frequent-value survivorship as min(struct)
+    argmax aggregates -- no iteration, no window over fact rows. The
+    repair is REAL on this data: truncated contact names lose to the
+    master's full name, nudged balances are outvoted back to the
+    original cents."""
+    from .operators.linkage import fs_match_pairs, golden_records
+
+    master, contacts = _linkage_frames(spark, sf_dir)
+    matches = fs_match_pairs(master, contacts, ["nat", "blk"])
+    return golden_records(master, contacts, matches)
 
 
 def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6926,9 +6948,11 @@ ORACLES["frequent_event_trigrams"] = """
   LIMIT 20
 """
 
-def _linkage_oracle_sql() -> str:
-    """GENERATED from operators/linkage.fs_weights so the oracle's
-    weight literals can never drift from the Spark expression (the
+def _linkage_ctes() -> str:
+    """Shared WITH-body (master, corrupted contacts, blocked pairs,
+    FS scores) for the linkage report and golden-record oracles --
+    GENERATED from operators/linkage.fs_weights so the weight
+    literals can never drift from the Spark expression (the
     pii_redact pattern); repr() of a Python double round-trips
     exactly in both engines."""
     from .operators.linkage import fs_weights
@@ -6966,13 +6990,57 @@ def _linkage_oracle_sql() -> str:
       ON m.nat = c.nat AND m.blk = CAST(floor(c.bal) AS BIGINT)),
   s AS (SELECT custkey, contact_id, nm_agree, bal_agree, seg_agree,
                ({score}) AS score
-        FROM p)
+        FROM p)"""
+
+
+ORACLES["record_linkage_fs"] = (
+    _linkage_ctes()
+    + """
   SELECT *, score > 0.0 AS is_match FROM s
   ORDER BY score DESC, custkey, contact_id LIMIT 100
 """
+)
 
-
-ORACLES["record_linkage_fs"] = _linkage_oracle_sql()
+# Survivorship as explicit window argmax (row_number rn=1), the
+# engine-independent mirror of Spark's min(struct) picks.
+ORACLES["linkage_golden_record"] = (
+    _linkage_ctes()
+    + """,
+  mt AS (SELECT custkey, contact_id FROM s WHERE score > 0.0),
+  members AS (
+    SELECT custkey, nm,
+           CAST(CAST(bal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, seg
+    FROM m
+    UNION ALL
+    SELECT mt.custkey, c.nm,
+           CAST(CAST(c.bal AS DECIMAL(18,2)) * 100 AS BIGINT), c.seg
+    FROM mt JOIN c ON c.contact_id = mt.contact_id),
+  np AS (SELECT custkey, nm, n_sources FROM (
+      SELECT custkey, nm,
+             count(*) OVER (PARTITION BY custkey) AS n_sources,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY length(nm) DESC, nm) AS rn
+      FROM members) WHERE rn = 1),
+  bp AS (SELECT custkey, cents FROM (
+      SELECT custkey, cents,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY cnt DESC, cents) AS rn
+      FROM (SELECT custkey, cents, count(*) AS cnt
+            FROM members GROUP BY 1, 2)) WHERE rn = 1),
+  sp AS (SELECT custkey, seg FROM (
+      SELECT custkey, seg,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY cnt DESC, seg) AS rn
+      FROM (SELECT custkey, seg, count(*) AS cnt
+            FROM members GROUP BY 1, 2)) WHERE rn = 1)
+  SELECT np.custkey, CAST(np.n_sources AS BIGINT) AS n_sources,
+         np.nm AS golden_name, bp.cents AS golden_bal_cents,
+         sp.seg AS golden_seg, np.nm <> m.nm AS name_repaired
+  FROM np JOIN bp USING (custkey) JOIN sp USING (custkey)
+       JOIN m USING (custkey)
+  ORDER BY custkey
+"""
+)
 
 # NAIVE all-pairs containment (the size pre-filter is implied by the
 # final predicate -- inter <= |B| and 10*inter >= 9*|A| force
@@ -7802,6 +7870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift_psi": q_corpus_drift_psi,
     "value_drift_ks": q_value_drift_ks,
     "record_linkage_fs": q_record_linkage_fs,
+    "linkage_golden_record": q_linkage_golden_record,
     "parts_abc_analysis": q_parts_abc_analysis,
     "customer_spend_gini": q_customer_spend_gini,
     "customer_skyline": q_customer_skyline,

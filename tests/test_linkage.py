@@ -72,3 +72,69 @@ def test_weights_are_log_likelihood_ratios(spark):
             {"nm": 95.0, "bal": 45.0, "seg": 4.75}[f], rel=1e-12
         )
         assert math.isfinite(wd)
+
+
+def test_golden_records_hand_survivorship(spark):
+    """3-member cluster: longest name wins, the 2-vote balance beats
+    the 1-vote corruption, frequency beats lexicographic for seg."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.operators.linkage import (
+        golden_records,
+    )
+
+    master = spark.createDataFrame(
+        [(1, "customer#1", 100.00, "AUTO")],
+        "custkey long, nm string, bal double, seg string",
+    )
+    contacts = spark.createDataFrame(
+        [
+            (11, "customer#1x", 100.00, "ZEBRA"),
+            (12, "cust", 77.70, "ZEBRA"),
+        ],
+        "contact_id long, nm string, bal double, seg string",
+    )
+    matches = spark.createDataFrame(
+        [(1, 11), (1, 12)], "custkey long, contact_id long"
+    )
+    r = golden_records(master, contacts, matches).collect()[0]
+    assert r.n_sources == 3
+    assert r.golden_name == "customer#1x"  # longest
+    assert r.golden_bal_cents == 10000  # 2 votes vs 1
+    assert r.golden_seg == "ZEBRA"  # 2 votes vs 1
+    assert r.name_repaired  # survivorship changed the master's name
+
+
+def test_golden_record_repairs_real_corruptions(spark, sf_check):
+    """On the FEBRL-style frames: every matched truncated contact is
+    outvoted by the master's full name (never repaired the wrong
+    way), and matched nudged balances resolve to the ORIGINAL cents."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark import registry
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    golden = {
+        r.custkey: r
+        for r in registry.QUERIES["linkage_golden_record"](
+            spark, sf_check
+        ).collect()
+    }
+    orig = {
+        r.c_custkey: (r.c_name.lower(), round(r.c_acctbal * 100))
+        for r in load_table(spark, sf_check, "customer").collect()
+    }
+    assert set(golden) == set(orig)
+    repaired = 0
+    for k, g in golden.items():
+        nm, cents = orig[k]
+        # the master's full name always survives (truncations only
+        # ever REMOVE characters, so longest == original)
+        assert g.golden_name == nm, k
+        assert not g.name_repaired, k
+        if g.n_sources >= 2:
+            # any matched cluster resolves balance to the original:
+            # un-nudged pairs agree, nudged pairs tie -> min = original
+            assert g.golden_bal_cents == cents, k
+            repaired += 1
+    assert repaired > 0  # the match set is non-trivial
