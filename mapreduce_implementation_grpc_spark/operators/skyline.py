@@ -94,10 +94,85 @@ def _dominates(t: str, s: str, dims: list[str]):
     return ge & gt
 
 
-def skyline(df: DataFrame, dims: list[str], buckets: int = GRID_BUCKETS) -> DataFrame:
+def skyline(
+    df: DataFrame,
+    dims: list[str],
+    buckets: int = GRID_BUCKETS,
+    local_prune: bool = True,
+) -> DataFrame:
     """Exact d-dimensional skyline of `df` maximizing the integral
-    columns `dims`; grid-pruned then pairwise-verified. Keeps all
-    input columns."""
+    columns `dims`: grid-prune, then per-partition local skyline,
+    then the pairwise dominance anti-join. Keeps all input columns.
+
+    The local stage is what makes the final quadratic check safe at
+    scale: grid pruning leaves the cells ALONG the frontier
+    (~2n/B of the input in 2-D -- measured in
+    tools/skyline_probe.py), which still squares to an infeasible
+    candidate join at 10^7+ points. A partition-local skyline
+    (the divide step of Borzsonyi's partitioned skyline) cuts those
+    survivors to per-partition frontiers, and is sound by
+    transitivity: a dominator dropped locally was itself dominated
+    by something its partition kept. The local result set depends on
+    partitioning, but the final anti-join makes the OUTPUT exactly
+    the mathematical skyline regardless -- partition-invariance is
+    pytest-pinned."""
+    survivors = grid_survivors(df, dims, buckets)
+    if local_prune:
+        survivors = local_skyline(survivors, dims)
+    return survivors.alias("s").join(
+        F.broadcast(survivors.alias("t")),
+        _dominates("t", "s", dims),
+        "left_anti",
+    )
+
+
+def local_skyline(df: DataFrame, dims: list[str]) -> DataFrame:
+    """Per-partition skyline via mapInPandas (the one genuinely
+    imperative step: a running-frontier scan has no relational
+    form). Sorts the partition by coordinate sum descending -- a
+    point can only be dominated by one of GREATER-OR-EQUAL sum, so
+    each row is checked against the small kept-frontier matrix with
+    one vectorized comparison. Output is a superset of the global
+    skyline; every globally-dominated point that survives here is
+    removed by the final pairwise stage."""
+    import numpy as np
+    import pandas as pd
+
+    schema = df.schema
+
+    def part(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        arr = pdf[dims].to_numpy()
+        order = np.argsort(-arr.sum(axis=1), kind="stable")
+        kept_rows: list[int] = []
+        frontier = np.empty((0, arr.shape[1]), dtype=arr.dtype)
+        for i in order:
+            p = arr[i]
+            if len(kept_rows) and bool(
+                np.any(
+                    (frontier >= p).all(axis=1) & (frontier > p).any(axis=1)
+                )
+            ):
+                continue
+            kept_rows.append(int(i))
+            frontier = np.vstack([frontier, p])
+        yield pdf.iloc[sorted(kept_rows)]
+
+    return df.mapInPandas(part, schema)
+
+
+def grid_survivors(
+    df: DataFrame, dims: list[str], buckets: int = GRID_BUCKETS
+) -> DataFrame:
+    """The grid-prune stage alone: every point NOT in a fully
+    dominated cell -- a provably-sound superset of the skyline whose
+    size is the operator's cost driver (tools/skyline_probe.py
+    measures it against the final skyline size)."""
     if len(dims) < 2:
         raise ValueError("skyline needs >= 2 dimensions")
     stats = df.agg(
@@ -123,11 +198,6 @@ def skyline(df: DataFrame, dims: list[str], buckets: int = GRID_BUCKETS) -> Data
     dominated_cells = cells.alias("c").join(
         F.broadcast(cells.alias("d")), strictly_above, "left_semi"
     )
-    survivors = pts.join(
+    return pts.join(
         F.broadcast(dominated_cells), cell_cols, "left_anti"
     ).drop(*cell_cols)
-    return survivors.alias("s").join(
-        F.broadcast(survivors.alias("t")),
-        _dominates("t", "s", dims),
-        "left_anti",
-    )

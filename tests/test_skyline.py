@@ -106,3 +106,26 @@ def test_customer_skyline_members_are_undominated(spark, sf_check):
             all(a >= b for a, b in zip(q, p))
             and any(a > b for a, b in zip(q, p))
         ), f"{q} dominates {p} inside the skyline"
+
+
+def test_local_skyline_stage_is_lossless(spark):
+    """With and without the local mapInPandas prune (and across
+    different partitionings) the final skyline is identical."""
+    from mapreduce_implementation_grpc_spark.operators.skyline import (
+        local_skyline,
+    )
+
+    pts = [((i * 37) % 101, (i * 59) % 97, (i * 83) % 89) for i in range(500)]
+    df = spark.createDataFrame(pts, "x long, y long, z long")
+    dims = ["x", "y", "z"]
+    want = _brute_skyline(pts)
+    plain = {(r.x, r.y, r.z) for r in skyline(df, dims, local_prune=False).collect()}
+    pruned = {(r.x, r.y, r.z) for r in skyline(df, dims, local_prune=True).collect()}
+    repart = {
+        (r.x, r.y, r.z)
+        for r in skyline(df.repartition(7), dims, local_prune=True).collect()
+    }
+    assert plain == pruned == repart == want
+    # the local stage output is a superset of the skyline
+    local = {(r.x, r.y, r.z) for r in local_skyline(df, dims).collect()}
+    assert want <= local
