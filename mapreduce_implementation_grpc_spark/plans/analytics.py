@@ -1836,3 +1836,35 @@ def attribution_position_weighted(
         )
         .orderBy("touch_type", "position")
     )
+
+
+def user_state_asof(
+    spark: SparkSession, sf_dir: str, at: str = "2024-01-15 00:00:00"
+) -> DataFrame:
+    """Point-in-time lookup over the SCD2 interval table: every
+    user's state AS OF `at` -- the time-travel query the interval
+    representation exists to answer (half-open [valid_from,
+    valid_to) semantics: a row closing exactly at `at` has already
+    yielded to its successor). Users whose history starts after `at`
+    are absent, as they should be.
+
+    Scale: a filter over the interval table (user-grain islands, far
+    smaller than events); no new shuffle beyond the intervals' own
+    single exchange. At most one row per user survives by interval
+    disjointness -- asserted by the SCD2 contract tests."""
+    iv = user_state_intervals(spark, sf_dir)
+    at_lit = F.lit(at)
+    return (
+        iv.filter(
+            (F.col("valid_from") <= at_lit)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > at_lit))
+        )
+        .select(
+            "user_id",
+            "state",
+            F.col("valid_from").alias("since_s"),
+            "n_events",
+            "is_current",
+        )
+        .orderBy("user_id")
+    )

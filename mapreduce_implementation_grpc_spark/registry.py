@@ -6571,6 +6571,16 @@ ORACLES["user_state_intervals"] = """
   FROM fin
 """
 
+# Time travel over the SCD2 table: half-open intervals filtered at
+# the snapshot instant (string compare on the second-grain format).
+ORACLES["user_state_asof"] = f"""
+  SELECT user_id, state, valid_from AS since_s, n_events, is_current
+  FROM ({ORACLES["user_state_intervals"]})
+  WHERE valid_from <= '2024-01-15 00:00:00'
+    AND (valid_to IS NULL OR valid_to > '2024-01-15 00:00:00')
+  ORDER BY user_id
+"""
+
 ORACLES["cms_screened_wordcount"] = f"""
   WITH wc AS ({_SQL_WORDCOUNT}),
   h AS (SELECT word, cnt,
@@ -7988,6 +7998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm": q_customer_rfm,
     "events_session_window": q_events_session_window,
     "user_state_intervals": analytics.user_state_intervals,
+    "user_state_asof": analytics.user_state_asof,
     "purchase_attribution": q_purchase_attribution,
     "attribution_summary": q_attribution_summary,
     "attribution_position_weighted": analytics.attribution_position_weighted,
