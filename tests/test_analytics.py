@@ -337,3 +337,27 @@ def test_attribution_position_weighted_hand_computed(spark, sf_smoke):
     assert got[("error", "last")].credit_total == 1000
     total = sum(r.credit_total for r in got.values())
     assert total == (100 + 50 + 20) * 100  # conservation, in cents
+
+
+def test_user_state_asof_point_in_time(spark, sf_check):
+    """AS-OF lookup: oracle parity, at most one row per user
+    (interval disjointness), and consistency with the interval
+    table at the snapshot instant."""
+    from mapreduce_implementation_grpc_spark.plans.analytics import (
+        user_state_asof,
+        user_state_intervals,
+    )
+
+    at = "2024-01-15 00:00:00"
+    df = user_state_asof(spark, sf_check)
+    assert_matches_oracle(df, registry.ORACLES["user_state_asof"], sf_check)
+    rows = df.collect()
+    assert len({r.user_id for r in rows}) == len(rows)
+    # cross-check against a python filter of the full interval table
+    iv = user_state_intervals(spark, sf_check).collect()
+    want = {
+        r.user_id: r.state
+        for r in iv
+        if r.valid_from <= at and (r.valid_to is None or r.valid_to > at)
+    }
+    assert {r.user_id: r.state for r in rows} == want
