@@ -1251,3 +1251,84 @@ def streaming_cusum(
     return events.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_wallet_balance(events: DataFrame) -> DataFrame:
+    """Stateful online twin of registry.q_user_wallet_balance: the
+    floor-at-zero running balance folded per user in arrival order --
+    literally B = max(0, B + x), the recursion the batch operator
+    rewrites into the Lindley-reflection closed form (two shared-sort
+    windows). The pair is the repo's cleanest demonstration that the
+    same nonlinear recurrence has BOTH a streaming O(1)-state fold
+    and a batch windowed closed form, pinned bit-exact against each
+    other across microbatch splits.
+
+    State per user: (balance_cents, last folded (ts_us, event_id)) --
+    three longs. Every credited/debited event emits its row
+    immediately (no open-period holdback: the recursion needs no
+    lookahead), so the parity test covers EVERY event, not just
+    closed periods. Cents are exact: Decimal(repr(value)) quantized
+    half-up to 2dp matches the batch cast(value AS DECIMAL(18,2)).
+    In-order contract as streaming_cusum/decay: exact redelivery of
+    the last folded event is skipped as idempotent, genuine
+    out-of-order arrival fails loudly with the key named."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("flow_cents", LongType()),
+            StructField("balance_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("bal", LongType()),
+            StructField("last_ts_us", LongType()),
+            StructField("last_event_id", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        bal, last_us, last_id = (
+            state.get if state.exists else (0, -(2**63), -(2**63))
+        )
+        rows = []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts, eid, etype, value in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
+        ):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if (ts_us, int(eid)) == (last_us, last_id):
+                continue  # idempotent redelivery of the last folded event
+            if (ts_us, int(eid)) < (last_us, last_id):
+                raise ValueError(
+                    f"streaming_wallet_balance: out-of-order event "
+                    f"(user {uid}, event_id {int(eid)}) after state "
+                    f"folded ts_us={last_us} -- in-order contract broken"
+                )
+            last_us, last_id = ts_us, int(eid)
+            cents = int(
+                Decimal(repr(float(value))).quantize(
+                    Decimal("0.01"), rounding=ROUND_HALF_UP
+                )
+                * 100
+            )
+            flow = cents if etype == "purchase" else -cents
+            bal = max(0, bal + flow)
+            rows.append((int(uid), int(eid), flow, bal))
+        state.update((bal, last_us, last_id))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "flow_cents", "balance_cents"]
+        )
+
+    flows = events.filter(F.col("event_type").isin("purchase", "click"))
+    return flows.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

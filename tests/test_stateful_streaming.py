@@ -586,3 +586,88 @@ def test_streaming_session_window_matches_batch_closed_sessions(
         end = _dt.datetime.strptime(end_s, "%Y-%m-%d %H:%M:%S")
         if end < wm:
             assert k in got, (k, end_s, "closed session never emitted")
+
+
+def test_streaming_wallet_balance_matches_batch(spark, tmp_path, sf_smoke):
+    """The O(1)-state Lindley fold == the batch windowed closed form
+    on EVERY event (no open-period holdback), with the stream split
+    across two microbatches mid-history."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_grpc_spark.registry import QUERIES
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+    from mapreduce_implementation_grpc_spark.streaming import (
+        streaming_wallet_balance,
+    )
+
+    batch = {
+        (r.user_id, r.event_id): (r.flow_cents, r.balance_cents)
+        for r in QUERIES["user_wallet_balance"](spark, sf_smoke).collect()
+    }
+    ev = sorted(
+        (
+            (
+                r.event_id,
+                r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                r.user_id,
+                r.event_type,
+                r.value,
+            )
+            for r in load_table(spark, sf_smoke, "events")
+            .filter(F.col("event_type").isin("purchase", "click"))
+            .collect()
+        ),
+        key=lambda x: x[1],
+    )
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    half = len(ev) // 2
+    for name, chunk in (("b1.json", ev[:half]), ("b2.json", ev[half:])):
+        with open(os.path.join(src, name), "w") as f:
+            for eid, ts, uid, et, val in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": ts,
+                            "user_id": uid,
+                            "event_type": et,
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        streaming_wallet_balance(stream)
+        .writeStream.format("memory")
+        .queryName("wallet_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                (r.user_id, r.event_id): (r.flow_cents, r.balance_cents)
+                for r in spark.sql("SELECT * FROM wallet_stream").collect()
+            }
+            if len(got) == len(batch):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == batch
