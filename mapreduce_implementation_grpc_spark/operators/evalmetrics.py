@@ -149,3 +149,67 @@ def calibration_bins(
         .withColumn("abs_gap", F.abs(F.col("mean_p") - F.col("frac_pos")))
         .orderBy("bin")
     )
+
+
+def chi_square_cells(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square contingency cells for two categorical
+    columns: per cell the observed count, the independence
+    expectation e = r*c/n, and the contribution
+    (o - e)^2 / e -- algebraically (o*n - r*c)^2 / (r*c*n), so every
+    input to the IEEE arithmetic is an EXACT integer (counts and
+    their products), string-routed through decimals where they
+    exceed 2^53: both engines square and divide the bit-identical
+    doubles. The summed statistic and dof ride every row (a window
+    over the cell grain -- category-count-sized, never facts).
+
+    Scale: one groupBy to cell grain; row/col totals are windows
+    over that grain (category cardinality bounds everything);
+    nothing but the original groupBy touches fact rows.
+
+    The chi-square test of independence is the categorical-drift
+    sibling of value_drift_ks / corpus_drift_psi: "is segment
+    independent of nation" asked exactly."""
+    cells = df.groupBy(
+        F.col(row_col).alias("r_cat"), F.col(col_col).alias("c_cat")
+    ).agg(F.count("*").alias("observed"))
+    wr = Window.partitionBy("r_cat")
+    wc = Window.partitionBy("c_cat")
+    wall = Window.partitionBy()
+    t = (
+        cells.withColumn("_r", F.sum("observed").over(wr))
+        .withColumn("_c", F.sum("observed").over(wc))
+        .withColumn("_n", F.sum("observed").over(wall))
+        .withColumn("_nr", F.size(F.collect_set("r_cat").over(wall)))
+        .withColumn("_nc", F.size(F.collect_set("c_cat").over(wall)))
+    )
+    num = (
+        F.col("observed").cast("decimal(18,0)") * F.col("_n").cast("decimal(19,0)")
+        - F.col("_r").cast("decimal(18,0)") * F.col("_c").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    den = (
+        F.col("_r").cast("decimal(12,0)")
+        * F.col("_c").cast("decimal(12,0)")
+    ).cast("decimal(25,0)") * F.col("_n").cast("decimal(12,0)")
+    numd = num.cast("string").cast("double")
+    dend = den.cast("decimal(38,0)").cast("string").cast("double")
+    scored = t.withColumn(
+        "expected",
+        (
+            (F.col("_r").cast("decimal(18,0)") * F.col("_c").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").cast("string").cast("double")
+            / F.col("_n").cast("double")
+        ),
+    ).withColumn(
+        "term", F.round(numd * numd / dend, 9).cast("decimal(20,9)")
+    )
+    return scored.select(
+        F.col("r_cat").alias(row_col),
+        F.col("c_cat").alias(col_col),
+        "observed",
+        "expected",
+        F.col("term").cast("string").cast("double").alias("term"),
+        F.sum("term").over(wall).cast("string").cast("double").alias("chi2"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"),
+    ).orderBy(row_col, col_col)

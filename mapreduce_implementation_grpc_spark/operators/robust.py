@@ -108,3 +108,48 @@ def mad_outliers(
         )
         .orderBy(group_col)
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    out_col: str = "weighted_median",
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v
+    with 2 * cumweight(<= v) >= total weight -- the
+    half-the-mass-on-each-side generalization of the median
+    (aggregation-weighted summaries: "the price point where half the
+    REVENUE sits below", not half the rows).
+
+    Same portability stance as the MAD medians above: SELECTION, not
+    interpolation -- the answer is a value that exists in the data,
+    decided by exact integer weight comparisons, so engines cannot
+    disagree by an interpolation ulp.
+
+    Shape: one groupBy collapses to (group, distinct value) grain
+    with summed integral weights; a per-group cumulative window and
+    a 2*cum >= total filter pick the first qualifying value (argmin
+    via min(struct)). Windows run over the distinct-value aggregate
+    -- fact rows never cross a sort. Weights must be integral
+    (cents/micros); zero-total groups are dropped (no mass, no
+    median)."""
+    grain = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.sum(weight_col).alias("w"))
+    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("g")
+    cum = grain.withColumn("cw", F.sum("w").over(wc)).withColumn(
+        "tw", F.sum("w").over(wt)
+    )
+    picked = (
+        cum.filter((F.col("tw") > 0) & (2 * F.col("cw") >= F.col("tw")))
+        .groupBy("g")
+        .agg(F.min("v").alias(out_col), F.max("tw").alias("total_weight"))
+    )
+    return picked.select(
+        F.col("g").alias(group_col), out_col, "total_weight"
+    ).orderBy(group_col)

@@ -4602,6 +4602,59 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_audit(spark, sf_dir)
 
 
+def q_brand_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per part brand
+    (operators/robust.weighted_median): the quantity level below
+    which half of each brand's extended-price mass sits -- the
+    aggregation-weighted generalization of the median ("where does
+    half the MONEY trade", not "what does the middle ROW order").
+    Weights are exact integer CENTS (double -> decimal(12,2) -> *100
+    -> long), so the 2*cum >= total tie-break is decided by integer
+    comparisons and the answer is a value that EXISTS in the data:
+    SELECTION, not interpolation, the same portability stance as the
+    MAD medians. lineitem collapses to (brand, distinct quantity)
+    grain in one partial-agg'd groupBy after a broadcast part join;
+    windows run over that ~|brands| x 50 grain, never fact rows."""
+    from .operators.robust import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("decimal(12,2)").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return weighted_median(j, "p_brand", "qty", "cents")
+
+
+def q_segment_nation_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and
+    nation (operators/evalmetrics.chi_square_cells): per observed
+    contingency cell [c_mktsegment, n_name, observed, expected,
+    term, chi2, dof] -- "does segment mix differ by nation" asked
+    exactly, the categorical-drift sibling of corpus_drift_psi /
+    value_drift_ks. Every input to the IEEE arithmetic is an exact
+    integer (counts and their products, decimal-routed): the term is
+    (o*n - r*c)^2 / (r*c*n), so both engines square and divide
+    bit-identical doubles; the summed statistic is a 9dp-decimal
+    accumulation string-routed out. One groupBy collapses customer
+    x nation (broadcast dim join) to the |segments| x |nations| cell
+    grain; everything after runs on that metadata-sized table."""
+    from .operators.evalmetrics import chi_square_cells
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    j = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select("c_mktsegment", "n_name")
+    return chi_square_cells(j, "c_mktsegment", "n_name")
+
+
 ORACLES: dict[str, str] = {
     # faithful surface
     "wordcount": _SQL_WORDCOUNT,
@@ -7810,6 +7863,72 @@ ORACLES["part_sales_skyline"] = """
   ORDER BY total_qty DESC, partkey
 """
 
+# Weighted median: SELECTION by exact integer-cent comparisons --
+# the picked quantity is a value present in the data, so neither
+# engine interpolates. DuckDB's HUGEINT window sums cast back to
+# BIGINT to match Spark's long.
+ORACLES["brand_weighted_median"] = """
+  WITH j AS (
+    SELECT p_brand,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS qty,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                AS BIGINT) AS cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey),
+  grain AS (
+    SELECT p_brand, qty, CAST(sum(cents) AS BIGINT) AS w
+    FROM j GROUP BY 1, 2),
+  cum AS (
+    SELECT p_brand, qty, w,
+           sum(w) OVER (PARTITION BY p_brand ORDER BY qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(w) OVER (PARTITION BY p_brand) AS tw
+    FROM grain)
+  SELECT p_brand, CAST(min(qty) AS BIGINT) AS weighted_median,
+         CAST(max(tw) AS BIGINT) AS total_weight
+  FROM cum WHERE tw > 0 AND 2 * cw >= tw
+  GROUP BY 1 ORDER BY 1
+"""
+
+# Chi-square cells: (o*n - r*c)^2 / (r*c*n) on exact integers,
+# HUGEINT here / DECIMAL(38,0) in Spark, string-routed to double on
+# both sides before the one square-and-divide; terms 9dp-decimal
+# summed exactly, string-routed out.
+ORACLES["segment_nation_chisq"] = """
+  WITH cells AS (
+    SELECT c_mktsegment AS r_cat, n_name AS c_cat,
+           count(*) AS o
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  tot AS (
+    SELECT r_cat, c_cat, o,
+           CAST(sum(o) OVER (PARTITION BY r_cat) AS HUGEINT) AS r,
+           CAST(sum(o) OVER (PARTITION BY c_cat) AS HUGEINT) AS c,
+           CAST(sum(o) OVER () AS HUGEINT) AS n
+    FROM cells),
+  dims AS (
+    SELECT CAST(count(DISTINCT r_cat) AS BIGINT) AS nr,
+           CAST(count(DISTINCT c_cat) AS BIGINT) AS nc
+    FROM cells),
+  scored AS (
+    SELECT r_cat, c_cat, o, r, c, n, nr, nc,
+           CAST(CAST(CAST(o AS HUGEINT) * n - r * c AS VARCHAR)
+                AS DOUBLE) AS numd,
+           CAST(CAST(r * c * n AS VARCHAR) AS DOUBLE) AS dend,
+           CAST(CAST(r * c AS VARCHAR) AS DOUBLE) AS rcd
+    FROM tot CROSS JOIN dims),
+  t9 AS (
+    SELECT r_cat, c_cat, o, nr, nc,
+           rcd / CAST(n AS DOUBLE) AS expected,
+           CAST(round(numd * numd / dend, 9) AS DECIMAL(20,9)) AS term9
+    FROM scored)
+  SELECT r_cat AS c_mktsegment, c_cat AS n_name,
+         CAST(o AS BIGINT) AS observed, expected,
+         CAST(CAST(term9 AS VARCHAR) AS DOUBLE) AS term,
+         CAST(CAST(sum(term9) OVER () AS VARCHAR) AS DOUBLE) AS chi2,
+         CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+  FROM t9 ORDER BY 1, 2
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
@@ -7890,6 +8009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_acf": q_events_acf,
     "user_survival_km": q_user_survival_km,
     "embedding_mutual_nn": q_embedding_mutual_nn,
+    "brand_weighted_median": q_brand_weighted_median,
+    "segment_nation_chisq": q_segment_nation_chisq,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8172,6 +8293,8 @@ BENCH_QUERIES = [
     "events_acf",
     "user_survival_km",
     "embedding_mutual_nn",
+    "brand_weighted_median",
+    "segment_nation_chisq",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
