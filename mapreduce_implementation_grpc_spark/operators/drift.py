@@ -179,3 +179,114 @@ def ks_test(
             F.col("_v").alias("at_value"),
         )
     )
+
+
+def benford_first_digit(df: DataFrame, cents_col: str) -> DataFrame:
+    """Benford's-law first-digit audit over a positive exact-integer
+    amount column: per digit d in 1..9 [digit, observed, total_n,
+    observed_share, benford_p, expected, term, chi2] where benford_p
+    = log10(1 + 1/d) (the first-digit law) and term is the Pearson
+    deviation (o - n*p)^2 / (n*p) against it. The classic
+    fabricated-amounts detector -- the theoretical-distribution twin
+    of categorical_drift (which compares two EMPIRICAL sides).
+
+    Determinism: the first digit is extracted by STRING head (both
+    engines print a long identically; no log10-of-amount bucketing,
+    whose boundary ulps could disagree). benford_p is the one
+    transcendental -- rounded to 9dp and frozen as DECIMAL(10,9), so
+    expected = n * p is an exact decimal product string-routed to
+    double, and both engines square/divide identical doubles; terms
+    are 9dp decimals summed exactly into chi2. A missing digit still
+    gets its row (o=0 via the map lookup, contributing n*p to chi2
+    -- dropping absent digits would understate the statistic exactly
+    where fabrication is most visible).
+
+    Scale: one partial-agg'd groupBy collapses to <= 9 rows, a
+    second to ONE row (digit->count map + total); all nine digits'
+    fields -- including the chi2 sum -- are projected inside that
+    single row and exploded back out, so the only single-partition
+    exchange in the plan is the 9-row final aggregate (no spine
+    join, no unpartitioned window). Non-positive amounts raise
+    per-row (no first digit)."""
+    bad = F.col(cents_col).isNull() | (F.col(cents_col) <= 0)
+    digit = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"benford_first_digit: non-positive/NULL '{cents_col}' "
+                    "(value: "
+                ),
+                F.coalesce(F.col(cents_col).cast("string"), F.lit("NULL")),
+                F.lit(") -- Benford's law applies to positive amounts; "
+                      "filter or sign-split explicitly"),
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.substring(F.col(cents_col).cast("string"), 1, 1).cast("long")
+    )
+    counts = df.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("observed")
+    )
+    one = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("digit", "observed"))
+        ).alias("_m"),
+        F.sum("observed").alias("total_n"),
+    )
+
+    def obs(d: int):
+        return F.coalesce(
+            F.element_at(F.col("_m"), F.lit(d).cast("long")), F.lit(0)
+        ).cast("long")
+
+    def p9(d: int):
+        # the one transcendental, frozen at 9dp before any arithmetic
+        return F.round(F.log10(F.lit(1.0 + 1.0 / d)), 9).cast(
+            "decimal(10,9)"
+        )
+
+    def expected(d: int):
+        return (
+            (F.col("total_n").cast("decimal(19,0)") * p9(d))
+            .cast("decimal(30,9)")
+            .cast("string")
+            .cast("double")
+        )
+
+    def term9(d: int):
+        od = obs(d).cast("double")
+        e = expected(d)
+        return F.round((od - e) * (od - e) / e, 9).cast("decimal(20,9)")
+
+    # chained decimal adds grow precision (20,9)->(28,9), never
+    # hitting the 38 cap where Spark would silently shed scale;
+    # chi2 is projected ONCE before the array build -- inlining it
+    # into all nine structs makes an expression tree big enough to
+    # fail janino codegen
+    chi2 = sum(
+        (term9(d) for d in range(2, 10)), term9(1)
+    ).cast("string").cast("double")
+    staged = one.select("_m", "total_n", chi2.alias("_chi2"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("digit"),
+                obs(d).alias("observed"),
+                F.col("total_n").alias("total_n"),
+                (obs(d).cast("double") / F.col("total_n").cast("double")).alias(
+                    "observed_share"
+                ),
+                p9(d).cast("string").cast("double").alias("benford_p"),
+                expected(d).alias("expected"),
+                term9(d).cast("string").cast("double").alias("term"),
+                F.col("_chi2").alias("chi2"),
+            )
+            for d in range(1, 10)
+        ]
+    )
+    return (
+        staged.select(F.explode(entries).alias("_r"))
+        .select("_r.*")
+        .orderBy("digit")
+    )

@@ -4655,6 +4655,74 @@ def q_segment_nation_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_cells(j, "c_mktsegment", "n_name")
 
 
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals
+    (operators/drift.benford_first_digit): first-digit distribution
+    of o_totalprice in exact integer cents vs log10(1 + 1/d), with
+    the Pearson deviation per digit and the summed chi2 -- the
+    fabricated-amounts detector, and the theoretical-distribution
+    twin of corpus_drift_psi. Digit extraction is by string head
+    (never log-bucketing, whose boundary ulps could disagree); the
+    one transcendental (benford_p) is 9dp-frozen as a decimal before
+    any arithmetic touches it. One partial-agg'd groupBy collapses
+    orders to <= 9 rows; everything after is constant-size."""
+    from .operators.drift import benford_first_digit
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return benford_first_digit(
+        orders.select(cents.alias("cents")), "cents"
+    )
+
+
+def q_customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by customer decile: rank customers by lifetime
+    spend ascending, split into 10 equal-population deciles, report
+    [decile, n_customers, cents, share_of_total, cum_share] -- the
+    curve whose area complement is customer_spend_gini, shown as the
+    10-point table an analyst actually reads ("the top decile holds
+    X% of revenue"). Spend is exact integer cents; the global rank
+    rides the two-level bucketed machinery (operators/ranking.py --
+    no customer row crosses SinglePartition) and the decile boundary
+    is INTEGER arithmetic ((rn-1)*10 div n, the ABC-class stance: no
+    float decides a bucket). Shares divide exact longs; the only
+    unpartitioned windows run over the 10-row decile aggregate."""
+    from .operators.ranking import with_global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents).alias("cents")
+    )
+    ranked = with_global_row_number(
+        spend,
+        "cents",
+        tiebreaks=[F.asc("custkey")],
+        out_col="rn",
+        total_col="n",
+    )
+    per = ranked.groupBy(
+        F.expr("((rn - 1) * 10) div n").alias("decile")
+    ).agg(F.count("*").alias("n_customers"), F.sum("cents").alias("cents"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        "cents",
+        (F.col("cents").cast("double") / F.sum("cents").over(w_all).cast("double")).alias(
+            "share_of_total"
+        ),
+        (F.sum("cents").over(w_cum).cast("double") / F.sum("cents").over(w_all).cast("double")).alias(
+            "cum_share"
+        ),
+    ).orderBy("decile")
+
+
 ORACLES: dict[str, str] = {
     # faithful surface
     "wordcount": _SQL_WORDCOUNT,
@@ -7929,6 +7997,79 @@ ORACLES["segment_nation_chisq"] = """
   FROM t9 ORDER BY 1, 2
 """
 
+# Benford: digit by string head; the transcendental benford_p frozen
+# at 9dp as DECIMAL(10,9) BEFORE expected = n*p (exact decimal
+# product, string-routed), so both engines square/divide identical
+# doubles; 9dp-decimal terms summed exactly into chi2.
+ORACLES["orders_benford"] = """
+  WITH c AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT) AS cents
+    FROM orders),
+  d AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*) AS o
+    FROM c GROUP BY 1),
+  spine AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+  f AS (
+    SELECT s.digit, CAST(COALESCE(o, 0) AS BIGINT) AS observed
+    FROM spine s LEFT JOIN d USING (digit)),
+  t AS (
+    SELECT digit, observed,
+           CAST(sum(observed) OVER () AS BIGINT) AS total_n,
+           CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)
+                AS DECIMAL(10,9)) AS p9
+    FROM f),
+  s2 AS (
+    SELECT digit, observed, total_n, p9,
+           CAST(CAST(CAST(CAST(total_n AS DECIMAL(19,0)) * p9
+                          AS DECIMAL(30,9)) AS VARCHAR) AS DOUBLE) AS e
+    FROM t),
+  s3 AS (
+    SELECT *, CAST(round((CAST(observed AS DOUBLE) - e)
+                         * (CAST(observed AS DOUBLE) - e) / e, 9)
+                   AS DECIMAL(20,9)) AS term9
+    FROM s2)
+  SELECT digit, observed, total_n,
+         CAST(observed AS DOUBLE) / CAST(total_n AS DOUBLE)
+           AS observed_share,
+         CAST(CAST(p9 AS VARCHAR) AS DOUBLE) AS benford_p,
+         e AS expected,
+         CAST(CAST(term9 AS VARCHAR) AS DOUBLE) AS term,
+         CAST(CAST(sum(term9) OVER () AS VARCHAR) AS DOUBLE) AS chi2
+  FROM s3 ORDER BY digit
+"""
+
+# Lorenz deciles: exact integer cents, integer decile boundaries
+# ((rn-1)*10 // n), shares divide exact longs.
+ORACLES["customer_spend_lorenz"] = """
+  WITH spend AS (
+    SELECT o_custkey AS custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1),
+  ranked AS (
+    SELECT custkey, cents,
+           row_number() OVER (ORDER BY cents, custkey) AS rn,
+           count(*) OVER () AS n
+    FROM spend),
+  per AS (
+    SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+           count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM ranked GROUP BY 1)
+  SELECT decile, n_customers, cents,
+         CAST(cents AS DOUBLE)
+           / CAST(CAST(sum(cents) OVER () AS BIGINT) AS DOUBLE)
+           AS share_of_total,
+         CAST(CAST(sum(cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(cents) OVER () AS BIGINT) AS DOUBLE)
+           AS cum_share
+  FROM per ORDER BY decile
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
@@ -8011,6 +8152,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_mutual_nn": q_embedding_mutual_nn,
     "brand_weighted_median": q_brand_weighted_median,
     "segment_nation_chisq": q_segment_nation_chisq,
+    "orders_benford": q_orders_benford,
+    "customer_spend_lorenz": q_customer_spend_lorenz,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8295,6 +8438,8 @@ BENCH_QUERIES = [
     "embedding_mutual_nn",
     "brand_weighted_median",
     "segment_nation_chisq",
+    "orders_benford",
+    "customer_spend_lorenz",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
