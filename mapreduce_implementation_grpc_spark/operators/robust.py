@@ -153,3 +153,73 @@ def weighted_median(
     return picked.select(
         F.col("g").alias(group_col), out_col, "total_weight"
     ).orderBy(group_col)
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    trim_pct: int = 5,
+) -> DataFrame:
+    """Exact two-sided trimmed mean per group over an integer-cents
+    column: drop the lowest and highest k = floor(n * trim_pct/100)
+    rows by rank, average the rest -- the robust location estimate
+    between the mean (outlier-hostage) and the median (throws away
+    too much). [group, n, n_trimmed_each_side, trimmed_mean_cents,
+    mean_cents], ordered by group.
+
+    Exactness: the trim boundary is INTEGER rank arithmetic (k =
+    n*pct div 100), the kept mass per distinct value is clamp
+    arithmetic on exact cumulative counts (kept = min(cum, n-k) -
+    max(cum-cnt, k), floored at 0), and the sums are exact longs --
+    the only IEEE ops are the two final divisions of exact integers,
+    identical cross-engine. No interpolation anywhere (the
+    MAD/weighted-median SELECTION stance applied to a range).
+
+    Shape: one groupBy collapses facts to (group, distinct cents)
+    grain with counts (heavy ties collapse -- 2dp money makes this
+    grain far smaller than the facts); one per-group cumulative
+    window over that grain; one final per-group aggregate. ANSI mode
+    makes a 2^63 overflow of kept*cents loud."""
+    grain = df.groupBy(
+        F.col(group_col).alias("g"), F.col(cents_col).alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("g")
+    cum = (
+        grain.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("n", F.sum("cnt").over(wt))
+        .withColumn("k", F.expr(f"(n * {int(trim_pct)}) div 100"))
+    )
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("k")),
+    )
+    return (
+        cum.withColumn("_kept", kept)
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("n_trimmed_each_side"),
+            F.sum(F.col("_kept") * F.col("v")).alias("_ks"),
+            F.sum(F.col("cnt") * F.col("v")).alias("_ts"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "n_trimmed_each_side",
+            (
+                F.col("_ks").cast("double")
+                / (F.col("n") - 2 * F.col("n_trimmed_each_side")).cast(
+                    "double"
+                )
+            ).alias("trimmed_mean_cents"),
+            (F.col("_ts").cast("double") / F.col("n").cast("double")).alias(
+                "mean_cents"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -4723,6 +4723,116 @@ def q_customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+def q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of event value per type
+    (operators/robust.trimmed_mean): the robust location estimate
+    between events_anomaly_mad's median and the raw mean -- drop the
+    k = n*5 div 100 cheapest and dearest rows by exact integer rank,
+    average the rest. Values ride as exact integer cents; the only
+    IEEE ops are two final divisions of exact longs. The (type,
+    distinct cents) grain collapses ~5.6x below the facts before any
+    window runs."""
+    from .operators.robust import trimmed_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    return trimmed_mean(
+        ev.select("event_type", cents.alias("cents")), "event_type", "cents"
+    )
+
+
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on 24h activation between a
+    deterministic 50/50 user split (variant = user_id % 2):
+    population = users with a signup event, conversion = a purchase
+    within 24 hours of their FIRST signup ("does the variant
+    activate users faster") -- one row [n_a, conv_a, p_a, n_b,
+    conv_b, p_b, z_score], the classical pooled-variance test and
+    the experimentation sibling of segment_nation_chisq /
+    value_drift_ks. (Lifetime any-purchase saturates to p=1 on this
+    data -- a degenerate pooled rate the guard below rejects; the
+    windowed funnel is the honest metric.) Every input to the float
+    arithmetic is an exact integer count over exact microsecond
+    timestamp comparisons, so p's, the pooled rate, and the variance
+    are identical doubles cross-engine; sqrt is
+    IEEE-correctly-rounded, so z matches to the last bit. Shapes:
+    signup firsts collapse at user grain, one hash join back to
+    events on user_id (both sides user-partitioned; never
+    broadcast -- the user dimension scales with the corpus), then
+    per-user flags -> 2 variant rows -> 1."""
+    ev = load_table(spark, sf_dir, "events")
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s0"))
+    )
+    per_user = (
+        s0.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("s0"))
+                    & (F.col("ts") < F.col("s0") + F.expr("INTERVAL 24 HOURS")),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    by_var = per_user.groupBy(
+        (F.col("user_id") % 2).alias("variant")
+    ).agg(F.count("*").alias("n"), F.sum("conv").cast("long").alias("c"))
+    one = by_var.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("conv_b"),
+    )
+    degenerate = (
+        F.col("n_a").isNull()
+        | F.col("n_b").isNull()
+        | (F.col("conv_a") + F.col("conv_b") <= 0)
+        | (F.col("conv_a") + F.col("conv_b") >= F.col("n_a") + F.col("n_b"))
+    )
+    guard = F.when(
+        degenerate,
+        F.raise_error(
+            F.lit(
+                "ab_conversion_ztest: degenerate split (empty arm or "
+                "pooled rate 0/1) -- the z statistic is undefined; "
+                "check the assignment and conversion event"
+            )
+        ).cast("double"),
+    )
+    p_a = guard.otherwise(
+        F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    )
+    p_b = guard.otherwise(
+        F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    )
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_a - p_b) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return one.select(
+        "n_a",
+        "conv_a",
+        p_a.alias("p_a"),
+        "n_b",
+        "conv_b",
+        p_b.alias("p_b"),
+        z.alias("z_score"),
+    )
+
+
 ORACLES: dict[str, str] = {
     # faithful surface
     "wordcount": _SQL_WORDCOUNT,
@@ -8070,6 +8180,76 @@ ORACLES["customer_spend_lorenz"] = """
   FROM per ORDER BY decile
 """
 
+# Trimmed mean: integer rank boundaries (k = n*5 div 100), clamp
+# arithmetic on exact cumulative counts, two final long/long
+# divisions -- no interpolation.
+ORACLES["events_trimmed_mean"] = """
+  WITH grain AS (
+    SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2),
+  cum AS (
+    SELECT g, v, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+    FROM grain),
+  k AS (
+    SELECT *, (n * 5) // 100 AS k FROM cum),
+  kept AS (
+    SELECT g, v, cnt, n, k,
+           greatest(CAST(0 AS BIGINT),
+                    least(cum, n - k) - greatest(cum - cnt, k)) AS kp
+    FROM k)
+  SELECT g AS event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+         CAST(CAST(sum(kp * v) AS BIGINT) AS DOUBLE)
+           / CAST(max(n) - 2 * max(k) AS DOUBLE) AS trimmed_mean_cents,
+         CAST(CAST(sum(cnt * v) AS BIGINT) AS DOUBLE)
+           / CAST(max(n) AS DOUBLE) AS mean_cents
+  FROM kept GROUP BY 1 ORDER BY 1
+"""
+
+# z-test: all inputs exact integer counts; identical float
+# expression shape on both sides; sqrt is IEEE-correctly-rounded.
+ORACLES["ab_conversion_ztest"] = """
+  WITH s AS (
+    SELECT user_id, min(ts) AS s0 FROM events
+    WHERE event_type = 'signup' GROUP BY 1),
+  pu AS (
+    SELECT s.user_id,
+           max(CASE WHEN e.event_type = 'purchase'
+                     AND e.ts >= s.s0
+                     AND e.ts < s.s0 + INTERVAL 24 HOURS
+                    THEN 1 ELSE 0 END) AS conv
+    FROM s JOIN events e USING (user_id) GROUP BY 1),
+  v AS (
+    SELECT user_id % 2 AS variant, count(*) AS n,
+           CAST(sum(conv) AS BIGINT) AS c
+    FROM pu GROUP BY 1),
+  w AS (
+    SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+           max(CASE WHEN variant = 0 THEN c END) AS conv_a,
+           max(CASE WHEN variant = 1 THEN n END) AS n_b,
+           max(CASE WHEN variant = 1 THEN c END) AS conv_b
+    FROM v),
+  p AS (
+    SELECT *,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CAST(conv_a + conv_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) AS pool
+    FROM w)
+  SELECT n_a, conv_a, p_a, n_b, conv_b, p_b,
+         (p_a - p_b) / sqrt(pool * (1.0 - pool)
+           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           AS z_score
+  FROM p
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # faithful surface
@@ -8154,6 +8334,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_nation_chisq": q_segment_nation_chisq,
     "orders_benford": q_orders_benford,
     "customer_spend_lorenz": q_customer_spend_lorenz,
+    "events_trimmed_mean": q_events_trimmed_mean,
+    "ab_conversion_ztest": q_ab_conversion_ztest,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8440,6 +8622,8 @@ BENCH_QUERIES = [
     "segment_nation_chisq",
     "orders_benford",
     "customer_spend_lorenz",
+    "events_trimmed_mean",
+    "ab_conversion_ztest",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
