@@ -4833,6 +4833,75 @@ def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_top_brands_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-with-OTHERS report: per supplier nation, the 3 highest-
+    revenue part brands by exact micros plus ONE 'OTHERS' row
+    rolling up the tail -- [n_name, brand, n_brands, revenue,
+    share], the report shape every BI tool renders (plain top-k
+    queries drop the tail; the OTHERS row is what makes shares sum
+    to 1). Rank ties break deterministically (micros desc, brand
+    asc). Facts collapse to the |nations| x |brands| grain in ONE
+    partial-agg'd groupBy after two broadcast dim joins; the rank
+    window and the re-aggregation run on that metadata-sized grain;
+    share divides exact longs by the nation total (a window over the
+    post-rollup <= 4-rows-per-nation grain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    base = (
+        li.join(
+            F.broadcast(
+                sup.join(
+                    F.broadcast(nat),
+                    sup.s_nationkey == nat.n_nationkey,
+                ).select("s_suppkey", "n_name")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("n_name", "p_brand")
+        .agg(F.sum((rev * F.lit(1_000_000)).cast("long")).alias("micros"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("micros"), F.asc("p_brand")
+    )
+    rolled = (
+        base.withColumn("_rk", F.row_number().over(w))
+        .groupBy(
+            "n_name",
+            F.when(F.col("_rk") <= 3, F.col("p_brand"))
+            .otherwise(F.lit("OTHERS"))
+            .alias("brand"),
+        )
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.sum("micros").alias("_mi"),
+            F.min("_rk").alias("_ord"),
+        )
+    )
+    wn = Window.partitionBy("n_name")
+    return rolled.select(
+        "n_name",
+        "brand",
+        "n_brands",
+        (F.col("_mi").cast("double") / F.lit(1_000_000.0)).alias("revenue"),
+        (
+            F.col("_mi").cast("double")
+            / F.sum("_mi").over(wn).cast("double")
+        ).alias("share"),
+        F.col("_ord"),
+    ).select(
+        "n_name", "brand", "n_brands", "revenue", "share"
+    ).orderBy("n_name", F.desc("share"), "brand")
+
+
 ORACLES: dict[str, str] = {
     # faithful surface
     "wordcount": _SQL_WORDCOUNT,
@@ -8213,6 +8282,38 @@ ORACLES["events_trimmed_mean"] = """
   FROM kept GROUP BY 1 ORDER BY 1
 """
 
+# Top-N + OTHERS: exact-micros rank with deterministic tie-break,
+# tail rolled into one row so shares sum to 1.
+ORACLES["nation_top_brands_others"] = """
+  WITH base AS (
+    SELECT n_name, p_brand,
+           CAST(sum(CAST(
+             (CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+             * 1000000 AS BIGINT)) AS BIGINT) AS micros
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2),
+  rk AS (
+    SELECT *, row_number() OVER (PARTITION BY n_name
+              ORDER BY micros DESC, p_brand) AS rk
+    FROM base),
+  rolled AS (
+    SELECT n_name,
+           CASE WHEN rk <= 3 THEN p_brand ELSE 'OTHERS' END AS brand,
+           count(*) AS n_brands,
+           CAST(sum(micros) AS BIGINT) AS mi
+    FROM rk GROUP BY 1, 2)
+  SELECT n_name, brand, n_brands,
+         CAST(mi AS DOUBLE) / 1000000.0 AS revenue,
+         CAST(mi AS DOUBLE)
+           / CAST(CAST(sum(mi) OVER (PARTITION BY n_name) AS BIGINT)
+                  AS DOUBLE) AS share
+  FROM rolled ORDER BY 1, 5 DESC, 2
+"""
+
 # z-test: all inputs exact integer counts; identical float
 # expression shape on both sides; sqrt is IEEE-correctly-rounded.
 ORACLES["ab_conversion_ztest"] = """
@@ -8336,6 +8437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_spend_lorenz": q_customer_spend_lorenz,
     "events_trimmed_mean": q_events_trimmed_mean,
     "ab_conversion_ztest": q_ab_conversion_ztest,
+    "nation_top_brands_others": q_nation_top_brands_others,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8624,6 +8726,7 @@ BENCH_QUERIES = [
     "customer_spend_lorenz",
     "events_trimmed_mean",
     "ab_conversion_ztest",
+    "nation_top_brands_others",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
