@@ -43,7 +43,7 @@ computes one fixed word count; regression is SURVEY extension surface
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,4 +109,83 @@ def ols_fit(
                 F.col("_num") * F.col("_num") / (F.col("_den") * y_dev),
             ).alias("r2"),
         )
+    )
+
+
+def trailing_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x: str,
+    y: str,
+    width: int,
+) -> DataFrame:
+    """Per-row TRAILING-window OLS slope of integral y on integral x:
+    for each input row, fit over the rows of its group whose x lies
+    in (row.x - width, row.x] -- the rolling-trend detector ("is
+    this series accelerating THIS week"), the windowed sibling of
+    ols_fit's one-fit-per-group.
+
+    The frame is a RANGE over x, not ROWS: a gap in the series
+    SHRINKS the window's n instead of silently stretching it back to
+    older points -- a trailing week means a calendar week. Same
+    exactness contract as ols_fit: integral x/y accumulate as exact
+    DECIMAL inside the window frame (order-free), slope_num/den are
+    exact integer expressions string-routed to double, one IEEE
+    division; ANSI overflow raises rather than wrapping. A frame
+    with constant x (n = 1, or ties only) has no defined slope and
+    yields NULL -- per-row reports keep the row (unlike ols_fit's
+    filter, dropping it would silently hide the series' warm-up).
+
+    Scale: callers pre-aggregate to (group, x) grain, so the window
+    sorts grain rows (days, not facts) per group -- the
+    events_dow_seasonality stance. Appends [n_points, slope] to the
+    input columns."""
+    xd = F.col(x).cast("decimal(12,0)")
+    yd = F.col(y).cast("decimal(25,0)")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(x)
+        .rangeBetween(-(width - 1), 0)
+    )
+    t = (
+        df.withColumn("_wn", F.count("*").over(w))
+        .withColumn("_sx", F.sum(xd).over(w).cast("decimal(20,0)"))
+        .withColumn("_sy", F.sum(yd).over(w).cast("decimal(33,0)"))
+        .withColumn(
+            "_sxy",
+            F.sum(xd.cast("decimal(10,0)") * yd.cast("decimal(27,0)"))
+            .over(w)
+            .cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "_sxx",
+            F.sum(xd.cast("decimal(15,0)") * xd.cast("decimal(15,0)"))
+            .over(w)
+            .cast("decimal(31,0)"),
+        )
+    )
+    n = F.col("_wn").cast("decimal(7,0)")
+    num = _sdbl(
+        (n * F.col("_sxy").cast("decimal(30,0)"))
+        - (
+            F.col("_sx").cast("decimal(10,0)")
+            * F.col("_sy").cast("decimal(27,0)")
+        )
+    )
+    den = _sdbl(
+        (n * F.col("_sxx").cast("decimal(30,0)"))
+        - (
+            F.col("_sx").cast("decimal(18,0)")
+            * F.col("_sx").cast("decimal(19,0)")
+        )
+    )
+    return (
+        t.withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn("n_points", F.col("_wn"))
+        .withColumn(
+            "slope",
+            F.when(F.col("_den") != 0, F.col("_num") / F.col("_den")),
+        )
+        .drop("_wn", "_sx", "_sy", "_sxy", "_sxx", "_num", "_den")
     )

@@ -4833,6 +4833,46 @@ def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_trailing_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS revenue slope per event type
+    (operators/regression.trailing_ols): for every (type, day), the
+    least-squares trend in cents/day over the trailing calendar week
+    -- the per-row "is this series accelerating NOW" detector, the
+    windowed sibling of nation_revenue_trend's one-fit-per-group.
+    The frame is a RANGE over the epoch-day index, so a missing day
+    shrinks the fit's n instead of stretching the window into stale
+    history. Facts collapse to the (type, day) grain first; the
+    window sums exact DECIMAL statistics over that grain (days, not
+    events cross the sort); slope_num/den are exact integers
+    string-routed to double, one IEEE division; warm-up rows keep a
+    NULL slope."""
+    from .operators.regression import trailing_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn(
+            "x",
+            F.datediff(
+                F.col("day"), F.to_date(F.lit("1970-01-01"))
+            ).cast("long"),
+        )
+    )
+    return (
+        trailing_ols(daily, ["event_type"], "x", "cents", 7)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "n_points",
+            "slope",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def q_nation_top_brands_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N-with-OTHERS report: per supplier nation, the 3 highest-
     revenue part brands by exact micros plus ONE 'OTHERS' row
@@ -8282,6 +8322,39 @@ ORACLES["events_trimmed_mean"] = """
   FROM kept GROUP BY 1 ORDER BY 1
 """
 
+# Trailing OLS: exact HUGEINT window statistics over the day grain,
+# RANGE frame (gaps shrink n), string-routed num/den, one division.
+ORACLES["events_trailing_slope"] = """
+  WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2),
+  xd AS (
+    SELECT event_type, day,
+           CAST(day - DATE '1970-01-01' AS BIGINT) AS x, cents
+    FROM daily),
+  wsum AS (
+    SELECT event_type, day, cents,
+           CAST(count(*) OVER wnd AS BIGINT) AS n,
+           CAST(sum(x) OVER wnd AS HUGEINT) AS sx,
+           CAST(sum(cents) OVER wnd AS HUGEINT) AS sy,
+           CAST(sum(x * cents) OVER wnd AS HUGEINT) AS sxy,
+           CAST(sum(x * x) OVER wnd AS HUGEINT) AS sxx
+    FROM xd
+    WINDOW wnd AS (PARTITION BY event_type ORDER BY x
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+  SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+         n AS n_points,
+         CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx <> 0 THEN
+           CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+                AS DOUBLE)
+           / CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+                  AS DOUBLE)
+         END AS slope
+  FROM wsum ORDER BY 1, 2
+"""
+
 # Top-N + OTHERS: exact-micros rank with deterministic tie-break,
 # tail rolled into one row so shares sum to 1.
 ORACLES["nation_top_brands_others"] = """
@@ -8438,6 +8511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trimmed_mean": q_events_trimmed_mean,
     "ab_conversion_ztest": q_ab_conversion_ztest,
     "nation_top_brands_others": q_nation_top_brands_others,
+    "events_trailing_slope": q_events_trailing_slope,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8727,6 +8801,7 @@ BENCH_QUERIES = [
     "events_trimmed_mean",
     "ab_conversion_ztest",
     "nation_top_brands_others",
+    "events_trailing_slope",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
