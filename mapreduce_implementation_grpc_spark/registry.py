@@ -4873,6 +4873,51 @@ def q_events_trailing_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge detection: CONSECUTIVE events by the same
+    user, same type, same EXACT cent amount within 7 days -- the
+    classic double-billing screen, the record-linkage sibling of
+    orders_benford's digit audit. One lag() per (user, type, cents)
+    partition finds adjacent repeats (a same-key self-join would
+    emit O(m^2) pairs per hot key for the same finding;
+    consecutiveness bounds output at one row per repeat, and a chain
+    of m duplicates surfaces as m-1 adjacent pairs). Exact integer
+    cents and exact microsecond gaps decide everything; event_id
+    breaks equal-timestamp ties so the pairing is deterministic.
+    Legitimately SPARSE on clean data (3 hits at sf0.01, 29 at
+    sf0.1, exact-amount collisions are the anomaly being screened
+    for) -- pytest injects a synthetic duplicate chain for the
+    structural check. Output: [user_id, event_type, cents,
+    first_event_id, second_event_id, gap_us]."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        cents.alias("cents"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "cents").orderBy(
+        F.asc("_us"), F.asc("event_id")
+    )
+    lagged = base.select(
+        "user_id",
+        "event_type",
+        "cents",
+        F.lag("event_id").over(w).alias("first_event_id"),
+        F.col("event_id").alias("second_event_id"),
+        (F.col("_us") - F.lag("_us").over(w)).alias("gap_us"),
+    )
+    return (
+        lagged.filter(
+            F.col("first_event_id").isNotNull()
+            & (F.col("gap_us") <= F.lit(604_800_000_000))  # 7d in us
+        )
+        .orderBy("user_id", "event_type", "cents", "second_event_id")
+    )
+
+
 def q_nation_top_brands_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N-with-OTHERS report: per supplier nation, the 3 highest-
     revenue part brands by exact micros plus ONE 'OTHERS' row
@@ -8322,6 +8367,31 @@ ORACLES["events_trimmed_mean"] = """
   FROM kept GROUP BY 1 ORDER BY 1
 """
 
+# Duplicate charges: adjacent same-(user, type, cents) repeats
+# within 7 days via lag -- integer cents/microsecond gaps decide
+# everything.
+ORACLES["duplicate_charge_screen"] = """
+  WITH base AS (
+    SELECT user_id, event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           event_id, epoch_us(ts) AS us
+    FROM events),
+  lagged AS (
+    SELECT user_id, event_type, cents,
+           lag(event_id) OVER w AS first_event_id,
+           event_id AS second_event_id,
+           us - lag(us) OVER w AS gap_us
+    FROM base
+    WINDOW w AS (PARTITION BY user_id, event_type, cents
+                 ORDER BY us, event_id))
+  SELECT user_id, event_type, cents, first_event_id, second_event_id,
+         CAST(gap_us AS BIGINT) AS gap_us
+  FROM lagged
+  WHERE first_event_id IS NOT NULL
+    AND gap_us <= CAST(604800 AS BIGINT) * 1000000
+  ORDER BY user_id, event_type, cents, second_event_id
+"""
+
 # Trailing OLS: exact HUGEINT window statistics over the day grain,
 # RANGE frame (gaps shrink n), string-routed num/den, one division.
 ORACLES["events_trailing_slope"] = """
@@ -8512,6 +8582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_conversion_ztest": q_ab_conversion_ztest,
     "nation_top_brands_others": q_nation_top_brands_others,
     "events_trailing_slope": q_events_trailing_slope,
+    "duplicate_charge_screen": q_duplicate_charge_screen,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8802,6 +8873,7 @@ BENCH_QUERIES = [
     "ab_conversion_ztest",
     "nation_top_brands_others",
     "events_trailing_slope",
+    "duplicate_charge_screen",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
