@@ -180,3 +180,48 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_checked").cast("long").alias("n_checked"),
         F.col("n_violations").cast("long").alias("n_violations"),
     )
+
+
+def duplicate_charge_pairs(events: DataFrame) -> DataFrame:
+    """Duplicate-charge screen over an events frame: CONSECUTIVE
+    events by the same user, same type, same EXACT cent amount
+    within 7 days -- adjacent repeats found by ONE lag() per
+    (user, type, cents) partition (a same-key self-join would emit
+    O(m^2) pairs per hot key; consecutiveness bounds output at one
+    row per repeat, and a chain of m duplicates surfaces as m-1
+    adjacent pairs). Exact integer cents and exact microsecond gaps
+    decide everything; event_id breaks equal-timestamp ties so the
+    pairing is deterministic. Shared by the registry batch query and
+    the streaming twin's parity test (both sides must run the
+    identical arithmetic on the identical frame).
+
+    Output: [user_id, event_type, cents, first_event_id,
+    second_event_id, gap_us], ordered."""
+    from pyspark.sql import Window
+
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    base = events.select(
+        "user_id",
+        "event_type",
+        cents.alias("cents"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "cents").orderBy(
+        F.asc("_us"), F.asc("event_id")
+    )
+    lagged = base.select(
+        "user_id",
+        "event_type",
+        "cents",
+        F.lag("event_id").over(w).alias("first_event_id"),
+        F.col("event_id").alias("second_event_id"),
+        (F.col("_us") - F.lag("_us").over(w)).alias("gap_us"),
+    )
+    return (
+        lagged.filter(
+            F.col("first_event_id").isNotNull()
+            & (F.col("gap_us") <= F.lit(604_800_000_000))  # 7d in us
+        )
+        .orderBy("user_id", "event_type", "cents", "second_event_id")
+    )

@@ -4887,35 +4887,12 @@ def q_duplicate_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Legitimately SPARSE on clean data (3 hits at sf0.01, 29 at
     sf0.1, exact-amount collisions are the anomaly being screened
     for) -- pytest injects a synthetic duplicate chain for the
-    structural check. Output: [user_id, event_type, cents,
-    first_event_id, second_event_id, gap_us]."""
-    ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
-    base = ev.select(
-        "user_id",
-        "event_type",
-        cents.alias("cents"),
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
-    )
-    w = Window.partitionBy("user_id", "event_type", "cents").orderBy(
-        F.asc("_us"), F.asc("event_id")
-    )
-    lagged = base.select(
-        "user_id",
-        "event_type",
-        "cents",
-        F.lag("event_id").over(w).alias("first_event_id"),
-        F.col("event_id").alias("second_event_id"),
-        (F.col("_us") - F.lag("_us").over(w)).alias("gap_us"),
-    )
-    return (
-        lagged.filter(
-            F.col("first_event_id").isNotNull()
-            & (F.col("gap_us") <= F.lit(604_800_000_000))  # 7d in us
-        )
-        .orderBy("user_id", "event_type", "cents", "second_event_id")
-    )
+    structural check, and streaming/pipelines.py carries the
+    O(1)-state online twin (parity-pinned). Output: [user_id,
+    event_type, cents, first_event_id, second_event_id, gap_us]."""
+    from .operators.dq import duplicate_charge_pairs
+
+    return duplicate_charge_pairs(load_table(spark, sf_dir, "events"))
 
 
 def q_nation_top_brands_others(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1332,3 +1332,97 @@ def streaming_wallet_balance(events: DataFrame) -> DataFrame:
     return flows.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_duplicate_charges(events: DataFrame) -> DataFrame:
+    """Stateful online twin of registry.q_duplicate_charge_screen
+    (operators/dq.duplicate_charge_pairs): the double-billing screen
+    as an O(1)-state fold -- per (user, type, exact-cents) key the
+    state is just the LAST folded (ts_us, event_id); every arriving
+    event emits a pair row iff it follows the previous same-key event
+    within 7 days. The batch form is one lag() window; the streaming
+    form is the same adjacency test against two longs of state,
+    parity-pinned bit-exact across microbatch splits.
+
+    The key INCLUDES the cent amount (computed JVM-side with the
+    identical decimal(12,2) cast before the state boundary), so state
+    size is bounded by live (user, type, amount) triples and a
+    duplicate burst on one amount never scans another's history.
+    In-order contract as the wallet/cusum twins: exact redelivery of
+    the last folded event is skipped as idempotent, genuine
+    out-of-order arrival fails loudly with the key named."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+            StructField("first_event_id", LongType()),
+            StructField("second_event_id", LongType()),
+            StructField("gap_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("last_event_id", LongType()),
+        ]
+    )
+    WINDOW_US = 604_800_000_000  # 7 days, the batch screen's bound
+
+    def update(key, pdfs, state: GroupState):
+        uid, etype, cents = key
+        if state.exists:
+            last_us, last_id = state.get
+            have = True
+        else:
+            last_us, last_id = -(2**63), -(2**63)
+            have = False
+        rows = []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if have and (ts_us, int(eid)) == (last_us, last_id):
+                continue  # idempotent redelivery of the last folded event
+            if have and (ts_us, int(eid)) < (last_us, last_id):
+                raise ValueError(
+                    f"streaming_duplicate_charges: out-of-order event "
+                    f"(user {int(uid)}, type {etype}, cents {int(cents)}, "
+                    f"event_id {int(eid)}) after state folded "
+                    f"ts_us={last_us} -- in-order contract broken"
+                )
+            if have and ts_us - last_us <= WINDOW_US:
+                rows.append(
+                    (
+                        int(uid),
+                        str(etype),
+                        int(cents),
+                        last_id,
+                        int(eid),
+                        ts_us - last_us,
+                    )
+                )
+            last_us, last_id = ts_us, int(eid)
+            have = True
+        state.update((last_us, last_id))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "event_type",
+                "cents",
+                "first_event_id",
+                "second_event_id",
+                "gap_us",
+            ],
+        )
+
+    keyed = events.withColumn(
+        "cents", (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    )
+    return keyed.groupBy("user_id", "event_type", "cents").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
