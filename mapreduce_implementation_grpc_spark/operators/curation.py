@@ -497,3 +497,77 @@ def temperature_sample(
         .filter(u < F.col("rate"))
         .select(*keep)
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    group_col: str = "lang",
+    num: int = 1,
+    den: int = 10,
+) -> DataFrame:
+    """EXACT proportional stratified sample with largest-remainder
+    (Hamilton) apportionment: total sample size n = N*num div den,
+    per-stratum quota q_h = (n*N_h) div N, and the d = n - sum(q_h)
+    leftover slots go to the strata with the largest remainders
+    (n*N_h mod N, ties broken by stratum name) -- the apportionment
+    rule that makes the quotas sum EXACTLY to n while every stratum
+    stays within 1 of its ideal share. mixture_sample's Bernoulli
+    filter only hits its target in expectation; this one hits it
+    exactly, which is what a fixed-token-budget training mix needs.
+
+    Determinism: all quota arithmetic is integer (ANSI overflow
+    raises -- at corpus sizes where n*N_h exceeds 2^63, widen to
+    decimal rather than silently wrapping); within a stratum the
+    kept docs are the quota-first rows in md5(doc_id) hex order
+    (portable string compare, mirrored exactly by the oracle), so
+    membership is a pure function of the data.
+
+    Shapes: quota logic runs entirely on the |strata|-row aggregate
+    (windows over that grain only); selection is one rank window
+    partitioned by stratum over the docs. With few huge strata that
+    per-stratum sort is the cost -- at 100 TB either run the
+    two-level bucketed ranking (operators/ranking.py) per stratum or
+    accept mixture_sample's Bernoulli approximation; this exact form
+    is sized for stratum sorts that fit an executor's spill budget.
+
+    Output: [group, doc_id, n_h, quota], ordered."""
+    c = docs.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").alias("n_h")
+    )
+    # NB: Spark resolves column names case-insensitively by default,
+    # so _n/_N would silently collide (withColumn REPLACES the other)
+    wall = Window.partitionBy()
+    t = (
+        c.withColumn("_tot", F.sum("n_h").over(wall))
+        .withColumn("_n", F.expr(f"(_tot * {int(num)}) div {int(den)}"))
+        .withColumn("_q0", F.expr("(_n * n_h) div _tot"))
+        .withColumn("_r", F.expr("(_n * n_h) % _tot"))
+    )
+    wrank = Window.orderBy(F.desc("_r"), F.asc("g"))
+    quota = (
+        t.withColumn("_deficit", F.col("_n") - F.sum("_q0").over(wall))
+        .withColumn("_rr", F.row_number().over(wrank))
+        .select(
+            "g",
+            "n_h",
+            (
+                F.col("_q0")
+                + F.when(F.col("_rr") <= F.col("_deficit"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
+    wsel = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = docs.select(group_col, "doc_id").withColumn(
+        "_rnk", F.row_number().over(wsel)
+    )
+    return (
+        ranked.join(
+            F.broadcast(quota),
+            ranked[group_col] == quota["g"],
+        )
+        .filter(F.col("_rnk") <= F.col("quota"))
+        .select(group_col, "doc_id", "n_h", "quota")
+        .orderBy(group_col, "doc_id")
+    )

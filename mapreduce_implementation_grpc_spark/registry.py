@@ -4895,6 +4895,21 @@ def q_duplicate_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_charge_pairs(load_table(spark, sf_dir, "events"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% stratified document sample with largest-remainder
+    (Hamilton) apportionment (operators/curation.stratified_sample):
+    per-lang quotas q_h = (n*N_h) div N plus +1 for the largest
+    remainders, so the sample size is EXACTLY N div 10 and every
+    stratum is within 1 doc of its ideal share -- the
+    fixed-token-budget mixing rule mixture_sample's Bernoulli filter
+    only achieves in expectation. Membership is the quota-first md5
+    (doc_id) hex order within each lang: a pure function of the
+    data, mirrored exactly by the oracle."""
+    from .operators.curation import stratified_sample
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_nation_top_brands_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N-with-OTHERS report: per supplier nation, the 3 highest-
     revenue part brands by exact micros plus ONE 'OTHERS' row
@@ -8369,6 +8384,41 @@ ORACLES["duplicate_charge_screen"] = """
   ORDER BY user_id, event_type, cents, second_event_id
 """
 
+# Hamilton-apportioned stratified sample: all-integer quota
+# arithmetic, md5-hex selection order (portable string compare).
+ORACLES["stratified_sample"] = """
+  WITH c AS (SELECT lang AS g, count(*) AS n_h FROM documents
+             GROUP BY 1),
+  t AS (
+    SELECT g, n_h,
+           CAST(sum(n_h) OVER () AS BIGINT) AS tot
+    FROM c),
+  q AS (
+    SELECT g, n_h, tot,
+           (tot // 10 * n_h) // tot AS q0,
+           (tot // 10 * n_h) % tot AS r,
+           tot // 10 AS n_samp
+    FROM t),
+  rk AS (
+    SELECT *, row_number() OVER (ORDER BY r DESC, g) AS rr,
+           n_samp - sum(q0) OVER () AS deficit
+    FROM q),
+  quota AS (
+    SELECT g, n_h,
+           CAST(q0 + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM rk),
+  sel AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM documents)
+  SELECT sel.lang, doc_id, n_h, qt.quota AS quota
+  FROM sel JOIN quota qt ON sel.lang = qt.g
+  WHERE rnk <= qt.quota
+  ORDER BY lang, doc_id
+"""
+
 # Trailing OLS: exact HUGEINT window statistics over the day grain,
 # RANGE frame (gaps shrink n), string-routed num/den, one division.
 ORACLES["events_trailing_slope"] = """
@@ -8560,6 +8610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_top_brands_others": q_nation_top_brands_others,
     "events_trailing_slope": q_events_trailing_slope,
     "duplicate_charge_screen": q_duplicate_charge_screen,
+    "stratified_sample": q_stratified_sample,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8851,6 +8902,7 @@ BENCH_QUERIES = [
     "nation_top_brands_others",
     "events_trailing_slope",
     "duplicate_charge_screen",
+    "stratified_sample",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
