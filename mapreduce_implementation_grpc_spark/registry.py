@@ -4895,7 +4895,52 @@ def q_duplicate_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_charge_pairs(load_table(spark, sf_dir, "events"))
 
 
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day, with
+    same-day actives and the DAU/WAU stickiness ratio -- the product
+    health metric every event pipeline serves. Sliding DISTINCT
+    counts don't decompose into window sums, so the scale-correct
+    plan is the contribute-forward expansion: collapse events to the
+    (user, day) grain ONCE (the only fact-sized shuffle), explode
+    each row into the <=7 window-end days it contributes to, and
+    count distinct per day -- cost is 7x the user-day grain, never
+    7x the events, and never a per-day rescan of the fact table.
+    Window-end days are restricted to OBSERVED days (broadcast day
+    spine): trailing windows never invent days past the data, and a
+    silent zero-DAU day would surface as a missing row, not a fake
+    0/x ratio. Output: [day, dau, wau, stickiness], day formatted
+    (the date-vs-timestamp dtype trap)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct().withColumnRenamed("d", "dx")
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("dx"))
+    wau = (
+        expanded.join(F.broadcast(days), "dx")
+        .groupBy("dx")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau.d == wau.dx)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 10% stratified document sample with largest-remainder
     (Hamilton) apportionment (operators/curation.stratified_sample):
     per-lang quotas q_h = (n*N_h) div N plus +1 for the largest
@@ -8384,9 +8429,29 @@ ORACLES["duplicate_charge_screen"] = """
   ORDER BY user_id, event_type, cents, second_event_id
 """
 
+# Rolling WAU: contribute-forward expansion at the user-day grain
+# (sliding distinct counts don't decompose into window sums).
+ORACLES["events_rolling_wau"] = """
+  WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+  days AS (SELECT DISTINCT d FROM ud),
+  expanded AS (
+    SELECT user_id, d + CAST(t.i AS INTEGER) AS dx
+    FROM ud CROSS JOIN (SELECT range AS i FROM range(0, 7)) t),
+  wau AS (
+    SELECT dx, count(DISTINCT user_id) AS wau
+    FROM expanded JOIN days ON dx = days.d GROUP BY 1),
+  dau AS (
+    SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+  SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau, wau,
+         CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+  FROM dau JOIN wau ON dau.d = wau.dx
+  ORDER BY 1
+"""
+
 # Hamilton-apportioned stratified sample: all-integer quota
 # arithmetic, md5-hex selection order (portable string compare).
-ORACLES["stratified_sample"] = """
+ORACLES["stratified_sample_exact"] = """
   WITH c AS (SELECT lang AS g, count(*) AS n_h FROM documents
              GROUP BY 1),
   t AS (
@@ -8610,7 +8675,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_top_brands_others": q_nation_top_brands_others,
     "events_trailing_slope": q_events_trailing_slope,
     "duplicate_charge_screen": q_duplicate_charge_screen,
-    "stratified_sample": q_stratified_sample,
+    "stratified_sample_exact": q_stratified_sample_exact,
+    "events_rolling_wau": q_events_rolling_wau,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8902,7 +8968,8 @@ BENCH_QUERIES = [
     "nation_top_brands_others",
     "events_trailing_slope",
     "duplicate_charge_screen",
-    "stratified_sample",
+    "stratified_sample_exact",
+    "events_rolling_wau",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the

@@ -71,9 +71,9 @@ def test_membership_is_deterministic(spark, sf_check):
     assert a == b
 
 
-def test_stratified_sample_oracle(spark, sf_check):
+def test_stratified_sample_exact_oracle(spark, sf_check):
     assert_matches_oracle(
-        registry.QUERIES["stratified_sample"](spark, sf_check),
-        registry.ORACLES["stratified_sample"],
+        registry.QUERIES["stratified_sample_exact"](spark, sf_check),
+        registry.ORACLES["stratified_sample_exact"],
         sf_check,
     )
