@@ -236,3 +236,58 @@ def test_staleness_report_covers_registry():
     assert set(registry.QUERIES) - fresh <= set(last_green), (
         sorted(set(registry.QUERIES) - fresh - set(last_green))
     )
+
+
+def test_registry_has_no_shadowed_bindings():
+    """A module-level name bound twice in registry.py silently
+    SHADOWS the first binding (it happened: a new def
+    q_stratified_sample replaced the pre-existing alias to
+    analytics.stratified_sample, changing a registered query's
+    semantics without any error), and a duplicate literal key in the
+    QUERIES dict silently drops an entry. Both are structural
+    mistakes the language won't flag -- so the contract does."""
+    import ast
+    import collections
+
+    src = open(
+        os.path.join(
+            REPO, "mapreduce_implementation_grpc_spark", "registry.py"
+        )
+    ).read()
+    tree = ast.parse(src)
+    names = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            names.append(node.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            names.append(node.target.id)
+    dups = sorted(
+        n for n, c in collections.Counter(names).items() if c > 1
+    )
+    assert dups == [], f"registry.py binds these names twice: {dups}"
+
+    dict_nodes = [
+        node
+        for node in tree.body
+        if isinstance(node, ast.AnnAssign)
+        and isinstance(node.target, ast.Name)
+        and node.target.id in ("QUERIES", "ORACLES")
+        and isinstance(node.value, ast.Dict)
+    ]
+    assert dict_nodes, "QUERIES/ORACLES dict literals not found"
+    for node in dict_nodes:
+        keys = [
+            k.value for k in node.value.keys if isinstance(k, ast.Constant)
+        ]
+        dup_keys = sorted(
+            k for k, c in collections.Counter(keys).items() if c > 1
+        )
+        assert dup_keys == [], (
+            f"{node.target.id} literal repeats keys: {dup_keys}"
+        )
