@@ -3894,6 +3894,50 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend: one row
+    [n_customers, total_cents, theil], T = sum_i s_i * ln(s_i * n)
+    with s_i = spend_i / total -- the entropy-based inequality
+    measure that DECOMPOSES across subgroups (unlike
+    customer_spend_gini), completing the concentration family
+    gini / lorenz / theil. Determinism: s_i and s_i*n are divisions
+    and products of exact longs (identical doubles cross-engine);
+    the one transcendental ln is rounded 9dp per row, the per-row
+    term again 9dp, and the terms sum EXACTLY as DECIMAL(20,9)
+    (the lang_token_entropy recipe) -- string-routed out. One
+    partial-agg'd pass to customer grain, a broadcast 1-row totals
+    join, one final partial-agg'd sum. Zero-spend rows are excluded
+    by construction (x ln x -> 0)."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = spend.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+    )
+    cd = F.col("cents").cast("double")
+    nd = F.col("n_customers").cast("double")
+    td = F.col("total_cents").cast("double")
+    lr = F.round(F.log(cd * nd / td), 9)
+    term9 = F.round((cd / td) * lr, 9).cast("decimal(20,9)")
+    return (
+        spend.filter(F.col("cents") > 0)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_customers", "total_cents")
+        .agg(
+            F.sum(term9).cast("string").cast("double").alias("theil")
+        )
+        .select("n_customers", "total_cents", "theil")
+    )
+
+
 def q_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-D skyline (Pareto frontier) of customers over (total spend,
     order count, recency): no customer in the answer is beaten on all
@@ -8429,6 +8473,30 @@ ORACLES["duplicate_charge_screen"] = """
   ORDER BY user_id, event_type, cents, second_event_id
 """
 
+# Theil T: exact-long ratios, ln 9dp per row, 9dp-decimal term sum.
+ORACLES["customer_spend_theil"] = """
+  WITH spend AS (
+    SELECT o_custkey AS custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1),
+  t AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM spend),
+  terms AS (
+    SELECT n_customers, total_cents,
+           CAST(round(
+             (CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE))
+             * round(ln(CAST(cents AS DOUBLE) * CAST(n_customers AS DOUBLE)
+                        / CAST(total_cents AS DOUBLE)), 9),
+           9) AS DECIMAL(20,9)) AS term9
+    FROM spend, t WHERE cents > 0)
+  SELECT n_customers, total_cents,
+         CAST(CAST(sum(term9) AS VARCHAR) AS DOUBLE) AS theil
+  FROM terms GROUP BY 1, 2
+"""
+
 # Rolling WAU: contribute-forward expansion at the user-day grain
 # (sliding distinct counts don't decompose into window sums).
 ORACLES["events_rolling_wau"] = """
@@ -8677,6 +8745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_charge_screen": q_duplicate_charge_screen,
     "stratified_sample_exact": q_stratified_sample_exact,
     "events_rolling_wau": q_events_rolling_wau,
+    "customer_spend_theil": q_customer_spend_theil,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -8970,6 +9039,7 @@ BENCH_QUERIES = [
     "duplicate_charge_screen",
     "stratified_sample_exact",
     "events_rolling_wau",
+    "customer_spend_theil",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
