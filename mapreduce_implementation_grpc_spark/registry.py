@@ -3894,6 +3894,51 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_length_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across languages:
+    each doc's n_chars is replaced by the GLOBAL length at the same
+    quantile position -- rank r of m within its lang maps to the
+    global order statistic at k = ceil(r*N/m) -- so every language's
+    length distribution becomes the corpus-wide one while each doc
+    keeps its within-language rank (the cross-batch feature
+    alignment standard in ML preprocessing). Exactness: SELECTION,
+    never interpolation -- k is integer ceiling arithmetic
+    ((r*N + m - 1) div m, ANSI raises if r*N ever exceeds 2^63
+    rather than wrapping), and the normalized value is a length that
+    EXISTS in the corpus. Ranks break ties by doc_id on both sides,
+    so the map is deterministic. Shapes: per-lang ranks are one
+    lang-keyed window; the global rank table rides the two-level
+    bucketed machinery (operators/ranking.py -- no doc row crosses
+    SinglePartition); the final attach is one equi-join on k."""
+    from .operators.ranking import with_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wl = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wm = Window.partitionBy("lang")
+    local = docs.withColumn("_r", F.row_number().over(wl)).withColumn(
+        "_m", F.count("*").over(wm)
+    )
+    glob = with_global_row_number(
+        docs.select(F.col("doc_id").alias("_gid"), F.col("n_chars").alias("_gv")),
+        "_gv",
+        tiebreaks=(F.asc("_gid"),),
+        out_col="_k",
+        total_col="_N",
+    ).select("_k", F.col("_gv").alias("norm_n_chars"), "_N")
+    n_total = glob.select(F.max("_N").alias("_N"))
+    keyed = local.crossJoin(F.broadcast(n_total)).withColumn(
+        "_k",
+        F.expr("(_r * _N + _m - 1) div _m"),
+    )
+    return (
+        keyed.join(glob.drop("_N"), "_k")
+        .select("doc_id", "lang", "n_chars", "norm_n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_customer_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil T inequality index of customer spend: one row
     [n_customers, total_cents, theil], T = sum_i s_i * ln(s_i * n)
@@ -8473,6 +8518,29 @@ ORACLES["duplicate_charge_screen"] = """
   ORDER BY user_id, event_type, cents, second_event_id
 """
 
+# Quantile normalization: rank r of m -> global order statistic at
+# ceil(r*N/m); all-integer, selection not interpolation.
+ORACLES["doc_length_quantile_norm"] = """
+  WITH local AS (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY n_chars, doc_id) AS r,
+           count(*) OVER (PARTITION BY lang) AS m
+    FROM documents),
+  gl AS (
+    SELECT n_chars AS norm_n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS k,
+           count(*) OVER () AS total_n
+    FROM documents),
+  keyed AS (
+    SELECT doc_id, lang, n_chars,
+           (r * (SELECT max(total_n) FROM gl) + m - 1) // m AS k
+    FROM local)
+  SELECT keyed.doc_id, lang, n_chars, norm_n_chars
+  FROM keyed JOIN gl USING (k)
+  ORDER BY doc_id
+"""
+
 # Theil T: exact-long ratios, ln 9dp per row, 9dp-decimal term sum.
 ORACLES["customer_spend_theil"] = """
   WITH spend AS (
@@ -8746,6 +8814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_exact": q_stratified_sample_exact,
     "events_rolling_wau": q_events_rolling_wau,
     "customer_spend_theil": q_customer_spend_theil,
+    "doc_length_quantile_norm": q_doc_length_quantile_norm,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -9040,6 +9109,7 @@ BENCH_QUERIES = [
     "stratified_sample_exact",
     "events_rolling_wau",
     "customer_spend_theil",
+    "doc_length_quantile_norm",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
