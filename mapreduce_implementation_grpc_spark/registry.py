@@ -3752,6 +3752,47 @@ def q_lang_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per language: [lang, n_tokens,
+    n_types, n_hapax, ttr, hapax_share] -- type-token ratio and the
+    hapax-legomena share (words seen exactly once), the classic
+    corpus-linguistics vocabulary-growth gauges and the frequency-
+    spectrum companions to lang_token_entropy (entropy summarizes
+    the whole distribution; TTR/hapax read its head and tail). All
+    counts are exact integers off the SAME one-tokenize-pass shape
+    as the entropy query; the two ratios are single int/int IEEE
+    divisions, identical cross-engine. Output grain |langs|."""
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        cnt.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "ttr"
+            ),
+            (F.col("n_hapax").cast("double") / F.col("n_types").cast("double")).alias(
+                "hapax_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 K_ANON = 10
 
 
@@ -7596,6 +7637,21 @@ ORACLES["lang_token_entropy"] = f"""
   GROUP BY 1, 2, 3 ORDER BY 1
 """.replace("{TOKS}", _SQL_TOKS)
 
+ORACLES["lang_lexical_richness"] = f"""
+  WITH t AS ({{TOKS}}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, count(*) AS c FROM tk GROUP BY 1, 2)
+  SELECT lang,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+         CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS hapax_share
+  FROM cnt GROUP BY 1 ORDER BY 1
+""".replace("{TOKS}", _SQL_TOKS)
+
 ORACLES["k_anonymity_report"] = f"""
   WITH g AS (
     SELECT c_nationkey, c_mktsegment,
@@ -8815,6 +8871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_wau": q_events_rolling_wau,
     "customer_spend_theil": q_customer_spend_theil,
     "doc_length_quantile_norm": q_doc_length_quantile_norm,
+    "lang_lexical_richness": q_lang_lexical_richness,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -9110,6 +9167,7 @@ BENCH_QUERIES = [
     "events_rolling_wau",
     "customer_spend_theil",
     "doc_length_quantile_norm",
+    "lang_lexical_richness",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
