@@ -53,6 +53,7 @@ def bucketize_by_key(
     ascending: bool = True,
     n_buckets: int = 1024,
     reliable: bool | None = None,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Append `_ak` (the key as an ascending double) and `_bkt` (a
     value-range bucket id, monotone non-decreasing in `_ak`; equal
@@ -85,13 +86,29 @@ def bucketize_by_key(
     # materialization of the (table-sized) input; `reliable` picks the
     # executor-loss story (materialize.py)
     base = materialize(df.withColumn("_ak", ak), reliable=reliable)
-    stats = base.agg(F.min("_ak").alias("_lo"), F.max("_ak").alias("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
     bucket = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
         F.least(
             F.lit(n_buckets - 1), F.floor((F.col("_ak") - F.col("_lo")) / width)
         )
     )
+    if group_cols:
+        # GROUP-SCOPED variant: per-group value ranges, so every
+        # group gets its own 1024-bucket ladder and the downstream
+        # windows partition by (group, _bkt) -- no per-group sort of
+        # a fact-sized grain anywhere (the robust_probe-measured
+        # weighted-median wall). The stats table is group-sized; the
+        # join back is a plain equi-join (AQE broadcasts it when the
+        # group count is small).
+        stats = base.groupBy(*group_cols).agg(
+            F.min("_ak").alias("_lo"), F.max("_ak").alias("_hi")
+        )
+        return (
+            base.join(stats, list(group_cols))
+            .withColumn("_bkt", bucket.cast("long"))
+            .drop("_lo", "_hi")
+        )
+    stats = base.agg(F.min("_ak").alias("_lo"), F.max("_ak").alias("_hi"))
     return (
         base.crossJoin(F.broadcast(stats))
         .withColumn("_bkt", bucket.cast("long"))
@@ -99,19 +116,42 @@ def bucketize_by_key(
     )
 
 
-def bucket_offsets(bucketed: DataFrame, weight: Column | None = None) -> DataFrame:
-    """Per-bucket cumulative offsets [_bkt, _off, _tot]: _off = total
-    weight of all LOWER buckets, _tot = grand total. `weight` defaults
-    to row counts. The only single-partition windows run over this
-    <= n_buckets-row aggregate -- never over the bucketed rows."""
+def bucket_offsets(
+    bucketed: DataFrame,
+    weight: Column | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-bucket cumulative offsets [*group_cols, _bkt, _off, _tot]:
+    _off = total weight of all LOWER buckets (of the same group when
+    `group_cols` is given), _tot = the (group's) grand total.
+    `weight` defaults to row counts. Ungrouped, the only
+    single-partition windows run over this <= n_buckets-row
+    aggregate; grouped, the windows are PARTITIONED by group over
+    <= n_buckets rows each -- no single-partition exchange at all,
+    at any group count."""
     agg = F.count("*") if weight is None else F.sum(weight)
-    totals = bucketed.groupBy("_bkt").agg(agg.cast("long").alias("_bcnt"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_bkt").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    keys = [*group_cols, "_bkt"]
+    totals = bucketed.groupBy(*keys).agg(agg.cast("long").alias("_bcnt"))
+    if group_cols:
+        w_off = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_all = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+    else:
+        w_off = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_all = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
     return totals.select(
-        "_bkt",
+        *keys,
         F.coalesce(F.sum("_bcnt").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_bcnt").over(w_all).alias("_tot"),
     )

@@ -110,12 +110,40 @@ def mad_outliers(
     )
 
 
+def _grouped_cumsum(grain: DataFrame, weight_col: str) -> DataFrame:
+    """Per-group cumulative weight over a (g, v)-grain frame WITHOUT
+    a per-group sort of the whole grain: group-scoped two-level
+    bucketing (operators/ranking.py) -- per-(g, _bkt) local windows
+    plus group-partitioned offset windows over the <= 1024-row
+    per-group bucket aggregate. Appends [cw, tw]. This is the
+    all-distinct-values escape hatch the robust_probe ladder
+    measured as the naive-window wall (weighted_median 14.9 s at
+    16M distinct rows in 8 groups)."""
+    from .ranking import bucket_offsets, bucketize_by_key
+
+    bk = bucketize_by_key(grain, "v", group_cols=["g"])
+    offs = bucket_offsets(bk, weight=F.col(weight_col), group_cols=["g"])
+    w_local = (
+        Window.partitionBy("g", "_bkt")
+        .orderBy(F.asc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bk.withColumn("_lc", F.sum(weight_col).over(w_local))
+        .join(offs, ["g", "_bkt"])
+        .withColumn("cw", F.col("_off") + F.col("_lc"))
+        .withColumn("tw", F.col("_tot"))
+        .drop("_ak", "_bkt", "_lc", "_off", "_tot")
+    )
+
+
 def weighted_median(
     df: DataFrame,
     group_col: str,
     value_col: str,
     weight_col: str,
     out_col: str = "weighted_median",
+    scalable: bool = False,
 ) -> DataFrame:
     """Exact lower weighted median per group: the smallest value v
     with 2 * cumweight(<= v) >= total weight -- the
@@ -138,13 +166,20 @@ def weighted_median(
     grain = df.groupBy(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).agg(F.sum(weight_col).alias("w"))
-    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wt = Window.partitionBy("g")
-    cum = grain.withColumn("cw", F.sum("w").over(wc)).withColumn(
-        "tw", F.sum("w").over(wt)
-    )
+    if scalable:
+        # scalable=True swaps the per-group grain sort for the
+        # group-scoped two-level bucket cumsum -- identical numbers
+        # (parity-tested), no fact-sized window partition; use it
+        # when values don't tie (the measured wall regime)
+        cum = _grouped_cumsum(grain, "w")
+    else:
+        wc = Window.partitionBy("g").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wt = Window.partitionBy("g")
+        cum = grain.withColumn("cw", F.sum("w").over(wc)).withColumn(
+            "tw", F.sum("w").over(wt)
+        )
     picked = (
         cum.filter((F.col("tw") > 0) & (2 * F.col("cw") >= F.col("tw")))
         .groupBy("g")
@@ -160,6 +195,7 @@ def trimmed_mean(
     group_col: str,
     cents_col: str,
     trim_pct: int = 5,
+    scalable: bool = False,
 ) -> DataFrame:
     """Exact two-sided trimmed mean per group over an integer-cents
     column: drop the lowest and highest k = floor(n * trim_pct/100)
@@ -184,15 +220,23 @@ def trimmed_mean(
     grain = df.groupBy(
         F.col(group_col).alias("g"), F.col(cents_col).alias("v")
     ).agg(F.count("*").alias("cnt"))
-    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wt = Window.partitionBy("g")
-    cum = (
-        grain.withColumn("cum", F.sum("cnt").over(wc))
-        .withColumn("n", F.sum("cnt").over(wt))
-        .withColumn("k", F.expr(f"(n * {int(trim_pct)}) div 100"))
-    )
+    if scalable:
+        cum = (
+            _grouped_cumsum(grain, "cnt")
+            .withColumnRenamed("cw", "cum")
+            .withColumnRenamed("tw", "n")
+            .withColumn("k", F.expr(f"(n * {int(trim_pct)}) div 100"))
+        )
+    else:
+        wc = Window.partitionBy("g").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wt = Window.partitionBy("g")
+        cum = (
+            grain.withColumn("cum", F.sum("cnt").over(wc))
+            .withColumn("n", F.sum("cnt").over(wt))
+            .withColumn("k", F.expr(f"(n * {int(trim_pct)}) div 100"))
+        )
     kept = F.greatest(
         F.lit(0).cast("long"),
         F.least(F.col("cum"), F.col("n") - F.col("k"))
