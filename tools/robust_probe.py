@@ -59,8 +59,12 @@ def build_facts(spark, n_rows: int, distinct_vals: int):
 
 
 def timed(df) -> tuple[float, int]:
+    # collect(), not count(): count() lets Catalyst PRUNE any column
+    # the row count doesn't depend on -- trimmed_mean's whole window
+    # stage vanished under count() (its filter keeps every row), so
+    # the first version of this probe timed an empty plan for it
     t0 = time.perf_counter()
-    n = df.count()
+    n = len(df.collect())
     return time.perf_counter() - t0, n
 
 
