@@ -531,6 +531,13 @@ def stratified_sample(
     is sized for stratum sorts that fit an executor's spill budget.
 
     Output: [group, doc_id, n_h, quota], ordered."""
+    if not 0 < int(num) <= int(den):
+        raise ValueError(
+            f"stratified_sample: num/den={num}/{den} -- the sampling "
+            "fraction must be in (0, 1]; above 1 a stratum's quota "
+            "can exceed its population and the shortfall would be "
+            "silent"
+        )
     c = docs.groupBy(F.col(group_col).alias("g")).agg(
         F.count("*").alias("n_h")
     )

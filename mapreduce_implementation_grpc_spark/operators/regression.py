@@ -140,6 +140,11 @@ def trailing_ols(
     sorts grain rows (days, not facts) per group -- the
     events_dow_seasonality stance. Appends [n_points, slope] to the
     input columns."""
+    if int(width) < 1:
+        raise ValueError(
+            f"trailing_ols: width={width} -- the trailing range must "
+            "cover at least the current row (width >= 1)"
+        )
     xd = F.col(x).cast("decimal(12,0)")
     yd = F.col(y).cast("decimal(25,0)")
     w = (

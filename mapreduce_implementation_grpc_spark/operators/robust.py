@@ -163,6 +163,11 @@ def weighted_median(
     -- fact rows never cross a sort. Weights must be integral
     (cents/micros); zero-total groups are dropped (no mass, no
     median)."""
+    if out_col in (group_col, "total_weight"):
+        raise ValueError(
+            f"weighted_median: out_col {out_col!r} collides with an "
+            "output column -- pick a distinct name"
+        )
     grain = df.groupBy(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).agg(F.sum(weight_col).alias("w"))
@@ -217,6 +222,12 @@ def trimmed_mean(
     grain far smaller than the facts); one per-group cumulative
     window over that grain; one final per-group aggregate. ANSI mode
     makes a 2^63 overflow of kept*cents loud."""
+    if not 0 <= int(trim_pct) < 50:
+        raise ValueError(
+            f"trimmed_mean: trim_pct={trim_pct} -- a two-sided trim "
+            "must keep at least the middle (0 <= trim_pct < 50); 50+ "
+            "would trim everything and divide by zero"
+        )
     grain = df.groupBy(
         F.col(group_col).alias("g"), F.col(cents_col).alias("v")
     ).agg(F.count("*").alias("cnt"))

@@ -91,3 +91,27 @@ def test_scalable_plan_has_no_group_grain_sort(spark):
         keys = m.group(1)
         if "g#" in keys and "_ak" not in keys and "v#" in keys:
             assert "_bkt" in keys, f"grain-wide per-group sort: {keys}"
+
+
+def test_parameter_guards_raise(spark):
+    """Degenerate parameters fail loudly at build time, not with
+    NaN/short output at execution time."""
+    import pytest
+
+    from mapreduce_implementation_grpc_spark.operators.curation import (
+        stratified_sample,
+    )
+    from mapreduce_implementation_grpc_spark.operators.regression import (
+        trailing_ols,
+    )
+
+    df = spark.createDataFrame([("g", 1, 1)], "g string, v long, w long")
+    with pytest.raises(ValueError, match="collides"):
+        weighted_median(df, "g", "v", "w", out_col="total_weight")
+    with pytest.raises(ValueError, match="trim_pct"):
+        trimmed_mean(df, "g", "v", trim_pct=50)
+    with pytest.raises(ValueError, match="width"):
+        trailing_ols(df, ["g"], "v", "w", width=0)
+    docs = spark.createDataFrame([("en", 1)], "lang string, doc_id long")
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, num=3, den=2)
