@@ -3337,6 +3337,64 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+def q_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the first 8 embedding
+    dimensions: [dim_i, dim_j, n, r] for i < j (28 pairs) -- the
+    feature-redundancy screen run before whitening/PCA decisions,
+    extending embedding_dim_stats' per-dim moments to CROSS moments.
+    Determinism: float->double widening is exact, each product is
+    rounded 9dp and summed as DECIMAL(20,9) (the dim_stats recipe,
+    order-independent), the five sufficient statistics are
+    string-routed doubles, and r is one fixed-shape IEEE expression
+    (num / sqrt(varx * vary)) on identical inputs. Shapes: one
+    posexplode restricted to dims < 8, a vec_id self-join (8 rows x
+    8 rows per vector), one partial-agg'd groupBy to the 28-pair
+    grain."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "e"
+            ),
+        )
+        .filter(F.col("dim") < 8)
+    )
+    a = ex.select(
+        "vec_id", F.col("dim").alias("dim_i"), F.col("e").alias("xi")
+    )
+    b = ex.select(
+        "vec_id", F.col("dim").alias("dim_j"), F.col("e").alias("xj")
+    )
+    pairs = a.join(b, "vec_id").filter(F.col("dim_i") < F.col("dim_j"))
+
+    def dsum(c):
+        return (
+            F.sum(F.round(c, 9).cast("decimal(20,9)"))
+            .cast("string")
+            .cast("double")
+        )
+
+    st = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("xi")).alias("sx"),
+        dsum(F.col("xj")).alias("sy"),
+        dsum(F.col("xi") * F.col("xj")).alias("sxy"),
+        dsum(F.col("xi") * F.col("xi")).alias("sxx"),
+        dsum(F.col("xj") * F.col("xj")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return st.select(
+        "dim_i",
+        "dim_j",
+        "n",
+        F.round(num / F.sqrt(varx * vary), 9).alias("r"),
+    ).orderBy("dim_i", "dim_j")
+
+
 def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day activity streak per user: the
     day-grain gaps-and-islands (distinct active days; island anchor =
@@ -7847,6 +7905,36 @@ ORACLES["embedding_dim_stats"] = """
   FROM st ORDER BY dim
 """
 
+ORACLES["embedding_dim_correlation"] = """
+  WITH ex AS (
+    SELECT vec_id,
+           unnest(generate_series(1, len(embedding))) - 1 AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS e
+    FROM embeddings),
+  f AS (SELECT * FROM ex WHERE dim < 8),
+  pr AS (
+    SELECT a.dim AS dim_i, b.dim AS dim_j, a.e AS xi, b.e AS xj
+    FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim < b.dim),
+  st AS (
+    SELECT dim_i, dim_j, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(round(xi, 9) AS DECIMAL(20,9)))
+                AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sum(CAST(round(xj, 9) AS DECIMAL(20,9)))
+                AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sum(CAST(round(xi * xj, 9) AS DECIMAL(20,9)))
+                AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(sum(CAST(round(xi * xi, 9) AS DECIMAL(20,9)))
+                AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(CAST(round(xj * xj, 9) AS DECIMAL(20,9)))
+                AS VARCHAR) AS DOUBLE) AS syy
+    FROM pr GROUP BY 1, 2)
+  SELECT dim_i, dim_j, n,
+         round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS r
+  FROM st ORDER BY 1, 2
+"""
+
 ORACLES["user_activity_streaks"] = """
   WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
   islands AS (
@@ -8872,6 +8960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_spend_theil": q_customer_spend_theil,
     "doc_length_quantile_norm": q_doc_length_quantile_norm,
     "lang_lexical_richness": q_lang_lexical_richness,
+    "embedding_dim_correlation": q_embedding_dim_correlation,
     "nation_rank_movers": q_nation_rank_movers,
     "user_wallet_balance": q_user_wallet_balance,
     "lang_token_entropy": q_lang_token_entropy,
@@ -9168,6 +9257,7 @@ BENCH_QUERIES = [
     "customer_spend_theil",
     "doc_length_quantile_norm",
     "lang_lexical_richness",
+    "embedding_dim_correlation",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
