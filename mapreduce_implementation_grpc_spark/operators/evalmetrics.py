@@ -102,15 +102,20 @@ def auc_rank_sum(
             )
         ).cast("double"),
     )
+    # u2 ships string-routed to double (the repo's wide-exact-integer
+    # convention, cf. rev_micros): DECIMAL(38,0) pandas-ifies as
+    # float64 on the DuckDB side, so both engines must emit the SAME
+    # IEEE double via the same decimal-string parse.
+    u2d = F.col("u2").cast("string").cast("double")
     auc = guard.otherwise(
-        F.col("u2").cast("double")
+        u2d
         / (
             F.lit(2.0)
             * F.col("n_pos").cast("double")
             * F.col("n_neg").cast("double")
         )
     )
-    return agg.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+    return agg.select("n_pos", "n_neg", u2d.alias("u2"), auc.alias("auc"))
 
 
 def calibration_bins(

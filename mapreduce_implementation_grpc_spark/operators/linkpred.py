@@ -123,13 +123,18 @@ def cosupply_link_prediction(
     spark: SparkSession,
     sf_dir: str,
     top_n: int = 20,
+    max_degree: int | None = None,
     reliable: bool | None = None,
 ) -> DataFrame:
     """Link prediction over the thresholded co-supply graph
     (graph_motifs.cosupply_edges): which supplier pairs are closest
-    to co-supplying without doing so yet."""
+    to co-supplying without doing so yet. `max_degree` caps wedge
+    CENTERS (the 100 TB knob -- one 8000-degree hub alone is 32M of
+    40M wedges in tools/linkpred_probe.py's ladder); None is the
+    exact oracle-of-record form."""
     return link_prediction(
         cosupply_edges(spark, sf_dir, reliable=reliable),
         top_n=top_n,
+        max_degree=max_degree,
         reliable=reliable,
     )

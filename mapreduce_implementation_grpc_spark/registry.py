@@ -3736,6 +3736,21 @@ def q_cosupply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosupply_link_prediction(spark, sf_dir, top_n=20)
 
 
+def q_cosupply_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB wiring of link prediction (VERDICT r6 #5): wedge
+    CENTERS with degree > 64 are dropped before the self-join, so
+    per-center fan-out is bounded by C(64, 2) regardless of hub size
+    -- tools/linkpred_probe.py measured one 8000-degree hub producing
+    32M of 40M wedges (and an OOM at 4M edges) in the exact form, and
+    11x speedup from the cap at 1M edges. The cap is embedded in the
+    oracle's wedge CTE, so the approximate-by-design path stays
+    hash-checkable; `cosupply_link_prediction` remains the exact
+    oracle-of-record twin."""
+    from .operators.linkpred import cosupply_link_prediction
+
+    return cosupply_link_prediction(spark, sf_dir, top_n=20, max_degree=64)
+
+
 def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-corrected ROC AUC (operators/evalmetrics.py) of the
     document-length score n_chars predicting lang='en' -- the
@@ -4281,6 +4296,23 @@ def q_embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), min_cosine=0.35
+    )
+    return mutual_nearest_pairs(pairs)
+
+
+def q_embedding_mutual_nn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB wiring of mutual-NN (VERDICT r6 #4): candidates come
+    from the LSH-bucketed pair scan (pairs only form inside a
+    hyperplane-sign bucket -- the embedding_dup_pairs_lsh path)
+    instead of the global O(n^2) scan; the reciprocity filter
+    (mutual_nearest_pairs) is unchanged node-grain windows. Recall<1
+    by design but deterministic: the LCG planes are embedded in the
+    oracle, so the approximate path hash-checks exactly.
+    `embedding_mutual_nn` remains the exact small-corpus twin."""
+    from .operators.similarity import mutual_nearest_pairs
+
+    pairs = embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.35, use_lsh=True
     )
     return mutual_nearest_pairs(pairs)
 
@@ -7470,8 +7502,9 @@ ORACLES["score_auc"] = """
                     * CAST(2 * neg_below + neg AS DECIMAL(19,0)))
                 AS DECIMAL(38,0)) AS u2
     FROM cum)
-  SELECT n_pos, n_neg, u2,
-         CAST(u2 AS DOUBLE)
+  SELECT n_pos, n_neg,
+         CAST(CAST(u2 AS VARCHAR) AS DOUBLE) AS u2,
+         CAST(CAST(u2 AS VARCHAR) AS DOUBLE)
            / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
   FROM agg
 """
@@ -7842,6 +7875,40 @@ ORACLES["cosupply_link_prediction"] = """
                 AS DECIMAL(12,9)) AS term
     FROM und a JOIN und b ON a.w = b.w AND a.x < b.x
                JOIN deg ON deg.w = a.w),
+  pairs AS (
+    SELECT x1, x2, count(*) AS cn, sum(term) AS aa
+    FROM wedge GROUP BY 1, 2),
+  nonadj AS (
+    SELECT p.* FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM e
+                      WHERE e.s1 = p.x1 AND e.s2 = p.x2))
+  SELECT n.x1 AS s1, n.x2 AS s2, n.cn AS common_neighbors,
+         CAST(n.cn AS DOUBLE) / (d1.d + d2.d - n.cn) AS jaccard,
+         CAST(CAST(n.aa AS VARCHAR) AS DOUBLE) AS adamic_adar
+  FROM nonadj n JOIN deg d1 ON d1.w = n.x1 JOIN deg d2 ON d2.w = n.x2
+  ORDER BY adamic_adar DESC, common_neighbors DESC, s1, s2
+  LIMIT 20
+"""
+
+# Same wedge enumeration with centers capped at degree 64 (the scale
+# knob); endpoint degrees for Jaccard stay UNCAPPED -- the cap bounds
+# fan-out, not the denominator semantics.
+ORACLES["cosupply_link_prediction_capped"] = """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  und AS MATERIALIZED (SELECT s1 AS w, s2 AS x FROM e
+                       UNION ALL SELECT s2, s1 FROM e),
+  deg AS MATERIALIZED (SELECT w, count(*) AS d FROM und GROUP BY 1),
+  wedge AS (
+    SELECT a.x AS x1, b.x AS x2,
+           CAST(round(1.0 / ln(CAST(deg.d AS DOUBLE)), 9)
+                AS DECIMAL(12,9)) AS term
+    FROM und a JOIN und b ON a.w = b.w AND a.x < b.x
+               JOIN deg ON deg.w = a.w
+    WHERE deg.d <= 64),
   pairs AS (
     SELECT x1, x2, count(*) AS cn, sum(term) AS aa
     FROM wedge GROUP BY 1, 2),
@@ -8240,9 +8307,10 @@ ORACLES["user_wallet_balance"] = """
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
     FROM base)
   SELECT user_id, event_id, flow_cents,
-         run - least(0, min(run) OVER (PARTITION BY user_id
+         CAST(run - least(0, min(run) OVER (PARTITION BY user_id
            ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS balance_cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              AS BIGINT) AS balance_cents
   FROM runs
 """
 
@@ -8266,6 +8334,31 @@ ORACLES["embedding_mutual_nn"] = """
   FROM b1 a JOIN b1 b ON a.nb = b.v AND b.nb = a.v AND a.v < a.nb
   ORDER BY vec_a
 """
+
+# Mutual-NN over LSH-bucket candidates: identical reciprocity filter,
+# candidate pairs restricted to a hyperplane-sign bucket (the
+# embedding_dup_pairs_lsh CTEs with the deterministic LCG planes).
+ORACLES["embedding_mutual_nn_lsh"] = f"""
+  WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+  b AS (SELECT vec_id, dvec, CAST({{bucket}} AS BIGINT) AS bucket FROM v),
+  pairs AS (
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             round(list_cosine_similarity(a.dvec, c.dvec), 6) AS cosine
+      FROM b a JOIN b c USING (bucket)
+      WHERE a.vec_id < c.vec_id
+    ) WHERE cosine >= 0.35),
+  sym AS (SELECT vec_a AS v, vec_b AS nb, cosine FROM pairs
+          UNION ALL SELECT vec_b, vec_a, cosine FROM pairs),
+  best AS (SELECT v, nb, cosine,
+                  row_number() OVER (PARTITION BY v
+                                     ORDER BY cosine DESC, nb) AS rn
+           FROM sym),
+  b1 AS (SELECT v, nb, cosine FROM best WHERE rn = 1)
+  SELECT a.v AS vec_a, a.nb AS vec_b, a.cosine
+  FROM b1 a JOIN b1 b ON a.nb = b.v AND b.nb = a.v AND a.v < a.nb
+  ORDER BY vec_a
+""".format(bucket=_bucket_terms_sql())
 
 ORACLES["nation_rank_movers"] = """
   WITH yearly AS (
@@ -8930,6 +9023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosupply_clustering": q_cosupply_clustering,
     "supplier_reach": q_supplier_reach,
     "cosupply_link_prediction": q_cosupply_link_prediction,
+    "cosupply_link_prediction_capped": q_cosupply_link_prediction_capped,
     "supplier_cheapest_reach": q_supplier_cheapest_reach,
     "score_auc": q_score_auc,
     "calibration_bins": q_calibration_bins,
@@ -8946,6 +9040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_acf": q_events_acf,
     "user_survival_km": q_user_survival_km,
     "embedding_mutual_nn": q_embedding_mutual_nn,
+    "embedding_mutual_nn_lsh": q_embedding_mutual_nn_lsh,
     "brand_weighted_median": q_brand_weighted_median,
     "segment_nation_chisq": q_segment_nation_chisq,
     "orders_benford": q_orders_benford,
@@ -9258,6 +9353,10 @@ BENCH_QUERIES = [
     "doc_length_quantile_norm",
     "lang_lexical_richness",
     "embedding_dim_correlation",
+    # r7: the 100 TB scale-path twins (VERDICT r6 #4/#5) -- headline
+    # rows so their cost is directly comparable to the exact forms
+    "embedding_mutual_nn_lsh",
+    "cosupply_link_prediction_capped",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the

@@ -1,9 +1,27 @@
 """Local replica of the driver's correctness gate: run a Spark query
 and its DuckDB oracle SQL on the same parquet dir, compare row count,
-schema (column names), and order-insensitive values."""
+schema (column names), and order-insensitive values.
+
+DTYPE-STRICT by design (round-7 fix): the driver hashes the pandas
+rendering of both result sets, so `7` (int64) vs `7.0` (float64) vs
+`Decimal('7')` are three DIFFERENT values to it even though Python's
+`==` says they're equal. The r6 reds (`score_auc`,
+`user_wallet_balance`) passed the old repr/`==`-based replica while
+failing the driver for exactly this reason: DuckDB pandas-ifies
+HUGEINT and DECIMAL columns as float64 while Spark ships long /
+Decimal. `_canon` therefore tags every scalar with a dtype class —
+int-like / float-like / Decimal / bool / str / bytes / temporal /
+array — so the replica reproduces the driver's verdict instead of
+silently canonicalizing the divergence away. Temporal values are
+normalized to ISO strings (pandas may materialize dates as
+datetime64[ns] or object-of-date depending on the Arrow path; the
+calendar instant is what both engines mean).
+"""
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 
 import duckdb
@@ -21,24 +39,53 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).fetchdf()
 
 
+def _canon_value(v):
+    """Dtype-tagged canonical form of one cell: equal iff a
+    dtype-sensitive driver hash would call them equal."""
+    if v is None:
+        return None
+    # bool before int: Python bool subclasses int
+    if isinstance(v, bool):
+        return ("b", v)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        if type(v).__name__ == "bool_":
+            return ("b", bool(v))
+        v = v.item()  # numpy scalar -> python scalar, then fall through
+        if isinstance(v, bool):
+            return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if v != v:  # NaT
+            return None
+        return ("t", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("t", v.isoformat())
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("a", tuple(_canon_value(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, _canon_value(x)) for k, x in v.items())))
+    if v != v:  # pandas NaT / other NaN-like
+        return None
+    return ("o", repr(v))
+
+
 def _canon(pdf: pd.DataFrame) -> list[tuple]:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    rows = []
-    for row in pdf.itertuples(index=False):
-        canon_row = []
-        for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                canon_row.append(None)
-            elif isinstance(v, float):
-                canon_row.append(round(v, 9))
-            elif hasattr(v, "item"):  # numpy scalar
-                item = v.item()
-                canon_row.append(round(item, 9) if isinstance(item, float) else item)
-            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                canon_row.append(tuple(v))
-            else:
-                canon_row.append(v)
-        rows.append(tuple(canon_row))
+    rows = [
+        tuple(_canon_value(v) for v in row)
+        for row in pdf.itertuples(index=False)
+    ]
     return sorted(rows, key=repr)
 
 

@@ -62,6 +62,55 @@ def test_all_query_outputs_are_scalar_columns(spark, sf_smoke):
     assert not offenders, f"non-scalar gate outputs: {offenders}"
 
 
+def test_no_wide_integer_dtypes_reach_the_driver(spark, sf_smoke):
+    """VERDICT r6 #3: the two r6 driver-reds (`score_auc`,
+    `user_wallet_balance`) were oracle-side dtype widening -- DuckDB
+    window-sums BIGINT into HUGEINT and ships DECIMAL(38,0)
+    accumulators, both of which `fetchdf()` renders as float64 while
+    Spark ships long/Decimal, breaking the driver's dtype-sensitive
+    value hash even when the numbers are identical. This lint catches
+    the class at authoring time, on BOTH sides:
+
+    - oracle side: bind (not run) every ORACLE with DuckDB and assert
+      no output column types mention HUGEINT or DECIMAL -- wide exact
+      integers must be string-routed to DOUBLE (the rev_micros
+      convention) or CAST to BIGINT before the final SELECT;
+    - Spark side: no registry query may ship a DecimalType output
+      column (toPandas renders it object-of-Decimal, never equal to
+      the oracle's float64/int64)."""
+    import duckdb
+    from pyspark.sql.types import DecimalType
+
+    from mapreduce_implementation_grpc_spark import registry
+    from mapreduce_implementation_grpc_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_smoke}/{t}.parquet')"
+        )
+    bad_oracle = []
+    for name, sql in registry.ORACLES.items():
+        rel = con.sql(sql)  # binder/planner only -- no execution
+        bad_oracle += [
+            (name, c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(ty) or "DECIMAL" in str(ty)
+        ]
+    assert not bad_oracle, f"wide-integer oracle outputs: {bad_oracle}"
+
+    bad_spark = []
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, sf_smoke)
+        bad_spark += [
+            (name, f.name, str(f.dataType))
+            for f in df.schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+    assert not bad_spark, f"DecimalType gate outputs: {bad_spark}"
+
+
 def test_lazy_queries_build_cheaply(spark, sf_smoke):
     """The driver's pattern is 'build the DataFrame, then act on it'.
     Every non-eager registry query must construct its plan cheaply --
@@ -193,7 +242,7 @@ def test_doc_query_counts_match_registry():
 
     n_queries = len(registry.QUERIES)
     n_oracles = len(registry.ORACLES)
-    for doc in ("ROUND_NOTES.md", "README.md"):
+    for doc in ("ROUND_NOTES.md", "README.md", "PARITY.md"):
         path = os.path.join(REPO, doc)
         if not os.path.exists(path):
             continue

@@ -3,6 +3,16 @@
 Usage: python tools/check_correctness.py [sf_dir] [name ...]
 Runs every registry query (or the named subset) against its DuckDB
 oracle and prints per-query row-count/schema/value-hash status.
+
+Round-7 fix: hashes are computed over the PANDAS rendering of both
+result sets (`toPandas()` / `fetchdf()`) with dtype-tagged values —
+the same lens the driver uses — instead of `collect()`/`fetchall()`
+tuple reprs. The old repr path canonicalized DuckDB HUGEINT->int and
+DECIMAL->Decimal, so it said "ALL OK" for two r6 queries the driver
+scored red (`score_auc`, `user_wallet_balance`: DuckDB pandas-ifies
+wide integers as float64, Spark ships long/Decimal). The canon lives
+in tests/oracle_utils.py so pytest and this tool can never diverge
+again.
 """
 
 from __future__ import annotations
@@ -19,12 +29,14 @@ import duckdb
 from mapreduce_implementation_grpc_spark import registry
 from mapreduce_implementation_grpc_spark.session import get_spark
 from mapreduce_implementation_grpc_spark.sources.catalog import TABLES
+from tests.oracle_utils import _canon
 
 
-def value_hash(rows, cols) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(repr(tuple(r[i] for i in order)) for r in rows)
-    return hashlib.md5("\n".join(canon).encode()).hexdigest()[:12]
+def value_hash(pdf) -> str:
+    canon = _canon(pdf)
+    return hashlib.md5(
+        "\n".join(repr(r) for r in canon).encode()
+    ).hexdigest()[:12]
 
 
 def main() -> None:
@@ -40,21 +52,19 @@ def main() -> None:
     for name in names:
         try:
             sdf = registry.QUERIES[name](spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
             if name not in registry.ORACLES:
-                print(f"  {name}: rows-only rows={len(srows)} (no oracle)")
+                print(f"  {name}: rows-only rows={len(spdf)} (no oracle)")
                 continue
-            orc = con.execute(registry.ORACLES[name])
-            orows = orc.fetchall()
-            ocols = [d[0] for d in orc.description]
-            schema_ok = sorted(sdf.columns) == sorted(ocols)
-            hash_ok = value_hash(srows, sdf.columns) == value_hash(orows, ocols)
-            ok = schema_ok and len(srows) == len(orows) and hash_ok
+            opdf = con.execute(registry.ORACLES[name]).fetchdf()
+            schema_ok = sorted(spdf.columns) == sorted(opdf.columns)
+            hash_ok = value_hash(spdf) == value_hash(opdf)
+            ok = schema_ok and len(spdf) == len(opdf) and hash_ok
             status = "OK " if ok else "FAIL"
             failures += 0 if ok else 1
             print(
-                f"  {name}: {status} rows={len(srows)}/{len(orows)} "
-                f"schema={'ok' if schema_ok else f'{sorted(sdf.columns)} vs {sorted(ocols)}'} "
+                f"  {name}: {status} rows={len(spdf)}/{len(opdf)} "
+                f"schema={'ok' if schema_ok else f'{sorted(spdf.columns)} vs {sorted(opdf.columns)}'} "
                 f"hash={'ok' if hash_ok else 'MISMATCH'}"
             )
         except Exception:
