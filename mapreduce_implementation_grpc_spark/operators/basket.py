@@ -189,3 +189,89 @@ def market_basket_triples(
         .orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2"), F.asc("p3"))
         .limit(top_n)
     )
+
+
+def association_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    min_pair_orders: int = 2,
+    top_n: int = 50,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Directed association rules from the pair stage: each surviving
+    unordered pair emits BOTH directions a=>c with the full classical
+    metric set [antecedent, consequent, pair_n, support, confidence,
+    lift, leverage, conviction] (Agrawal-Srikant support/confidence,
+    Brin et al. lift/conviction). leverage = P(ac) - P(a)P(c);
+    conviction = (1 - P(c)) / (1 - confidence), NULL for exact rules
+    (confidence = 1, integer-equality guarded -- both engines would
+    otherwise divide by an exact float zero). Same shuffle budget as
+    market_basket_pairs: the direction flip is a union of the pruned
+    pair aggregate, never a second fact pass."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = materialize(b, reliable=reliable)
+    nn = b.agg(F.count_distinct("o").alias("n"))
+    item = b.groupBy("p").agg(F.count("*").alias("item_n"))
+    a1 = b.select("o", F.col("p").alias("p1"))
+    a2 = b.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a1.join(a2, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_orders)
+    )
+    directed = pairs.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "pair_n",
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "pair_n",
+        )
+    )
+    out = (
+        directed.join(
+            item.select(
+                F.col("p").alias("antecedent"), F.col("item_n").alias("ca")
+            ),
+            "antecedent",
+        )
+        .join(
+            item.select(
+                F.col("p").alias("consequent"), F.col("item_n").alias("cc")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    confidence = F.col("pair_n") / F.col("ca")
+    leverage = F.col("pair_n") / F.col("n") - (F.col("ca") / F.col("n")) * (
+        F.col("cc") / F.col("n")
+    )
+    conviction = F.when(F.col("pair_n") == F.col("ca"), F.lit(None)).otherwise(
+        (F.lit(1.0) - F.col("cc") / F.col("n"))
+        / (F.lit(1.0) - F.col("pair_n") / F.col("ca"))
+    )
+    return (
+        out.select(
+            "antecedent",
+            "consequent",
+            "pair_n",
+            (F.col("pair_n") / F.col("n")).alias("support"),
+            confidence.alias("confidence"),
+            (
+                (F.col("pair_n") * F.col("n")) / (F.col("ca") * F.col("cc"))
+            ).alias("lift"),
+            leverage.alias("leverage"),
+            conviction.alias("conviction"),
+        )
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(top_n)
+    )

