@@ -4296,6 +4296,152 @@ def q_zipf_word_fit(spark: SparkSession, sf_dir: str, top_n: int = 500) -> DataF
     )
 
 
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str, n_buckets: int = 256) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ln(cumulative
+    distinct types) on ln(cumulative tokens) over the corpus in
+    doc_id order -- V = K * n^beta, the standard sublinear
+    vocabulary-growth diagnostic (beta ~ 0.4-0.6 on natural text)
+    and zipf_word_fit's companion. One row [n_docs, total_tokens,
+    total_types, heaps_beta, heaps_ln_k, r2].
+
+    Scale shape: tokens shuffle once on word for first-occurrence
+    docs (min(doc_id) per type -- the dedup_exact shuffle), once on
+    doc_id for per-doc counts; the cumulative curve uses the
+    two-level bucketed cumsum (ranking.bucket_offsets) so NO
+    doc-grain row crosses a single partition -- the same machinery
+    score_auc rides. ln terms are 9dp-decimal (order-independent
+    sums, string-routed) and the fit is the zipf IEEE chain."""
+    from .operators.normalize import normalized_col
+    from .operators.ranking import bucket_offsets, bucketize_by_key
+    from .operators.tokenize import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens_col(normalized_col(F.col("text")))).alias("word"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("tok_n"))
+    firsts = toks.groupBy("word").agg(F.min("doc_id").alias("doc_id"))
+    newt = firsts.groupBy("doc_id").agg(F.count("*").alias("types_new"))
+    base = per_doc.join(newt, "doc_id", "left").select(
+        "doc_id",
+        "tok_n",
+        F.coalesce("types_new", F.lit(0)).alias("types_new"),
+    )
+    bk = bucketize_by_key(base, "doc_id", n_buckets=n_buckets)
+    off_t = bucket_offsets(bk, weight=F.col("tok_n")).select(
+        "_bkt", F.col("_off").alias("_offt")
+    )
+    off_v = bucket_offsets(bk, weight=F.col("types_new")).select(
+        "_bkt", F.col("_off").alias("_offv")
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.asc("_ak"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bk.withColumn("_ctl", F.sum("tok_n").over(w))
+        .withColumn("_cvl", F.sum("types_new").over(w))
+        .join(F.broadcast(off_t), "_bkt")
+        .join(F.broadcast(off_v), "_bkt")
+        .select(
+            (F.col("_offt") + F.col("_ctl")).alias("ct"),
+            (F.col("_offv") + F.col("_cvl")).alias("cv"),
+        )
+    )
+    pts = cum.select(
+        "ct",
+        "cv",
+        F.round(F.log(F.col("ct").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("lx"),
+        F.round(F.log(F.col("cv").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("ly"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("n_docs"),
+        F.max("ct").alias("total_tokens"),
+        F.max("cv").alias("total_types"),
+        F.sum("lx").cast("decimal(22,9)").alias("_sx"),
+        F.sum("ly").cast("decimal(22,9)").alias("_sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("decimal(32,18)").alias("_sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("decimal(32,18)").alias("_sxx"),
+        F.sum(F.col("ly") * F.col("ly")).cast("decimal(32,18)").alias("_syy"),
+    )
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    n = F.col("n_docs").cast("double")
+    sx, sy = sdbl(F.col("_sx")), sdbl(F.col("_sy"))
+    sxy, sxx, syy = sdbl(F.col("_sxy")), sdbl(F.col("_sxx")), sdbl(F.col("_syy"))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        "total_types",
+        (num / den).alias("heaps_beta"),
+        ((sy * sxx - sx * sxy) / den).alias("heaps_ln_k"),
+        (num * num / (den * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word 4-grams never seen in any earlier document (doc_id order) --
+    the within-corpus contamination/memorization screen a training
+    pipeline runs before trusting "new" data (low novelty = the doc
+    is stitched from text already in the corpus; the span-level
+    sibling of duplicate_spans). [doc_id, n_grams, n_seen_before,
+    novelty], docs with >= n tokens only.
+
+    Scale shape: gram construction is a JVM-side HOF over the token
+    array (no Python); one shuffle on the gram key for
+    first-occurrence (min doc_id), one gram-keyed join back, one
+    doc-grain aggregate. novelty = exact-int difference over
+    exact-int count -> one IEEE division."""
+    from .operators.normalize import normalized_col
+    from .operators.tokenize import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", tokens_col(normalized_col(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= n)
+    grams = sized.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {n})))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("_fd"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_fd") < F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_seen_before"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen_before",
+            (
+                (F.col("n_grams") - F.col("n_seen_before")).cast("double")
+                / F.col("n_grams")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
     """Exact daily-count autocorrelogram per event type at lags 1..7
     (operators/acf.py): counts land on a dense zero-filled day spine
@@ -4368,6 +4514,74 @@ def q_embedding_mutual_nn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), min_cosine=0.35, use_lsh=True
     )
     return mutual_nearest_pairs(pairs)
+
+
+def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of the embedding corpus against
+    its own per-label centroids, reported as a confusion matrix
+    [label, pred_label, n_vecs] -- the cheapest embedding-space
+    sanity check of labels (Rocchio classification): if the corpus
+    labels are coherent, the diagonal dominates; off-diagonal mass
+    localizes label noise. Centroids use the label_centroids recipe
+    (exact decimal sums, 6dp means); every dot/norm accumulates
+    12dp-decimal terms (order-independent) string-routed to double,
+    so cosine is one deterministic IEEE chain; argmax tie-breaks on
+    label asc.
+
+    Scale shape: centroids are a k x dims aggregate BROADCAST to the
+    flat (vec, pos, v) table; the k-way fan-out is per-element with
+    k = |labels| (small by construction). One shuffle on vec_id for
+    the per-(vec, label) dot aggregate; the confusion matrix is a
+    k x k aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    cent = flat.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(
+            sdbl(F.sum(F.col("v").cast("decimal(27,12)"))) / F.count("*"), 6
+        ).alias("c")
+    )
+    cn = cent.groupBy("clabel").agg(
+        sdbl(F.sum((F.col("c") * F.col("c")).cast("decimal(24,12)"))).alias(
+            "cnorm2"
+        )
+    )
+    vn = flat.groupBy("vec_id").agg(
+        sdbl(F.sum((F.col("v") * F.col("v")).cast("decimal(24,12)"))).alias(
+            "vnorm2"
+        )
+    )
+    dots = (
+        flat.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            sdbl(
+                F.sum((F.col("v") * F.col("c")).cast("decimal(24,12)"))
+            ).alias("dot")
+        )
+    )
+    scored = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .withColumn(
+            "csim",
+            F.col("dot") / (F.sqrt("vnorm2") * F.sqrt("cnorm2")),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("clabel"))
+    pred = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        pred.groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("label", "pred_label")
+    )
 
 
 def q_nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8653,6 +8867,108 @@ ORACLES["basket_rules"] = """
   LIMIT 50
 """
 
+# Heaps'-law vocabulary-growth fit: cumulative tokens/types in doc_id
+# order, 9dp-decimal log terms, the zipf OLS chain.
+ORACLES["heaps_law_fit"] = r"""
+  WITH raw AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(
+             regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS word
+    FROM documents),
+  tk AS (SELECT doc_id, word FROM raw WHERE word <> ''),
+  per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tok_n
+              FROM tk GROUP BY 1),
+  firsts AS (SELECT word, min(doc_id) AS doc_id FROM tk GROUP BY 1),
+  newt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS types_new
+           FROM firsts GROUP BY 1),
+  base AS (SELECT p.doc_id, p.tok_n, coalesce(n.types_new, 0) AS types_new
+           FROM per_doc p LEFT JOIN newt n USING (doc_id)),
+  cum AS (SELECT CAST(sum(tok_n) OVER w AS BIGINT) AS ct,
+                 CAST(sum(types_new) OVER w AS BIGINT) AS cv
+          FROM base
+          WINDOW w AS (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+  pts AS (SELECT ct, cv,
+                 CAST(round(ln(CAST(ct AS DOUBLE)), 9) AS DECIMAL(12,9)) AS lx,
+                 CAST(round(ln(CAST(cv AS DOUBLE)), 9) AS DECIMAL(12,9)) AS ly
+          FROM cum),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(ct) AS BIGINT) AS total_tokens,
+           CAST(max(cv) AS BIGINT) AS total_types,
+           CAST(CAST(sum(lx) AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sum(ly) AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sum(lx * ly) AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(sum(lx * lx) AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(ly * ly) AS VARCHAR) AS DOUBLE) AS syy
+    FROM pts)
+  SELECT n_docs, total_tokens, total_types,
+         (n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx) AS heaps_beta,
+         (sy * sxx - sx * sxy) / (n_docs * sxx - sx * sx) AS heaps_ln_k,
+         (n_docs * sxy - sx * sy) * (n_docs * sxy - sx * sy)
+           / ((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy)) AS r2
+  FROM agg
+"""
+
+# Per-doc distinct word-4-gram novelty vs all earlier docs.
+ORACLES["ngram_novelty"] = r"""
+  WITH raw AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(
+             regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             w -> w <> '') AS t
+    FROM documents),
+  g AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                 i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS gram
+        FROM raw WHERE len(t) >= 4),
+  f AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1)
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.fd < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seen_before,
+         CAST(count(*) - sum(CASE WHEN f.fd < g.doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS novelty
+  FROM g JOIN f USING (gram)
+  GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+# Rocchio nearest-centroid confusion: centroids via the
+# label_centroids decimal recipe; dots/norms as 12dp-decimal sums
+# string-routed to double; argmax tie-break on label asc.
+ORACLES["nearest_centroid_confusion"] = """
+  WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dvec
+             FROM embeddings),
+  i AS (SELECT vec_id, label, dvec,
+               unnest(range(1, len(dvec) + 1)) AS idx FROM e),
+  f AS (SELECT vec_id, label, idx AS pos, dvec[idx] AS v FROM i),
+  cent AS (SELECT label AS clabel, pos,
+                  round(CAST(CAST(sum(CAST(v AS DECIMAL(27,12)))
+                                  AS VARCHAR) AS DOUBLE) / count(*), 6) AS c
+           FROM f GROUP BY 1, 2),
+  cn AS (SELECT clabel,
+                CAST(CAST(sum(CAST(c * c AS DECIMAL(24,12))) AS VARCHAR)
+                     AS DOUBLE) AS cnorm2
+         FROM cent GROUP BY 1),
+  vn AS (SELECT vec_id,
+                CAST(CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS VARCHAR)
+                     AS DOUBLE) AS vnorm2
+         FROM f GROUP BY 1),
+  d AS (SELECT f.vec_id, f.label, cent.clabel,
+               CAST(CAST(sum(CAST(f.v * cent.c AS DECIMAL(24,12)))
+                         AS VARCHAR) AS DOUBLE) AS dot
+        FROM f JOIN cent USING (pos) GROUP BY 1, 2, 3),
+  s AS (SELECT d.vec_id, d.label, d.clabel,
+               dot / (sqrt(vnorm2) * sqrt(cnorm2)) AS csim
+        FROM d JOIN vn USING (vec_id) JOIN cn USING (clabel)),
+  p AS (SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, clabel) AS rn
+        FROM s)
+  SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLES["nation_rank_movers"] = """
   WITH yearly AS (
     SELECT n_name AS nation, year(o_orderdate) AS yr,
@@ -9338,6 +9654,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_markov_entropy": q_event_markov_entropy,
     "nation_rank_spearman": q_nation_rank_spearman,
     "basket_rules": q_basket_rules,
+    "heaps_law_fit": q_heaps_law_fit,
+    "ngram_novelty": q_ngram_novelty,
+    "nearest_centroid_confusion": q_nearest_centroid_confusion,
     "brand_weighted_median": q_brand_weighted_median,
     "segment_nation_chisq": q_segment_nation_chisq,
     "orders_benford": q_orders_benford,
@@ -9659,6 +9978,9 @@ BENCH_QUERIES = [
     "event_markov_entropy",
     "nation_rank_spearman",
     "basket_rules",
+    "heaps_law_fit",
+    "ngram_novelty",
+    "nearest_centroid_confusion",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the

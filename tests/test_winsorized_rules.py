@@ -118,3 +118,90 @@ def test_nation_rank_spearman_identity_and_reversal(spark, sf_smoke):
     assert r.kendall_tau == pytest.approx(
         (r.n_concordant - r.n_discordant) / (n * (n - 1) / 2)
     )
+
+
+def test_heaps_law_fit_shape_and_bounds(spark, sf_smoke):
+    """Sub-linear vocabulary growth: 0 < beta < 1 on natural-ish
+    text; totals consistent; r2 high (the curve is near power-law by
+    construction of cumulative sums)."""
+    r = registry.QUERIES["heaps_law_fit"](spark, sf_smoke).collect()[0]
+    assert r.total_types <= r.total_tokens
+    assert 0.0 < r.heaps_beta < 1.0
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_smoke):
+    """The smallest doc_id with grams has novelty 1.0 by definition
+    (nothing earlier); every ratio is consistent with its counts."""
+    rows = registry.QUERIES["ngram_novelty"](spark, sf_smoke).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_seen_before == 0 and first.novelty == 1.0
+    for r in rows:
+        assert 0 <= r.n_seen_before <= r.n_grams
+        assert r.novelty == pytest.approx(
+            (r.n_grams - r.n_seen_before) / r.n_grams
+        )
+
+
+def test_ngram_novelty_exact_duplicate_scores_zero(spark):
+    """A verbatim copy of an earlier doc has novelty 0; an unrelated
+    doc keeps novelty 1."""
+    from mapreduce_implementation_grpc_spark.operators.normalize import (
+        normalized_col,
+    )
+    from mapreduce_implementation_grpc_spark.operators.tokenize import tokens_col
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    sized = docs.select(
+        "doc_id", tokens_col(normalized_col(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 4)
+    grams = sized.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 3),"
+                " i -> concat_ws(' ', slice(t, i, 4)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("_fd"))
+    out = {
+        r.doc_id: r
+        for r in grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_fd") < F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_seen_before"),
+        )
+        .collect()
+    }
+    assert out[2].n_seen_before == out[2].n_grams  # full copy
+    assert out[3].n_seen_before == 0  # disjoint text
+
+
+def test_nearest_centroid_confusion_is_a_partition(spark, sf_smoke):
+    """Every vector lands in exactly one (label, pred) cell: cell
+    counts sum to the corpus size; labels and predictions come from
+    the same label set."""
+    rows = registry.QUERIES["nearest_centroid_confusion"](
+        spark, sf_smoke
+    ).collect()
+    from mapreduce_implementation_grpc_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert sum(r.n_vecs for r in rows) == n
+    assert {r.label for r in rows} <= labels
+    assert {r.pred_label for r in rows} <= labels
