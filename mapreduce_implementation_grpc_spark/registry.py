@@ -4438,7 +4438,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
                 / F.col("n_grams")
             ).alias("novelty"),
         )
-        .orderBy("doc_id")
+        # no presentation orderBy: a corpus-sized output would pay a
+        # full range exchange for nothing (gate hash is order-free)
     )
 
 
@@ -4514,6 +4515,180 @@ def q_embedding_mutual_nn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), min_cosine=0.35, use_lsh=True
     )
     return mutual_nearest_pairs(pairs)
+
+
+def q_cosupply_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the thresholded
+    co-supply graph: per nation, Q_c = intra_c/m - (d_c/(2m))^2 --
+    "is co-supply structured by geography?" A positive term means the
+    nation's suppliers co-supply each other more than a degree-
+    preserving random rewiring predicts. No clustering is run: the
+    partition is a dimension attribute, so the whole operator is
+    exact integers (m, intra-edge counts, degree sums) into one fixed
+    IEEE chain per nation.
+
+    Scale shape: the edge list is node-pair-sized and joined twice to
+    the supplier->nation map (node-table-sized, AQE-broadcastable);
+    m is a 1-row broadcast; everything else is nation-grain.
+    [nation, n_suppliers, degree_sum, intra_edges, modularity_term]."""
+    from .operators.graph_motifs import cosupply_edges
+
+    e = materialize(cosupply_edges(spark, sf_dir))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    sn = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("sk", F.col("n_name").alias("nation"))
+    m1 = e.agg(F.count("*").alias("m"))
+    und = e.select(F.col("s1").alias("node")).unionByName(
+        e.select(F.col("s2").alias("node"))
+    )
+    dnat = (
+        und.join(sn, F.col("node") == F.col("sk"))
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("degree_sum"),
+            F.count_distinct("node").alias("n_suppliers"),
+        )
+    )
+    intra = (
+        e.join(
+            sn.select(F.col("sk").alias("_k1"), F.col("nation").alias("_n1")),
+            F.col("s1") == F.col("_k1"),
+        )
+        .join(
+            sn.select(F.col("sk").alias("_k2"), F.col("nation").alias("_n2")),
+            F.col("s2") == F.col("_k2"),
+        )
+        .filter(F.col("_n1") == F.col("_n2"))
+        .groupBy(F.col("_n1").alias("nation"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    md = F.col("m").cast("double")
+    half = F.col("degree_sum").cast("double") / (F.lit(2) * F.col("m")).cast(
+        "double"
+    )
+    return (
+        dnat.join(intra, "nation", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "nation",
+            "n_suppliers",
+            "degree_sum",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            (
+                F.coalesce("intra_edges", F.lit(0)).cast("double") / md
+                - half * half
+            ).alias("modularity_term"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_cosupply_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman) of the co-supply graph: Pearson
+    correlation of endpoint degrees across all directed edge
+    instances -- do high-degree suppliers co-supply with each other
+    (r > 0, social-network-like) or with the periphery (r < 0,
+    internet-like)? One row [m_directed, sum_j, assortativity].
+    Moments accumulate as exact DECIMAL (the ols_fit cast family --
+    j*k products dec(18)x dec(19) -> dec(38)), so a 10^9-edge hub
+    graph widens instead of wrapping; r is one IEEE chain over the
+    string-routed exact moments (sum_j == sum_k by symmetry, both
+    orientations counted)."""
+    from .operators.graph_motifs import cosupply_edges
+
+    e = materialize(cosupply_edges(spark, sf_dir))
+    und = e.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionByName(
+        e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("_n")).agg(F.count("*").alias("_d"))
+    ed = (
+        und.join(deg.select(F.col("_n").alias("src"), F.col("_d").alias("j")), "src")
+        .join(deg.select(F.col("_n").alias("dst"), F.col("_d").alias("k")), "dst")
+    )
+    agg = ed.agg(
+        F.count("*").alias("m_directed"),
+        F.sum("j").alias("sum_j"),
+        F.sum(F.col("j").cast("decimal(18,0)") * F.col("k").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("_sjk"),
+        F.sum(F.col("j").cast("decimal(18,0)") * F.col("j").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("_sjj"),
+    )
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    num = sdbl(
+        F.col("m_directed").cast("decimal(8,0)") * F.col("_sjk").cast("decimal(30,0)")
+        - F.col("sum_j").cast("decimal(18,0)") * F.col("sum_j").cast("decimal(19,0)")
+    )
+    den = sdbl(
+        F.col("m_directed").cast("decimal(8,0)") * F.col("_sjj").cast("decimal(30,0)")
+        - F.col("sum_j").cast("decimal(18,0)") * F.col("sum_j").cast("decimal(19,0)")
+    )
+    return agg.select(
+        "m_directed", "sum_j", (num / den).alias("assortativity")
+    )
+
+
+def q_events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival-time burstiness per event type: gaps between a
+    user's consecutive events of the same type (exact microseconds
+    via one lag window on the sessionize shuffle), then per-type
+    exact moments -> mean, sample variance, coefficient of variation,
+    and the Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu)
+    (B ~ -1 periodic, 0 Poisson, -> 1 bursty). Variance numerator
+    n*s2 - s^2 rides the ols_fit decimal family (gap us as dec(18),
+    squares to dec(38)); the only IEEE ops are the final chain.
+    [event_type, n_gaps, mean_gap_us, var_gap_us, cv, burstiness]."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_gap", us - F.lag(us).over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_gap").alias("_s"),
+        F.sum(
+            F.col("_gap").cast("decimal(18,0)") * F.col("_gap").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    )
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    n = F.col("n_gaps")
+    mean = F.col("_s").cast("double") / n.cast("double")
+    num = sdbl(
+        n.cast("decimal(8,0)") * F.col("_s2").cast("decimal(30,0)")
+        - F.col("_s").cast("decimal(18,0)") * F.col("_s").cast("decimal(19,0)")
+    )
+    var = num / (n * (n - F.lit(1))).cast("double")
+    sd = F.sqrt(var)
+    return (
+        agg.filter(F.col("n_gaps") >= 2)
+        .select(
+            "event_type",
+            "n_gaps",
+            mean.alias("mean_gap_us"),
+            var.alias("var_gap_us"),
+            (sd / mean).alias("cv"),
+            ((sd - mean) / (sd + mean)).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8969,6 +9144,99 @@ ORACLES["nearest_centroid_confusion"] = """
   FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# Newman modularity of the nation partition over the co-supply graph:
+# all-integer counts into one fixed IEEE chain per nation.
+ORACLES["cosupply_nation_modularity"] = """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  sn AS (SELECT s_suppkey AS sk, n_name AS nation
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+  m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+  und AS (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e),
+  dnat AS (SELECT sn.nation,
+                  CAST(count(*) AS BIGINT) AS degree_sum,
+                  CAST(count(DISTINCT node) AS BIGINT) AS n_suppliers
+           FROM und JOIN sn ON und.node = sn.sk GROUP BY 1),
+  intra AS (SELECT a.nation, CAST(count(*) AS BIGINT) AS intra_edges
+            FROM e JOIN sn a ON e.s1 = a.sk JOIN sn b ON e.s2 = b.sk
+            WHERE a.nation = b.nation GROUP BY 1)
+  SELECT dnat.nation, n_suppliers, degree_sum,
+         coalesce(intra.intra_edges, 0) AS intra_edges,
+         CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+           - (CAST(degree_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
+             * (CAST(degree_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
+           AS modularity_term
+  FROM dnat LEFT JOIN intra USING (nation) CROSS JOIN m1
+  ORDER BY nation
+"""
+
+# Degree assortativity: exact decimal edge-moment accumulation, one
+# IEEE chain (sum_j == sum_k by both-orientation symmetry).
+ORACLES["cosupply_degree_assortativity"] = """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  und AS (SELECT s1 AS src, s2 AS dst FROM e
+          UNION ALL SELECT s2, s1 FROM e),
+  deg AS (SELECT src AS n_, count(*) AS d FROM und GROUP BY 1),
+  ed AS (SELECT dj.d AS j, dk.d AS k
+         FROM und JOIN deg dj ON und.src = dj.n_
+                  JOIN deg dk ON und.dst = dk.n_),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS m_directed,
+           CAST(sum(j) AS BIGINT) AS sum_j,
+           CAST(sum(CAST(j AS DECIMAL(18,0)) * CAST(k AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sjk,
+           CAST(sum(CAST(j AS DECIMAL(18,0)) * CAST(j AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sjj
+    FROM ed)
+  SELECT m_directed, sum_j,
+         CAST(CAST(CAST(m_directed AS DECIMAL(8,0)) * CAST(sjk AS DECIMAL(30,0))
+                   - CAST(sum_j AS DECIMAL(18,0)) * CAST(sum_j AS DECIMAL(19,0))
+                   AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(CAST(m_directed AS DECIMAL(8,0)) * CAST(sjj AS DECIMAL(30,0))
+                   - CAST(sum_j AS DECIMAL(18,0)) * CAST(sum_j AS DECIMAL(19,0))
+                   AS VARCHAR) AS DOUBLE)
+           AS assortativity
+  FROM agg
+"""
+
+# Goh-Barabasi burstiness of same-type interarrival gaps per user:
+# exact microsecond gaps, decimal moment accumulation, IEEE tail.
+ORACLES["events_interarrival_burstiness"] = """
+  WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap
+    FROM events),
+  agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS s,
+           CAST(sum(CAST(gap AS DECIMAL(18,0)) * CAST(gap AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS s2
+    FROM g WHERE gap IS NOT NULL GROUP BY 1),
+  f AS (
+    SELECT event_type, n_gaps,
+           CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+           CAST(CAST(CAST(n_gaps AS DECIMAL(8,0)) * CAST(s2 AS DECIMAL(30,0))
+                     - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(19,0))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(n_gaps * (n_gaps - 1) AS DOUBLE) AS var_gap_us
+    FROM agg WHERE n_gaps >= 2)
+  SELECT event_type, n_gaps, mean_gap_us, var_gap_us,
+         sqrt(var_gap_us) / mean_gap_us AS cv,
+         (sqrt(var_gap_us) - mean_gap_us) / (sqrt(var_gap_us) + mean_gap_us)
+           AS burstiness
+  FROM f ORDER BY event_type
+"""
+
 ORACLES["nation_rank_movers"] = """
   WITH yearly AS (
     SELECT n_name AS nation, year(o_orderdate) AS yr,
@@ -9657,6 +9925,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heaps_law_fit": q_heaps_law_fit,
     "ngram_novelty": q_ngram_novelty,
     "nearest_centroid_confusion": q_nearest_centroid_confusion,
+    "cosupply_nation_modularity": q_cosupply_nation_modularity,
+    "cosupply_degree_assortativity": q_cosupply_degree_assortativity,
+    "events_interarrival_burstiness": q_events_interarrival_burstiness,
     "brand_weighted_median": q_brand_weighted_median,
     "segment_nation_chisq": q_segment_nation_chisq,
     "orders_benford": q_orders_benford,
@@ -9981,6 +10252,9 @@ BENCH_QUERIES = [
     "heaps_law_fit",
     "ngram_novelty",
     "nearest_centroid_confusion",
+    "cosupply_nation_modularity",
+    "cosupply_degree_assortativity",
+    "events_interarrival_burstiness",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the

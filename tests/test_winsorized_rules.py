@@ -205,3 +205,43 @@ def test_nearest_centroid_confusion_is_a_partition(spark, sf_smoke):
     assert sum(r.n_vecs for r in rows) == n
     assert {r.label for r in rows} <= labels
     assert {r.pred_label for r in rows} <= labels
+
+
+def test_modularity_terms_are_internally_consistent(spark, sf_check):
+    """Degree sums total 2m; intra edges never exceed m; each term
+    matches its closed form on the shipped integers."""
+    rows = registry.QUERIES["cosupply_nation_modularity"](
+        spark, sf_check
+    ).collect()
+    assert rows
+    two_m = sum(r.degree_sum for r in rows)
+    m = two_m // 2
+    assert sum(r.intra_edges for r in rows) <= m
+    for r in rows:
+        want = r.intra_edges / m - (r.degree_sum / (2 * m)) ** 2
+        assert r.modularity_term == pytest.approx(want, rel=1e-12)
+
+
+def test_assortativity_in_range_and_symmetric_moments(spark, sf_check):
+    r = registry.QUERIES["cosupply_degree_assortativity"](
+        spark, sf_check
+    ).collect()[0]
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    # both orientations counted: sum of degrees over directed edges
+    # equals sum of squared degrees over nodes -> divisible structure
+    assert r.m_directed % 2 == 0
+
+
+def test_burstiness_closed_form_and_bounds(spark, sf_check):
+    rows = registry.QUERIES["events_interarrival_burstiness"](
+        spark, sf_check
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 2 and r.mean_gap_us > 0 and r.var_gap_us >= 0
+        sd = math.sqrt(r.var_gap_us)
+        assert r.cv == pytest.approx(sd / r.mean_gap_us, rel=1e-12)
+        assert r.burstiness == pytest.approx(
+            (sd - r.mean_gap_us) / (sd + r.mean_gap_us), rel=1e-12
+        )
+        assert -1.0 <= r.burstiness < 1.0
