@@ -4517,6 +4517,181 @@ def q_embedding_mutual_nn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_nearest_pairs(pairs)
 
 
+def q_event_conversion_absorption(
+    spark: SparkSession, sf_dir: str, steps: int = 8
+) -> DataFrame:
+    """Absorbing-chain conversion probability: for each event type,
+    the probability that a user's Markov walk (first-order, the
+    event_transitions matrix) reaches 'purchase' within `steps`
+    steps -- the attribution-modeling primitive behind Markov
+    removal-effect analysis, computed by `steps` unrolled
+    value-iteration rounds p_k(s) = sum_t T[s,t] * p_{k-1}(t) with
+    'purchase' clamped to 1 (absorbing). ALL iteration work happens
+    at event-TYPE grain (a k x k matrix, k = |event types|): the one
+    corpus-scale pass is the lead() window that builds the
+    transition counts. Per-step contributions are 12dp-decimal
+    summed (the pagerank recipe) so every round is bit-identical
+    cross-engine. [event_type, p_convert]."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = nxt.groupBy("event_type", "next_type").agg(F.count("*").alias("_n"))
+    tot = c.groupBy("event_type").agg(F.sum("_n").alias("_t"))
+    tr = c.join(tot, "event_type").select(
+        F.col("event_type").alias("_s"),
+        F.col("next_type").alias("_t2"),
+        (F.col("_n") / F.col("_t")).alias("_T"),
+    )
+    states = (
+        tr.select(F.col("_s").alias("node"))
+        .unionByName(tr.select(F.col("_t2").alias("node")))
+        .distinct()
+    )
+    absorb = F.when(F.col("node") == "purchase", F.lit(1.0))
+
+    def sdbl(col):
+        return col.cast("string").cast("double")
+
+    p = states.select("node", absorb.otherwise(F.lit(0.0)).alias("p"))
+    for _ in range(steps):
+        stepped = (
+            tr.join(F.broadcast(p), F.col("_t2") == F.col("node"))
+            .groupBy(F.col("_s").alias("node"))
+            .agg(
+                sdbl(
+                    F.sum(
+                        F.round(F.col("_T") * F.col("p"), 12).cast(
+                            "decimal(24,12)"
+                        )
+                    )
+                ).alias("_sm")
+            )
+        )
+        p = states.join(stepped, "node", "left").select(
+            "node",
+            absorb.otherwise(F.coalesce("_sm", F.lit(0.0))).alias("p"),
+        )
+    return p.select(
+        F.col("node").alias("event_type"), F.col("p").alias("p_convert")
+    ).orderBy("event_type")
+
+
+def _absorption_ctes(steps: int = 8) -> str:
+    """Unrolled value-iteration oracle for q_event_conversion_absorption."""
+    parts = ["""nxt AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events),
+  c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS nn
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT event_type, CAST(sum(nn) AS BIGINT) AS t
+          FROM c GROUP BY 1),
+  tr AS (SELECT c.event_type AS s, next_type AS t2, nn / t AS T
+         FROM c JOIN tot ON c.event_type = tot.event_type),
+  st AS (SELECT s AS node FROM tr UNION SELECT t2 FROM tr),
+  p0 AS (SELECT node,
+                CASE WHEN node = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS p
+         FROM st)"""]
+    for k in range(1, steps + 1):
+        parts.append(f"""p{k} AS (
+    SELECT st.node,
+           CASE WHEN st.node = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                ELSE coalesce(x.sm, CAST(0.0 AS DOUBLE)) END AS p
+    FROM st LEFT JOIN (
+      SELECT s AS node,
+             CAST(CAST(sum(CAST(round(T * p, 12) AS DECIMAL(24,12)))
+                       AS VARCHAR) AS DOUBLE) AS sm
+      FROM tr JOIN p{k - 1} ON tr.t2 = p{k - 1}.node GROUP BY 1) x
+    USING (node))""")
+    return ",\n  ".join(parts) + f"""
+  SELECT node AS event_type, p AS p_convert FROM p{steps} ORDER BY node"""
+
+
+def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label over the
+    embedding corpus: s_i = (b_i - a_i) / max(a_i, b_i) with a_i the
+    SQUARED distance to the own-label centroid and b_i the minimum
+    over other labels' centroids -- the O(n*k) silhouette every
+    clustering-quality dashboard uses when the O(n^2) medoid form is
+    unaffordable (Hruschka et al.'s simplified silhouette; also the
+    nearest_centroid_confusion's quality twin). [label, n_vecs,
+    mean_silhouette], silhouette terms 9dp-decimal-summed
+    (order-independent) and string-routed.
+
+    Scale shape: identical to nearest_centroid_confusion -- broadcast
+    k x dims centroids, per-(vec, label) squared distance via
+    ||v||^2 - 2<v,c> + ||c||^2 from the same decimal-exact dot/norm
+    aggregates, one vec-grain window for the b_i argmin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    cent = flat.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(
+            sdbl(F.sum(F.col("v").cast("decimal(27,12)"))) / F.count("*"), 6
+        ).alias("c")
+    )
+    cn = cent.groupBy("clabel").agg(
+        sdbl(F.sum((F.col("c") * F.col("c")).cast("decimal(24,12)"))).alias(
+            "cnorm2"
+        )
+    )
+    vn = flat.groupBy("vec_id").agg(
+        sdbl(F.sum((F.col("v") * F.col("v")).cast("decimal(24,12)"))).alias(
+            "vnorm2"
+        )
+    )
+    dots = (
+        flat.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            sdbl(
+                F.sum((F.col("v") * F.col("c")).cast("decimal(24,12)"))
+            ).alias("dot")
+        )
+    )
+    d2 = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .withColumn(
+            "_d2",
+            F.col("vnorm2") - F.lit(2.0) * F.col("dot") + F.col("cnorm2"),
+        )
+    )
+    a = d2.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("_d2").alias("_a")
+    )
+    b = (
+        d2.filter(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.min("_d2").alias("_b"))
+    )
+    s = a.join(b, "vec_id").withColumn(
+        "_s",
+        F.round(
+            (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"), 9
+        ).cast("decimal(12,9)"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (sdbl(F.sum("_s")) / F.count("*")).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_cosupply_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the NATION partition over the thresholded
     co-supply graph: per nation, Q_c = intra_c/m - (d_c/(2m))^2 --
@@ -4872,7 +5047,10 @@ def q_nation_rank_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r96").alias("_b96"),
     )
     prod = (F.col("_a95") - F.col("_b95")) * (F.col("_a96") - F.col("_b96"))
-    pairs = lhs.join(rhs, F.col("_na") < F.col("_nb2")).agg(
+    # broadcast the build side: the theta join then plans as
+    # BroadcastNestedLoopJoin over the 25-row NATION-GRAIN aggregate
+    # (never a shuffled CartesianProduct -- plan-lint enforced)
+    pairs = lhs.join(F.broadcast(rhs), F.col("_na") < F.col("_nb2")).agg(
         F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias(
             "n_concordant"
         ),
@@ -9144,6 +9322,49 @@ ORACLES["nearest_centroid_confusion"] = """
   FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# Unrolled absorbing-chain value iteration at event-type grain.
+ORACLES["event_conversion_absorption"] = "WITH " + _absorption_ctes(8)
+
+# Simplified silhouette: squared distances from the decimal-exact
+# dot/norm aggregates of the confusion oracle; per-term 9dp rounding.
+ORACLES["label_silhouette"] = """
+  WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dvec
+             FROM embeddings),
+  i AS (SELECT vec_id, label, dvec,
+               unnest(range(1, len(dvec) + 1)) AS idx FROM e),
+  f AS (SELECT vec_id, label, idx AS pos, dvec[idx] AS v FROM i),
+  cent AS (SELECT label AS clabel, pos,
+                  round(CAST(CAST(sum(CAST(v AS DECIMAL(27,12)))
+                                  AS VARCHAR) AS DOUBLE) / count(*), 6) AS c
+           FROM f GROUP BY 1, 2),
+  cn AS (SELECT clabel,
+                CAST(CAST(sum(CAST(c * c AS DECIMAL(24,12))) AS VARCHAR)
+                     AS DOUBLE) AS cnorm2
+         FROM cent GROUP BY 1),
+  vn AS (SELECT vec_id,
+                CAST(CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS VARCHAR)
+                     AS DOUBLE) AS vnorm2
+         FROM f GROUP BY 1),
+  d AS (SELECT f.vec_id, f.label, cent.clabel,
+               CAST(CAST(sum(CAST(f.v * cent.c AS DECIMAL(24,12)))
+                         AS VARCHAR) AS DOUBLE) AS dot
+        FROM f JOIN cent USING (pos) GROUP BY 1, 2, 3),
+  dd AS (SELECT d.vec_id, d.label, d.clabel,
+                vnorm2 - 2.0 * dot + cnorm2 AS d2
+         FROM d JOIN vn USING (vec_id) JOIN cn USING (clabel)),
+  a AS (SELECT vec_id, label, d2 AS av FROM dd WHERE label = clabel),
+  b AS (SELECT vec_id, min(d2) AS bv FROM dd WHERE label <> clabel
+        GROUP BY 1),
+  s AS (SELECT a.label,
+               CAST(round((bv - av) / greatest(av, bv), 9)
+                    AS DECIMAL(12,9)) AS sil
+        FROM a JOIN b USING (vec_id))
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(CAST(sum(sil) AS VARCHAR) AS DOUBLE) / count(*)
+           AS mean_silhouette
+  FROM s GROUP BY 1 ORDER BY 1
+"""
+
 # Newman modularity of the nation partition over the co-supply graph:
 # all-integer counts into one fixed IEEE chain per nation.
 ORACLES["cosupply_nation_modularity"] = """
@@ -9925,6 +10146,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heaps_law_fit": q_heaps_law_fit,
     "ngram_novelty": q_ngram_novelty,
     "nearest_centroid_confusion": q_nearest_centroid_confusion,
+    "label_silhouette": q_label_silhouette,
+    "event_conversion_absorption": q_event_conversion_absorption,
     "cosupply_nation_modularity": q_cosupply_nation_modularity,
     "cosupply_degree_assortativity": q_cosupply_degree_assortativity,
     "events_interarrival_burstiness": q_events_interarrival_burstiness,
@@ -10252,6 +10475,8 @@ BENCH_QUERIES = [
     "heaps_law_fit",
     "ngram_novelty",
     "nearest_centroid_confusion",
+    "label_silhouette",
+    "event_conversion_absorption",
     "cosupply_nation_modularity",
     "cosupply_degree_assortativity",
     "events_interarrival_burstiness",

@@ -245,3 +245,50 @@ def test_burstiness_closed_form_and_bounds(spark, sf_check):
             (sd - r.mean_gap_us) / (sd + r.mean_gap_us), rel=1e-12
         )
         assert -1.0 <= r.burstiness < 1.0
+
+
+def test_silhouette_bounds_and_separated_clusters(spark, sf_check):
+    """Silhouette terms live in [-1, 1]; on crafted well-separated
+    clusters the mean silhouette is near 1."""
+    rows = registry.QUERIES["label_silhouette"](spark, sf_check).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.mean_silhouette <= 1.0 + 1e-9
+    # crafted: two tight clusters far apart -> s ~ 1 for every point
+    import itertools
+
+    pts = [
+        (i, [float(100 * lab) + 0.01 * i, 0.0], lab)
+        for i, lab in zip(itertools.count(), [0, 0, 0, 1, 1, 1])
+    ]
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>, label int"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = registry.QUERIES["label_silhouette"](spark, d).collect()
+    assert all(r.mean_silhouette > 0.95 for r in out)
+
+
+def test_conversion_absorption_probabilities_valid(spark, sf_check):
+    """p is a probability; 'purchase' is clamped to exactly 1; more
+    steps can only increase reach (monotone value iteration)."""
+    rows = {
+        r.event_type: r.p_convert
+        for r in registry.QUERIES["event_conversion_absorption"](
+            spark, sf_check
+        ).collect()
+    }
+    assert rows["purchase"] == 1.0
+    assert all(0.0 <= p <= 1.0 for p in rows.values())
+    from mapreduce_implementation_grpc_spark.registry import (
+        q_event_conversion_absorption,
+    )
+
+    fewer = {
+        r.event_type: r.p_convert
+        for r in q_event_conversion_absorption(spark, sf_check, steps=3).collect()
+    }
+    assert all(rows[s] >= fewer[s] - 1e-12 for s in fewer)
