@@ -156,6 +156,181 @@ def calibration_bins(
     )
 
 
+def average_precision(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 1024,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Exact tie-aware average precision (area under the PR curve by
+    right-step interpolation) of `score_col` predicting the 0/1
+    `label_col`: one row [n_pos, n_total, ap] with
+
+        ap = (1/n_pos) * sum over distinct scores s (descending) of
+                 pos_s * (cum_pos(s) / cum_n(s))
+
+    where the cumulatives INCLUDE the block at s -- every row tied at
+    a score is one operating point (the block convention; within-tie
+    orderings do not exist, so the metric is deterministic). Each
+    block term is one fixed IEEE chain rounded 12dp into an
+    order-independent DECIMAL sum, string-routed back to double.
+
+    Distributed shape: the ranking companion of `auc_rank_sum` -- one
+    partial-agg'd groupBy collapses rows to distinct-score grain, and
+    the descending cumulatives ride the two-level bucketed cumsum
+    (per-bucket totals are the only rows crossing a single-partition
+    exchange; within-bucket running sums are parallel windows). Heavy
+    ties collapse at the first groupBy instead of skewing a sort."""
+    per_score = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+    )
+    bk = bucketize_by_key(
+        per_score, "_s", ascending=False, n_buckets=n_buckets,
+        reliable=reliable,
+    )
+    btot = bk.groupBy("_bkt").agg(
+        F.sum("_n").alias("_bn"), F.sum("_pos").alias("_bp")
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_offn"),
+        F.coalesce(F.sum("_bp").over(w_off), F.lit(0)).alias("_offp"),
+    )
+    w_loc = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.asc("_ak"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bk.withColumn("_cln", F.sum("_n").over(w_loc))
+        .withColumn("_clp", F.sum("_pos").over(w_loc))
+        .join(F.broadcast(offs), "_bkt")
+        .withColumn("_cn", F.col("_offn") + F.col("_cln"))
+        .withColumn("_cp", F.col("_offp") + F.col("_clp"))
+    )
+    term = F.round(
+        F.col("_pos").cast("double")
+        * (F.col("_cp").cast("double") / F.col("_cn").cast("double")),
+        12,
+    ).cast("decimal(27,12)")
+    agg = cum.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_n").alias("n_total"),
+        F.sum(term).alias("_ts"),
+    )
+    guard = F.when(
+        F.col("n_pos") == 0,
+        F.raise_error(
+            F.lit(
+                "average_precision: need at least one positive label "
+                "-- AP is undefined on an all-negative sample"
+            )
+        ).cast("double"),
+    )
+    ap = guard.otherwise(
+        F.col("_ts").cast("string").cast("double")
+        / F.col("n_pos").cast("double")
+    )
+    return agg.select("n_pos", "n_total", ap.alias("ap"))
+
+
+def lift_table(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_deciles: int = 10,
+    n_buckets: int = 1024,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Gain/lift table of `score_col` predicting the 0/1 `label_col`:
+    [decile, n_rows, n_pos, resp_rate, lift, cum_capture] with decile
+    0 = the highest-scored slice. Deciles are BLOCK-ASSIGNED: every
+    row tied at a distinct score goes to the decile of the block's
+    FIRST row (decile = (n_deciles * rows_strictly_above) DIV n,
+    exact integer division -- no per-row global rank, no float
+    boundary). Decile populations are therefore approximately-equal
+    (ties never split), which is the deterministic, scale-honest
+    convention: the alternative -- ntile() over a global sort --
+    needs a SinglePartition sort of every row and an arbitrary
+    within-tie order.
+
+    lift = (pos_d/n_d) / (pos_total/n_total) as one fixed IEEE chain;
+    cum_capture = cumulative share of all positives captured through
+    the decile (a window over <= n_deciles rows). Distributed shape:
+    identical to `average_precision` -- distinct-score grain + the
+    two-level bucketed cumsum."""
+    per_score = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+    )
+    bk = bucketize_by_key(
+        per_score, "_s", ascending=False, n_buckets=n_buckets,
+        reliable=reliable,
+    )
+    btot = bk.groupBy("_bkt").agg(F.sum("_n").alias("_bn"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = btot.select(
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_offn"),
+        F.sum("_bn").over(w_all).alias("_totn"),
+    )
+    w_above = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.asc("_ak"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = (
+        bk.withColumn(
+            "_la", F.coalesce(F.sum("_n").over(w_above), F.lit(0))
+        )
+        .join(F.broadcast(offs), "_bkt")
+        .withColumn("_above", F.col("_offn") + F.col("_la"))
+        .withColumn(
+            "decile",
+            F.least(
+                F.lit(n_deciles - 1),
+                F.expr(f"{n_deciles} * _above DIV _totn"),
+            ).cast("long"),
+        )
+    )
+    per_dec = dec.groupBy("decile").agg(
+        F.sum("_n").alias("n_rows"), F.sum("_pos").alias("n_pos")
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        per_dec.withColumn("_tn", F.sum("n_rows").over(w_tot))
+        .withColumn("_tp", F.sum("n_pos").over(w_tot))
+        .withColumn("_cp", F.sum("n_pos").over(w_cum))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            (
+                F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+            ).alias("resp_rate"),
+            (
+                (F.col("n_pos").cast("double") / F.col("n_rows").cast("double"))
+                / (F.col("_tp").cast("double") / F.col("_tn").cast("double"))
+            ).alias("lift"),
+            (
+                F.col("_cp").cast("double") / F.col("_tp").cast("double")
+            ).alias("cum_capture"),
+        )
+    )
+    return out.orderBy("decile")
+
+
 def chi_square_cells(
     df: DataFrame, row_col: str, col_col: str
 ) -> DataFrame:

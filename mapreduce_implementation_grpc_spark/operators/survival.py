@@ -127,3 +127,55 @@ def user_lifetimes(
             F.datediff("_edge", "_last") < F.lit(horizon_days)
         ).alias("censored"),
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    censored_col: str = "censored",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    right-censored lifetimes as `kaplan_meier`: H(t) = sum over event
+    times u <= t of d(u) / n_risk(u) -- the integral-of-risk
+    companion to the KM curve (Nelson 1972, Aalen 1978), preferred
+    when hazard RATES (churn intensity per day at risk) are the
+    object, and the quantity -ln(KM) approximates.
+
+    Output [duration, n_risk, n_events, n_censored, cum_hazard]
+    ordered by duration. Each increment d/n is ONE long/long IEEE
+    division (no transcendental anywhere -- unlike the KM factors
+    there is no ln to absorb), rounded 12dp into an order-independent
+    DECIMAL running sum and string-routed back to double.
+
+    Distributed shape: identical to `kaplan_meier` -- one groupBy to
+    duration grain (bounded by the observation window in days), then
+    a suffix-count window for n_risk and a prefix sum for the
+    hazard; the only single-partition windows run over that reduced
+    grain, never subjects."""
+    grain = subjects.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum((~F.col(censored_col)).cast("long")).alias("n_events"),
+        F.sum(F.col(censored_col).cast("long")).alias("n_censored"),
+        F.count("*").alias("_n_total"),
+    )
+    w_risk = Window.orderBy("duration").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    na = grain.withColumn("n_risk", F.sum("_n_total").over(w_risk)).withColumn(
+        "_term",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_risk").cast("double"),
+            12,
+        ).cast("decimal(20,12)"),
+    )
+    return na.select(
+        "duration",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        "n_censored",
+        F.sum("_term").over(w_cum).cast("string").cast("double").alias(
+            "cum_hazard"
+        ),
+    ).orderBy("duration")

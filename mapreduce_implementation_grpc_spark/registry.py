@@ -4486,6 +4486,275 @@ def q_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(user_lifetimes(load_table(spark, sf_dir, "events")))
 
 
+def q_user_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard
+    (operators/survival.nelson_aalen) over the SAME right-censored
+    user lifetimes as the KM query: H(t) = sum d/n over event times
+    <= t -- the hazard-rate companion (-ln KM ~ H). Every increment
+    is one long/long IEEE division, 12dp-decimal cumulative sum,
+    no transcendental anywhere; duration-grain windows only."""
+    from .operators.survival import nelson_aalen, user_lifetimes
+
+    return nelson_aalen(user_lifetimes(load_table(spark, sf_dir, "events")))
+
+
+def q_score_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware average precision
+    (operators/evalmetrics.average_precision) of the document-length
+    score n_chars predicting lang='en' -- the PR-curve companion of
+    score_auc (AP weights the head of the ranking; AUC weights every
+    pair). Block convention: rows tied at a score are ONE operating
+    point, so the metric is deterministic without any within-tie
+    order. One row [n_pos, n_total, ap]; descending cumulatives ride
+    the two-level bucketed cumsum."""
+    from .operators.evalmetrics import average_precision
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return average_precision(docs)
+
+
+def q_score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain/lift deciles (operators/evalmetrics.lift_table) of the
+    n_chars score predicting lang='en': [decile, n_rows, n_pos,
+    resp_rate, lift, cum_capture] with decile 0 the highest-scored
+    slice -- the campaign-targeting readout of the same ranking
+    score_auc grades. Deciles are block-assigned by integer division
+    of the strictly-above count (ties never split; no per-row global
+    rank anywhere)."""
+    from .operators.evalmetrics import lift_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return lift_table(docs)
+
+
+def q_term_chi2_keywords(
+    spark: SparkSession, sf_dir: str, top_k: int = 10, min_count: int = 5
+) -> DataFrame:
+    """Top-k chi-square keyword terms per language -- the classic
+    feature-selection / keyness screen (Manning & Schuetze ch. 5)
+    over token-instance contingency tables: for each (lang, word),
+    a = count(w in lang), b = count(w elsewhere), with lang/word
+    marginals lt/wt and corpus total N,
+
+        chi2 = N * (a*d - b*c)^2 / (wt * (N-wt) * lt * (N-lt))
+
+    -- every input an EXACT integer count, the statistic one fixed
+    IEEE chain, identical cross-engine. [lang, rank, word, n_in_lang,
+    chi2] for the top_k terms per language (chi2 desc, word asc
+    tie-break), candidates pruned to a >= min_count.
+
+    Scale shape: one tokenize pass to (lang, word) grain; word
+    marginals are a vocab-grain groupBy joined back on word; lang
+    marginals broadcast. The final per-lang top-k window sorts
+    vocab-grain rows partitioned by lang -- bounded by vocabulary,
+    never the corpus."""
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("a"))
+    )
+    ltot = cnt.groupBy("lang").agg(F.sum("a").alias("lt"))
+    wtot = cnt.groupBy("w").agg(F.sum("a").alias("wt"))
+    ntot = ltot.agg(F.sum("lt").alias("nn"))
+    j = (
+        cnt.filter(F.col("a") >= min_count)
+        .join(F.broadcast(ltot), "lang")
+        .join(wtot, "w")
+        .crossJoin(F.broadcast(ntot))
+    )
+    ad = F.col("a").cast("double") * (
+        F.col("nn") - F.col("lt") - (F.col("wt") - F.col("a"))
+    ).cast("double")
+    bc = (F.col("wt") - F.col("a")).cast("double") * (
+        F.col("lt") - F.col("a")
+    ).cast("double")
+    diff = ad - bc
+    chi2 = (
+        F.col("nn").cast("double")
+        * (diff * diff)
+        / (
+            F.col("wt").cast("double")
+            * (F.col("nn") - F.col("wt")).cast("double")
+            * F.col("lt").cast("double")
+            * (F.col("nn") - F.col("lt")).cast("double")
+        )
+    )
+    ranked = j.withColumn("chi2", chi2).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("w"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= top_k)
+        .select(
+            "lang",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("a").alias("n_in_lang"),
+            "chi2",
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+def q_lang_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    distributions of every language pair: [lang_a, lang_b, n_words,
+    jsd_nats] -- the symmetric, bounded (<= ln 2) corpus-distance
+    matrix behind mixture design and drift review (Lin 1991). For
+    each pair, JSD = 0.5 KL(P||M) + 0.5 KL(Q||M), M = (P+Q)/2;
+    absent words contribute p*ln(2)/2 via the same expression (q=0
+    branch guarded to 0). Each word's contribution is one fixed IEEE
+    chain rounded 12dp into an order-independent DECIMAL sum.
+
+    Scale shape: one tokenize pass to (lang, word) grain; the pair
+    matrix is |langs|^2/2 rows broadcast against it, so the working
+    grain is vocab x pairs -- bounded by vocabulary times a constant,
+    never corpus rows."""
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n"))
+    p = cnt.join(F.broadcast(tot), "lang").select(
+        "lang", "w", (F.col("c").cast("double") / F.col("n").cast("double")).alias("p")
+    )
+    langs = tot.select("lang")
+    pairs = langs.select(F.col("lang").alias("la")).join(
+        F.broadcast(langs.select(F.col("lang").alias("lb"))),
+        F.col("la") < F.col("lb"),
+    )
+    a = p.join(F.broadcast(pairs), F.col("lang") == F.col("la")).select(
+        "la", "lb", "w", F.col("p").alias("pa")
+    )
+    b = p.join(F.broadcast(pairs), F.col("lang") == F.col("lb")).select(
+        "la", "lb", "w", F.col("p").alias("pb")
+    )
+    j = (
+        a.join(b, ["la", "lb", "w"], "full")
+        .withColumn("pa", F.coalesce("pa", F.lit(0.0)))
+        .withColumn("pb", F.coalesce("pb", F.lit(0.0)))
+    )
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    contrib = (
+        F.when(
+            F.col("pa") > 0.0,
+            F.lit(0.5) * F.col("pa") * F.log(F.col("pa") / m),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("pb") > 0.0,
+            F.lit(0.5) * F.col("pb") * F.log(F.col("pb") / m),
+        ).otherwise(F.lit(0.0))
+    )
+    term = F.round(contrib, 12).cast("decimal(16,12)")
+    return (
+        j.groupBy(F.col("la").alias("lang_a"), F.col("lb").alias("lang_b"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(term).cast("string").cast("double").alias("jsd_nats"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+def q_nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation over the SAME monthly
+    revenue series as nation_revenue_trend's OLS: the median of all
+    pairwise slopes (rev_j - rev_i) / (month_j - month_i) -- the
+    29%-breakdown estimator a single promo-spike month cannot drag
+    (Theil 1950, Sen 1968). [nation, n_months, n_pairs,
+    theil_sen_slope]; the median is the LOWER median by integer-rank
+    selection over exact pair-slope doubles (the events_anomaly_mad
+    convention -- no midpoint interpolation to diverge cross-engine).
+
+    Scale shape: the fact-scale work is the one monthly-revenue
+    groupBy (exact integer micros); pair enumeration and median
+    selection happen at nation x month grain (C(n_months, 2) pairs
+    per nation, bounded by the calendar, never row counts). The pair
+    self-join is an equi-join on nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    monthly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - F.lit(1992 * 12 + 1)
+            ).cast("long").alias("x"),
+        )
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("y"))
+    )
+    lhs = monthly.select(
+        "nation", F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    rhs = monthly.select(
+        "nation", F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        lhs.join(rhs, "nation")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "nation",
+            (
+                (F.col("y2") - F.col("y1"))
+                .cast("decimal(26,0)")
+                .cast("string")
+                .cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    sc = slopes.groupBy("nation", "slope").agg(F.count("*").alias("cnt"))
+    tot = sc.groupBy("nation").agg(F.sum("cnt").alias("np"))
+    w_cm = (
+        Window.partitionBy("nation")
+        .orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        sc.withColumn("cm", F.sum("cnt").over(w_cm))
+        .join(F.broadcast(tot), "nation")
+        .filter(
+            F.col("cm")
+            >= F.floor((F.col("np") + 1) / F.lit(2.0)).cast("long")
+        )
+        .groupBy("nation")
+        .agg(F.min("slope").alias("theil_sen_slope"))
+    )
+    months = monthly.groupBy("nation").agg(F.count("*").alias("n_months"))
+    return (
+        months.join(F.broadcast(tot), "nation")
+        .join(med, "nation")
+        .select(
+            "nation",
+            "n_months",
+            F.col("np").alias("n_pairs"),
+            "theil_sen_slope",
+        )
+        .orderBy("nation")
+    )
+
+
 def q_embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal nearest-neighbor pairs over the embedding corpus
     (similarity.mutual_nearest_pairs): candidates come from the
@@ -9526,6 +9795,202 @@ ORACLES["user_survival_km"] = """
   FROM km2 ORDER BY duration
 """
 
+# Nelson-Aalen: same lifetimes/grain CTEs as the KM oracle; each
+# increment is one long/long division rounded 12dp into the decimal
+# running sum (no transcendental anywhere).
+ORACLES["user_hazard_na"] = """
+  WITH spans AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                        CAST(max(ts) AS DATE) AS l
+                 FROM events GROUP BY 1),
+  edge AS (SELECT CAST(max(ts) AS DATE) AS e FROM events),
+  subj AS (SELECT date_diff('day', f, l) AS duration,
+                  (date_diff('day', l, e) < 7) AS censored
+           FROM spans, edge),
+  grain AS (SELECT duration,
+                   CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_events,
+                   CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_censored,
+                   count(*) AS n_total
+            FROM subj GROUP BY 1),
+  na AS (
+    SELECT duration, n_events, n_censored,
+           sum(n_total) OVER (ORDER BY duration
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+    FROM grain),
+  na2 AS (
+    SELECT duration, n_risk, n_events, n_censored,
+           CAST(round(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 12)
+                AS DECIMAL(20,12)) AS term
+    FROM na)
+  SELECT CAST(duration AS BIGINT) AS duration,
+         CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+         CAST(CAST(sum(term) OVER (ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE) AS cum_hazard
+  FROM na2 ORDER BY duration
+"""
+
+# Tie-aware average precision by the block convention: descending
+# cumulatives INCLUDE the block; per-block term rounded 12dp into the
+# order-independent decimal sum.
+ORACLES["score_average_precision"] = """
+  WITH per AS (
+    SELECT n_chars AS s, count(*) AS n,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+    FROM documents GROUP BY 1),
+  cum AS (
+    SELECT s, n, pos,
+           sum(n) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+           sum(pos) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+    FROM per),
+  agg AS (
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           sum(CAST(round(CAST(pos AS DOUBLE)
+                          * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)), 12)
+                    AS DECIMAL(27,12))) AS ts
+    FROM cum)
+  SELECT n_pos, n_total,
+         CAST(CAST(ts AS VARCHAR) AS DOUBLE) / CAST(n_pos AS DOUBLE) AS ap
+  FROM agg
+"""
+
+# Block-assigned gain/lift deciles: decile = integer division of the
+# strictly-above count (ties never split); rates are fixed IEEE chains.
+ORACLES["score_lift_deciles"] = """
+  WITH per AS (
+    SELECT n_chars AS s, count(*) AS n,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+    FROM documents GROUP BY 1),
+  cum AS (
+    SELECT s, n, pos,
+           coalesce(sum(n) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+    FROM per),
+  tot AS (SELECT sum(n) AS tn, sum(pos) AS tp FROM per),
+  dec AS (
+    SELECT CAST(least(9, (10 * above) // tn) AS BIGINT) AS decile, n, pos
+    FROM cum, tot),
+  per_dec AS (
+    SELECT decile, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM dec GROUP BY 1)
+  SELECT decile, n_rows, n_pos,
+         CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS resp_rate,
+         (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) AS lift,
+         CAST(sum(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(tp AS DOUBLE) AS cum_capture
+  FROM per_dec, tot ORDER BY decile
+"""
+
+# Chi-square keyness: every input an exact integer count; the
+# statistic one fixed IEEE chain (same association order as Spark).
+ORACLES["term_chi2_keywords"] = """
+  WITH t AS ({TOKS}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS a
+          FROM tk GROUP BY 1, 2),
+  ltot AS (SELECT lang, CAST(sum(a) AS BIGINT) AS lt FROM cnt GROUP BY 1),
+  wtot AS (SELECT w, CAST(sum(a) AS BIGINT) AS wt FROM cnt GROUP BY 1),
+  ntot AS (SELECT CAST(sum(lt) AS BIGINT) AS nn FROM ltot),
+  j AS (
+    SELECT cnt.lang, cnt.w, a, lt, wt, nn,
+           CAST(a AS DOUBLE) * CAST(nn - lt - (wt - a) AS DOUBLE)
+             - CAST(wt - a AS DOUBLE) * CAST(lt - a AS DOUBLE) AS diff
+    FROM cnt JOIN ltot USING (lang) JOIN wtot USING (w), ntot
+    WHERE a >= 5),
+  scored AS (
+    SELECT lang, w, a,
+           CAST(nn AS DOUBLE) * (diff * diff)
+             / (CAST(wt AS DOUBLE) * CAST(nn - wt AS DOUBLE)
+                * CAST(lt AS DOUBLE) * CAST(nn - lt AS DOUBLE)) AS chi2
+    FROM j),
+  ranked AS (
+    SELECT lang, w, a, chi2,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY chi2 DESC, w ASC) AS rank
+    FROM scored)
+  SELECT lang, CAST(rank AS BIGINT) AS rank, w AS word,
+         a AS n_in_lang, chi2
+  FROM ranked WHERE rank <= 10 ORDER BY lang, rank
+""".replace("{TOKS}", _SQL_TOKS)
+
+# Jensen-Shannon: per-word contribution is one fixed IEEE chain
+# (0.5*p*ln(p/m) with the zero branch guarded), rounded 12dp into the
+# order-independent decimal sum.
+ORACLES["lang_js_divergence"] = """
+  WITH t AS ({TOKS}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, count(*) AS c FROM tk GROUP BY 1, 2),
+  tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+  p AS (SELECT cnt.lang, w, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        FROM cnt JOIN tot USING (lang)),
+  langs AS (SELECT lang FROM tot),
+  pairs AS (SELECT a.lang AS la, b.lang AS lb
+            FROM langs a JOIN langs b ON a.lang < b.lang),
+  pa AS (SELECT la, lb, w, p AS pa FROM p JOIN pairs ON p.lang = pairs.la),
+  pb AS (SELECT la, lb, w, p AS pb FROM p JOIN pairs ON p.lang = pairs.lb),
+  j AS (
+    SELECT coalesce(pa.la, pb.la) AS la, coalesce(pa.lb, pb.lb) AS lb,
+           coalesce(pa.pa, 0.0) AS pa, coalesce(pb.pb, 0.0) AS pb
+    FROM pa FULL OUTER JOIN pb
+      ON pa.la = pb.la AND pa.lb = pb.lb AND pa.w = pb.w),
+  terms AS (
+    SELECT la, lb,
+           CAST(round(
+             CASE WHEN pa > 0.0
+                  THEN (0.5 * pa) * ln(pa / ((pa + pb) / 2.0))
+                  ELSE 0.0 END
+             + CASE WHEN pb > 0.0
+                    THEN (0.5 * pb) * ln(pb / ((pa + pb) / 2.0))
+                    ELSE 0.0 END, 12) AS DECIMAL(16,12)) AS term
+    FROM j)
+  SELECT la AS lang_a, lb AS lang_b, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS jsd_nats
+  FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+""".replace("{TOKS}", _SQL_TOKS)
+
+# Theil-Sen: same monthly-micros series as the OLS trend oracle; the
+# median pair slope by lower-median integer-rank selection.
+ORACLES["nation_theilsen_trend"] = """
+  WITH monthly AS (
+    SELECT n_name AS nation,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS x,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS y
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  slopes AS (
+    SELECT a.nation,
+           CAST(CAST(b.y - a.y AS VARCHAR) AS DOUBLE)
+             / CAST(b.x - a.x AS DOUBLE) AS slope
+    FROM monthly a JOIN monthly b
+      ON a.nation = b.nation AND a.x < b.x),
+  sc AS (SELECT nation, slope, count(*) AS cnt FROM slopes GROUP BY 1, 2),
+  tot AS (SELECT nation, CAST(sum(cnt) AS BIGINT) AS np FROM sc GROUP BY 1),
+  cum AS (SELECT nation, slope, cnt,
+                 sum(cnt) OVER (PARTITION BY nation ORDER BY slope
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+          FROM sc),
+  med AS (SELECT cum.nation, min(slope) AS theil_sen_slope
+          FROM cum JOIN tot USING (nation)
+          WHERE cm >= CAST(floor((np + 1) / 2.0) AS BIGINT) GROUP BY 1),
+  months AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_months
+             FROM monthly GROUP BY 1)
+  SELECT months.nation, n_months, np AS n_pairs, theil_sen_slope
+  FROM months JOIN tot USING (nation) JOIN med USING (nation)
+  ORDER BY 1
+"""
+
 # Mean-cleared integer ACF: z = n*y - S makes both sums exact
 # integers; the n^2 scale factor cancels in the ratio.
 ORACLES["events_acf"] = """
@@ -10137,6 +10602,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_word_fit": q_zipf_word_fit,
     "events_acf": q_events_acf,
     "user_survival_km": q_user_survival_km,
+    "user_hazard_na": q_user_hazard_na,
+    "score_average_precision": q_score_average_precision,
+    "score_lift_deciles": q_score_lift_deciles,
+    "term_chi2_keywords": q_term_chi2_keywords,
+    "lang_js_divergence": q_lang_js_divergence,
+    "nation_theilsen_trend": q_nation_theilsen_trend,
     "embedding_mutual_nn": q_embedding_mutual_nn,
     "embedding_mutual_nn_lsh": q_embedding_mutual_nn_lsh,
     "events_winsorized_mean": q_events_winsorized_mean,
@@ -10480,6 +10951,14 @@ BENCH_QUERIES = [
     "cosupply_nation_modularity",
     "cosupply_degree_assortativity",
     "events_interarrival_burstiness",
+    # r7 sixth wave: ranking-evaluation / survival / keyness /
+    # corpus-distance / robust-trend companions
+    "user_hazard_na",
+    "score_average_precision",
+    "score_lift_deciles",
+    "term_chi2_keywords",
+    "lang_js_divergence",
+    "nation_theilsen_trend",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
