@@ -4667,6 +4667,143 @@ def q_lang_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain (mutual information, nats) of three document
+    features for predicting lang='en' -- the feature-selection
+    primitive of a quality-classifier pipeline: which cheap signals
+    carry label information at all. Features: len_bucket
+    (least(9, n_chars DIV 200), a fixed INTEGER bucketing -- no
+    data-driven boundary), has_digit (regex class presence), and the
+    source column as-is. IG = H(Y) - H(Y|X) with every entropy term
+    -(k/n) ln(k/n) computed from exact integer counts, rounded 9dp
+    into order-independent DECIMAL sums, string-routed.
+
+    Scale shape: stack() fans each row into 3 (feature, val) rows
+    once; one partial-agg'd groupBy to (feature, val, y) cell grain;
+    marginals are re-aggregations of the cell table (category-
+    cardinality-sized). Output 3 rows [feature, h_y, h_y_given_x,
+    ig_nats]."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr(
+            "stack(3,"
+            " 'has_digit', CASE WHEN text RLIKE '[0-9]' THEN 'y' ELSE 'n' END,"
+            " 'len_bucket', CAST(least(9, n_chars DIV 200) AS STRING),"
+            " 'source', source) AS (feature, val)"
+        ),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    cells = f.groupBy("feature", "val", "y").agg(F.count("*").alias("nxy"))
+    nx = cells.groupBy("feature", "val").agg(F.sum("nxy").alias("nx"))
+    nf = cells.groupBy("feature").agg(F.sum("nxy").alias("n"))
+    term = F.round(
+        -(F.col("nxy").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("nxy").cast("double") / F.col("nx").cast("double")),
+        9,
+    ).cast("decimal(12,9)")
+    hyx = (
+        cells.join(nx, ["feature", "val"])
+        .join(F.broadcast(nf), "feature")
+        .groupBy("feature")
+        .agg(F.sum(term).alias("_hyx"))
+    )
+    lab = docs.groupBy((F.col("lang") == "en").cast("int").alias("y")).agg(
+        F.count("*").alias("ny")
+    )
+    ntot = lab.agg(F.sum("ny").alias("n"))
+    hterm = F.round(
+        -(F.col("ny").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("ny").cast("double") / F.col("n").cast("double")),
+        9,
+    ).cast("decimal(12,9)")
+    hy = lab.crossJoin(F.broadcast(ntot)).agg(F.sum(hterm).alias("_hy"))
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    return (
+        hyx.crossJoin(F.broadcast(hy))
+        .select(
+            "feature",
+            sdbl(F.col("_hy")).alias("h_y"),
+            sdbl(F.col("_hyx")).alias("h_y_given_x"),
+            (sdbl(F.col("_hy")) - sdbl(F.col("_hyx"))).alias("ig_nats"),
+        )
+        .orderBy("feature")
+    )
+
+
+def q_term_keyness_g2(
+    spark: SparkSession, sf_dir: str, top_k: int = 10, min_count: int = 5
+) -> DataFrame:
+    """Top-k keyness terms per language by the Dunning log-likelihood
+    ratio G2 = 2 * sum over the 2x2 table of O ln(O/E) (Dunning 1993,
+    "Accurate Methods for the Statistics of Surprise and
+    Coincidence") -- the low-count-honest companion of
+    term_chi2_keywords (chi-square overstates rare-event surprise;
+    G2 is the likelihood-ratio form). Same exact token-instance
+    contingency counts; each of the four O ln(O/E) terms (zero cells
+    contribute 0) is rounded 9dp into a DECIMAL per-word G2, and the
+    per-lang ranking happens ON that exact decimal -- ulp-identical
+    ordering cross-engine with word-asc tie-break. [lang, rank, word,
+    n_in_lang, g2]; candidates pruned to a >= min_count.
+
+    Scale shape: identical to term_chi2_keywords -- everything after
+    the tokenize pass lives at (lang, word) / vocab grain."""
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("a"))
+    )
+    ltot = cnt.groupBy("lang").agg(F.sum("a").alias("lt"))
+    wtot = cnt.groupBy("w").agg(F.sum("a").alias("wt"))
+    ntot = ltot.agg(F.sum("lt").alias("nn"))
+    j = (
+        cnt.filter(F.col("a") >= min_count)
+        .join(F.broadcast(ltot), "lang")
+        .join(wtot, "w")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn("b", F.col("wt") - F.col("a"))
+        .withColumn("c", F.col("lt") - F.col("a"))
+        .withColumn("d", F.col("nn") - F.col("lt") - (F.col("wt") - F.col("a")))
+    )
+
+    def gterm(o, r, cc):
+        e = (r.cast("double") * cc.cast("double")) / F.col("nn").cast("double")
+        return F.when(
+            o > 0,
+            F.round(
+                F.lit(2.0) * o.cast("double") * F.log(o.cast("double") / e), 9
+            ),
+        ).otherwise(F.lit(0.0)).cast("decimal(20,9)")
+
+    lt, wt, nn = F.col("lt"), F.col("wt"), F.col("nn")
+    g2d = (
+        gterm(F.col("a"), lt, wt)
+        + gterm(F.col("b"), nn - lt, wt)
+        + gterm(F.col("c"), lt, nn - wt)
+        + gterm(F.col("d"), nn - lt, nn - wt)
+    )
+    ranked = j.withColumn("_g2", g2d).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("_g2"), F.asc("w"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= top_k)
+        .select(
+            "lang",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("a").alias("n_in_lang"),
+            F.col("_g2").cast("string").cast("double").alias("g2"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
 def q_nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per nation over the SAME monthly
     revenue series as nation_revenue_trend's OLS: the median of all
@@ -4786,21 +4923,10 @@ def q_embedding_mutual_nn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_nearest_pairs(pairs)
 
 
-def q_event_conversion_absorption(
-    spark: SparkSession, sf_dir: str, steps: int = 8
-) -> DataFrame:
-    """Absorbing-chain conversion probability: for each event type,
-    the probability that a user's Markov walk (first-order, the
-    event_transitions matrix) reaches 'purchase' within `steps`
-    steps -- the attribution-modeling primitive behind Markov
-    removal-effect analysis, computed by `steps` unrolled
-    value-iteration rounds p_k(s) = sum_t T[s,t] * p_{k-1}(t) with
-    'purchase' clamped to 1 (absorbing). ALL iteration work happens
-    at event-TYPE grain (a k x k matrix, k = |event types|): the one
-    corpus-scale pass is the lead() window that builds the
-    transition counts. Per-step contributions are 12dp-decimal
-    summed (the pagerank recipe) so every round is bit-identical
-    cross-engine. [event_type, p_convert]."""
+def _markov_transitions(spark: SparkSession, sf_dir: str):
+    """Shared first-order event-chain pieces: (events, transition
+    matrix [_s, _t2, _T], state list) -- the one corpus-scale pass is
+    the lead() window; everything downstream is event-TYPE grain."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -4820,7 +4946,17 @@ def q_event_conversion_absorption(
         .unionByName(tr.select(F.col("_t2").alias("node")))
         .distinct()
     )
-    absorb = F.when(F.col("node") == "purchase", F.lit(1.0))
+    return ev, tr, states
+
+
+def _absorb_p(
+    tr: DataFrame, states: DataFrame, steps: int, absorb_state: str = "purchase"
+) -> DataFrame:
+    """`steps` unrolled value-iteration rounds of p(reach absorb_state
+    within k steps) with the absorbing state clamped to 1; 12dp
+    decimal per-step contributions (bit-identical cross-engine). All
+    work at state grain."""
+    absorb = F.when(F.col("node") == absorb_state, F.lit(1.0))
 
     def sdbl(col):
         return col.cast("string").cast("double")
@@ -4844,9 +4980,124 @@ def q_event_conversion_absorption(
             "node",
             absorb.otherwise(F.coalesce("_sm", F.lit(0.0))).alias("p"),
         )
+    return p
+
+
+def q_event_conversion_absorption(
+    spark: SparkSession, sf_dir: str, steps: int = 8
+) -> DataFrame:
+    """Absorbing-chain conversion probability: for each event type,
+    the probability that a user's Markov walk (first-order, the
+    event_transitions matrix) reaches 'purchase' within `steps`
+    steps -- the attribution-modeling primitive behind Markov
+    removal-effect analysis, computed by `steps` unrolled
+    value-iteration rounds p_k(s) = sum_t T[s,t] * p_{k-1}(t) with
+    'purchase' clamped to 1 (absorbing). ALL iteration work happens
+    at event-TYPE grain (a k x k matrix, k = |event types|): the one
+    corpus-scale pass is the lead() window that builds the
+    transition counts. Per-step contributions are 12dp-decimal
+    summed (the pagerank recipe) so every round is bit-identical
+    cross-engine. [event_type, p_convert]."""
+    _, tr, states = _markov_transitions(spark, sf_dir)
+    p = _absorb_p(tr, states, steps)
     return p.select(
         F.col("node").alias("event_type"), F.col("p").alias("p_convert")
     ).orderBy("event_type")
+
+
+def q_attribution_markov_removal(
+    spark: SparkSession, sf_dir: str, steps: int = 8
+) -> DataFrame:
+    """Markov removal-effect channel attribution (Anderl et al.,
+    "Mapping the customer journey"): credit each non-converting event
+    type by how much the 8-step conversion reach drops when walks can
+    no longer ENTER it. p_base = sum_s pi(s) p(s) with pi the
+    first-event (journey-start) distribution and p the absorbing-
+    chain reach of q_event_conversion_absorption; for each channel c,
+    p_removed(c) re-runs the SAME value iteration on the transition
+    matrix with every edge INTO c dropped (that probability mass
+    walks to nowhere = null, the standard removal semantics) and
+    drops journeys STARTING at c. Output [channel, p_base, p_removed,
+    removal_effect, attribution_share] with effect = 1 - p_rm/p_base
+    rounded 12dp (a nonneg decimal -- removal only deletes paths) and
+    share = effect / sum(effects) on the exact decimal total
+    (NULL when no channel has any effect).
+
+    Scale shape: the two corpus passes are the transition lead()
+    window and the first-event row_number -- both one user-keyed
+    shuffle; EVERYTHING else (4 channels x 8 unrolled rounds) runs at
+    event-TYPE grain. The |channels|-sized collect() is model state
+    (the Lloyd-centroid convention), not data."""
+    ev, tr, states = _markov_transitions(spark, sf_dir)
+
+    def sdbl(col):
+        return col.cast("string").cast("double")
+
+    w_first = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    first = (
+        ev.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .groupBy(F.col("event_type").alias("node"))
+        .agg(F.count("*").alias("_c"))
+    )
+    users = first.agg(F.sum("_c").alias("_u"))
+    pi = first.crossJoin(F.broadcast(users)).select(
+        "node", (F.col("_c") / F.col("_u")).alias("pi")
+    )
+
+    def reach(p: DataFrame, skip: str | None = None) -> DataFrame:
+        src = pi if skip is None else pi.filter(F.col("node") != skip)
+        return src.join(p, "node").agg(
+            sdbl(
+                F.sum(
+                    F.round(F.col("pi") * F.col("p"), 12).cast(
+                        "decimal(24,12)"
+                    )
+                )
+            ).alias("val")
+        )
+
+    base = reach(_absorb_p(tr, states, steps)).select(
+        F.col("val").alias("p_base")
+    )
+    channels = sorted(
+        r.node for r in states.collect() if r.node != "purchase"
+    )
+    per_channel = []
+    for ch in channels:
+        p_rm = _absorb_p(tr.filter(F.col("_t2") != ch), states, steps)
+        per_channel.append(
+            reach(p_rm, skip=ch).select(
+                F.lit(ch).alias("channel"), F.col("val").alias("p_removed")
+            )
+        )
+    rem = per_channel[0]
+    for nxt_df in per_channel[1:]:
+        rem = rem.unionByName(nxt_df)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = (
+        rem.crossJoin(F.broadcast(base))
+        .withColumn(
+            "_eff",
+            F.round(
+                F.lit(1.0) - F.col("p_removed") / F.col("p_base"), 12
+            ).cast("decimal(24,12)"),
+        )
+        .withColumn("_te", F.sum("_eff").over(w_all))
+    )
+    return out.select(
+        "channel",
+        "p_base",
+        "p_removed",
+        sdbl(F.col("_eff")).alias("removal_effect"),
+        F.when(
+            F.col("_te") != F.lit(0), sdbl(F.col("_eff")) / sdbl(F.col("_te"))
+        ).alias("attribution_share"),
+    ).orderBy("channel")
 
 
 def _absorption_ctes(steps: int = 8) -> str:
@@ -9955,6 +10206,194 @@ ORACLES["lang_js_divergence"] = """
   FROM terms GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{TOKS}", _SQL_TOKS)
 
+def _markov_removal_sql(channels: tuple[str, ...], steps: int = 8) -> str:
+    """Generated oracle for q_attribution_markov_removal: the shared
+    transition/pi CTEs, one unrolled value-iteration chain for the
+    base matrix and one per removed channel (edges INTO the channel
+    filtered out), then the effect/share arithmetic on exact
+    decimals. The channel universe is the generator's fixed
+    event-type set (verified identical at all three SFs); the Spark
+    side derives it from the data."""
+    head = """WITH nxt AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events),
+  c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS nn
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT event_type, CAST(sum(nn) AS BIGINT) AS t
+          FROM c GROUP BY 1),
+  tr AS (SELECT c.event_type AS s, next_type AS t2, nn / t AS T
+         FROM c JOIN tot ON c.event_type = tot.event_type),
+  st AS (SELECT s AS node FROM tr UNION SELECT t2 FROM tr),
+  fe AS (SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+  pi0 AS (SELECT event_type AS node, CAST(count(*) AS BIGINT) AS cu
+          FROM fe WHERE rn = 1 GROUP BY 1),
+  ut AS (SELECT CAST(sum(cu) AS BIGINT) AS u FROM pi0),
+  pi AS (SELECT node, cu / u AS pi FROM pi0, ut)"""
+
+    def chain(prefix: str, tr_filter: str) -> list[str]:
+        parts = [f"""{prefix}p0 AS (
+    SELECT node, CASE WHEN node = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS p
+    FROM st)"""]
+        for k in range(1, steps + 1):
+            parts.append(f"""{prefix}p{k} AS (
+    SELECT st.node,
+           CASE WHEN st.node = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                ELSE coalesce(x.sm, CAST(0.0 AS DOUBLE)) END AS p
+    FROM st LEFT JOIN (
+      SELECT s AS node,
+             CAST(CAST(sum(CAST(round(T * p, 12) AS DECIMAL(24,12)))
+                       AS VARCHAR) AS DOUBLE) AS sm
+      FROM tr JOIN {prefix}p{k - 1} ON tr.t2 = {prefix}p{k - 1}.node
+      {tr_filter} GROUP BY 1) x
+    USING (node))""")
+        return parts
+
+    parts = [head]
+    parts.extend(chain("b", ""))
+    parts.append(f"""bval AS (
+    SELECT CAST(CAST(sum(CAST(round(pi * p, 12) AS DECIMAL(24,12)))
+                     AS VARCHAR) AS DOUBLE) AS v
+    FROM pi JOIN bp{steps} USING (node))""")
+    for i, ch in enumerate(channels):
+        parts.extend(chain(f"r{i}", f"WHERE tr.t2 <> '{ch}'"))
+        parts.append(f"""r{i}val AS (
+    SELECT CAST(CAST(sum(CAST(round(pi * p, 12) AS DECIMAL(24,12)))
+                     AS VARCHAR) AS DOUBLE) AS v
+    FROM pi JOIN r{i}p{steps} USING (node)
+    WHERE pi.node <> '{ch}')""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, bval.v AS p_base, r{i}val.v AS p_removed"
+        f" FROM bval, r{i}val"
+        for i, ch in enumerate(channels)
+    )
+    parts.append(f"""eff AS (
+    SELECT channel, p_base, p_removed,
+           CAST(round(CAST(1 AS DOUBLE) - p_removed / p_base, 12)
+                AS DECIMAL(24,12)) AS e
+    FROM ({union}))""")
+    parts.append("""te AS (SELECT sum(e) AS t FROM eff)""")
+    return (
+        ",\n  ".join(parts)
+        + """
+  SELECT channel, p_base, p_removed,
+         CAST(CAST(e AS VARCHAR) AS DOUBLE) AS removal_effect,
+         CASE WHEN t <> 0 THEN CAST(CAST(e AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(t AS VARCHAR) AS DOUBLE) END
+           AS attribution_share
+  FROM eff, te ORDER BY channel"""
+    )
+
+
+ORACLES["attribution_markov_removal"] = _markov_removal_sql(
+    ("click", "error", "signup", "view")
+)
+
+# Information gain: every entropy term from exact integer counts,
+# 9dp-rounded into order-independent decimal sums.
+ORACLES["feature_information_gain"] = """
+  WITH f AS (
+    SELECT 'has_digit' AS feature,
+           CASE WHEN regexp_matches(text, '[0-9]') THEN 'y' ELSE 'n' END AS val,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+    UNION ALL
+    SELECT 'len_bucket', CAST(least(9, n_chars // 200) AS VARCHAR),
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+    FROM documents
+    UNION ALL
+    SELECT 'source', source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+    FROM documents),
+  cells AS (SELECT feature, val, y, CAST(count(*) AS BIGINT) AS nxy
+            FROM f GROUP BY 1, 2, 3),
+  nx AS (SELECT feature, val, CAST(sum(nxy) AS BIGINT) AS nx
+         FROM cells GROUP BY 1, 2),
+  nf AS (SELECT feature, CAST(sum(nxy) AS BIGINT) AS n
+         FROM cells GROUP BY 1),
+  hyx AS (
+    SELECT cells.feature,
+           sum(CAST(round(
+             -(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nxy AS DOUBLE) / CAST(nx AS DOUBLE)), 9)
+             AS DECIMAL(12,9))) AS s
+    FROM cells JOIN nx USING (feature, val) JOIN nf USING (feature)
+    GROUP BY 1),
+  lab AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CAST(count(*) AS BIGINT) AS ny
+          FROM documents GROUP BY 1),
+  nt AS (SELECT CAST(sum(ny) AS BIGINT) AS n FROM lab),
+  hy AS (
+    SELECT sum(CAST(round(
+             -(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS DECIMAL(12,9))) AS s
+    FROM lab, nt)
+  SELECT feature,
+         CAST(CAST(hy.s AS VARCHAR) AS DOUBLE) AS h_y,
+         CAST(CAST(hyx.s AS VARCHAR) AS DOUBLE) AS h_y_given_x,
+         CAST(CAST(hy.s AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(hyx.s AS VARCHAR) AS DOUBLE) AS ig_nats
+  FROM hyx, hy ORDER BY feature
+"""
+
+# Dunning G2 keyness: four O ln(O/E) terms each 9dp-rounded to
+# DECIMAL, summed exactly; the per-lang ranking happens ON the exact
+# decimal so the order is ulp-identical cross-engine.
+ORACLES["term_keyness_g2"] = """
+  WITH t AS ({TOKS}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS a
+          FROM tk GROUP BY 1, 2),
+  ltot AS (SELECT lang, CAST(sum(a) AS BIGINT) AS lt FROM cnt GROUP BY 1),
+  wtot AS (SELECT w, CAST(sum(a) AS BIGINT) AS wt FROM cnt GROUP BY 1),
+  ntot AS (SELECT CAST(sum(lt) AS BIGINT) AS nn FROM ltot),
+  j AS (
+    SELECT cnt.lang, cnt.w, a, lt, wt, nn,
+           wt - a AS b, lt - a AS c, nn - lt - (wt - a) AS d
+    FROM cnt JOIN ltot USING (lang) JOIN wtot USING (w), ntot
+    WHERE a >= 5),
+  g AS (
+    SELECT lang, w, a,
+           CAST(CASE WHEN a > 0 THEN round(
+               2.0 * CAST(a AS DOUBLE)
+               * ln(CAST(a AS DOUBLE)
+                    / ((CAST(lt AS DOUBLE) * CAST(wt AS DOUBLE))
+                       / CAST(nn AS DOUBLE))), 9)
+             ELSE 0.0 END AS DECIMAL(20,9))
+           + CAST(CASE WHEN b > 0 THEN round(
+               2.0 * CAST(b AS DOUBLE)
+               * ln(CAST(b AS DOUBLE)
+                    / ((CAST(nn - lt AS DOUBLE) * CAST(wt AS DOUBLE))
+                       / CAST(nn AS DOUBLE))), 9)
+             ELSE 0.0 END AS DECIMAL(20,9))
+           + CAST(CASE WHEN c > 0 THEN round(
+               2.0 * CAST(c AS DOUBLE)
+               * ln(CAST(c AS DOUBLE)
+                    / ((CAST(lt AS DOUBLE) * CAST(nn - wt AS DOUBLE))
+                       / CAST(nn AS DOUBLE))), 9)
+             ELSE 0.0 END AS DECIMAL(20,9))
+           + CAST(CASE WHEN d > 0 THEN round(
+               2.0 * CAST(d AS DOUBLE)
+               * ln(CAST(d AS DOUBLE)
+                    / ((CAST(nn - lt AS DOUBLE) * CAST(nn - wt AS DOUBLE))
+                       / CAST(nn AS DOUBLE))), 9)
+             ELSE 0.0 END AS DECIMAL(20,9)) AS g2d
+    FROM j),
+  ranked AS (
+    SELECT lang, w, a, g2d,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY g2d DESC, w ASC) AS rank
+    FROM g)
+  SELECT lang, CAST(rank AS BIGINT) AS rank, w AS word,
+         a AS n_in_lang, CAST(CAST(g2d AS VARCHAR) AS DOUBLE) AS g2
+  FROM ranked WHERE rank <= 10 ORDER BY lang, rank
+""".replace("{TOKS}", _SQL_TOKS)
+
 # Theil-Sen: same monthly-micros series as the OLS trend oracle; the
 # median pair slope by lower-median integer-rank selection.
 ORACLES["nation_theilsen_trend"] = """
@@ -10606,8 +11045,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_average_precision": q_score_average_precision,
     "score_lift_deciles": q_score_lift_deciles,
     "term_chi2_keywords": q_term_chi2_keywords,
+    "term_keyness_g2": q_term_keyness_g2,
     "lang_js_divergence": q_lang_js_divergence,
+    "feature_information_gain": q_feature_information_gain,
     "nation_theilsen_trend": q_nation_theilsen_trend,
+    "attribution_markov_removal": q_attribution_markov_removal,
     "embedding_mutual_nn": q_embedding_mutual_nn,
     "embedding_mutual_nn_lsh": q_embedding_mutual_nn_lsh,
     "events_winsorized_mean": q_events_winsorized_mean,
@@ -10959,6 +11401,9 @@ BENCH_QUERIES = [
     "term_chi2_keywords",
     "lang_js_divergence",
     "nation_theilsen_trend",
+    # r7 seventh wave: attribution / feature-selection / keyness
+    "term_keyness_g2",
+    "feature_information_gain",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
@@ -10991,6 +11436,7 @@ EAGER_BENCH_QUERIES = [
     "cosupply_kcore",
     "segment_affinity_suppliers",
     "supplier_cheapest_reach",
+    "attribution_markov_removal",
 ]
 
 # Everything else: measured once per bench run so every registry
