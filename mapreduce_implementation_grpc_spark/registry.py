@@ -4667,6 +4667,110 @@ def q_lang_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage
+    (operators/linkage.sorted_neighborhood_pairs) over the SAME
+    FEBRL-style master/corrupted-contacts pair as record_linkage_fs:
+    one global bal-sorted sequence (two-level bucketed ranks), pairs
+    within 10 rank positions scored with the shared FS weights. The
+    point is the documented recall hole of the blocking join --
+    balance nudges that cross a floor(bal) boundary -- which this
+    query recovers and flags via cross_block. Top-100 report."""
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    master, contacts = _linkage_frames(spark, sf_dir)
+    return sorted_neighborhood_pairs(master, contacts)
+
+
+def q_nation_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double) exponential smoothing per nation over the
+    SAME exact monthly integer-micros revenue series as the OLS and
+    Theil-Sen trend queries -- the classic adaptive level+trend
+    forecaster (Holt 1957). alpha = beta = 0.5 (exact binary) and
+    every recursion step rounds to the thousand-micros grain
+    (round(x, -3)): each state value is an exact-integer-valued
+    double below 2^53, every multiply-by-0.5 and add is EXACT IEEE,
+    so the whole recursion is bit-identical cross-engine with no
+    libm, no rounding-mode edge, and no decimal accumulator. Output
+    [nation, n_months, level, trend, forecast_next] (forecast = one
+    exact add), nations with >= 2 observed months; gaps in the
+    calendar are treated as consecutive observations (documented
+    smoothing-over-observations convention).
+
+    Scale shape: the fact-scale work is the one monthly groupBy; the
+    recursion folds a <= calendar-months array per nation via
+    F.aggregate, JVM-side, no driver loop and no per-step shuffle.
+    The oracle is a recursive CTE stepping the same arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    monthly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - F.lit(1992 * 12 + 1)
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(rev_micros)
+            .cast("decimal(25,0)")
+            .cast("string")
+            .cast("double")
+            .alias("yd")
+        )
+    )
+    arr = F.sort_array(F.collect_list(F.struct("x", "yd")))
+    g = (
+        monthly.groupBy("nation")
+        .agg(F.count("*").alias("n_months"), arr.alias("_a"))
+        .filter(F.col("n_months") >= 2)
+    )
+    half = F.lit(0.5)
+
+    def lvl(acc, e):
+        return F.round(half * e["yd"] + half * (acc["l"] + acc["b"]), -3)
+
+    init = F.struct(
+        F.element_at(F.col("_a"), 2)["yd"].alias("l"),
+        (
+            F.element_at(F.col("_a"), 2)["yd"]
+            - F.element_at(F.col("_a"), 1)["yd"]
+        ).alias("b"),
+    )
+    rest = F.slice(F.col("_a"), F.lit(3), F.size(F.col("_a")) - F.lit(2))
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, e: F.struct(
+            lvl(acc, e).alias("l"),
+            F.round(
+                half * (lvl(acc, e) - acc["l"]) + half * acc["b"], -3
+            ).alias("b"),
+        ),
+    )
+    return (
+        g.withColumn("_h", folded)
+        .select(
+            "nation",
+            "n_months",
+            F.col("_h.l").alias("level"),
+            F.col("_h.b").alias("trend"),
+            (F.col("_h.l") + F.col("_h.b")).alias("forecast_next"),
+        )
+        .orderBy("nation")
+    )
+
+
 def q_feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Information gain (mutual information, nats) of three document
     features for predicting lang='en' -- the feature-selection
@@ -10206,6 +10310,100 @@ ORACLES["lang_js_divergence"] = """
   FROM terms GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{TOKS}", _SQL_TOKS)
 
+def _sorted_neighborhood_oracle(window: int = 10) -> str:
+    """Oracle for q_linkage_sorted_neighborhood: reuses the m/c
+    record CTEs of _linkage_ctes (its blocked-pair CTEs go unused)
+    and mirrors the global rank + banded neighborhood + FS scoring.
+    Weight literals generated from fs_weights (never drift)."""
+    from .operators.linkage import fs_weights
+
+    w = fs_weights()
+    score = " + ".join(
+        f"CASE WHEN {f}_agree THEN CAST({wa!r} AS DOUBLE) "
+        f"ELSE CAST({wd!r} AS DOUBLE) END"
+        for f, (wa, wd) in w.items()
+    )
+    return (
+        _linkage_ctes()
+        + f""",
+  u AS (
+    SELECT 0 AS role, custkey AS rid, nm, bal, seg, blk FROM m
+    UNION ALL
+    SELECT 1, contact_id, nm, bal, seg, CAST(floor(bal) AS BIGINT)
+    FROM c),
+  r AS (SELECT role, rid, nm, bal, seg, blk,
+               row_number() OVER (ORDER BY bal, role, rid) AS rn
+        FROM u),
+  pr AS (
+    SELECT a.rid AS custkey, b.rid AS contact_id,
+           abs(a.rn - b.rn) AS rank_gap,
+           a.blk <> b.blk AS cross_block,
+           a.nm = b.nm AS nm_agree,
+           a.bal = b.bal AS bal_agree,
+           a.seg = b.seg AS seg_agree
+    FROM r a JOIN r b
+      ON a.role = 0 AND b.role = 1 AND abs(a.rn - b.rn) <= {window}),
+  sn AS (SELECT custkey, contact_id, rank_gap, cross_block,
+                nm_agree, bal_agree, seg_agree, ({score}) AS score
+         FROM pr)
+  SELECT custkey, contact_id, CAST(rank_gap AS BIGINT) AS rank_gap,
+         cross_block, nm_agree, bal_agree, seg_agree, score,
+         score > 0.0 AS is_match
+  FROM sn ORDER BY (score > 0.0 AND cross_block) DESC, score DESC,
+                   custkey, contact_id
+  LIMIT 100"""
+    )
+
+
+ORACLES["linkage_sorted_neighborhood"] = _sorted_neighborhood_oracle()
+
+# Holt smoothing as a recursive CTE stepping the identical exact
+# arithmetic (0.5 multiplies of thousand-micros-rounded states --
+# every intermediate an exact-integer double; both engines round
+# half-away-from-zero at negative digits, probed 2026-08-16).
+ORACLES["nation_revenue_holt"] = """
+  WITH RECURSIVE monthly AS (
+    SELECT n_name AS nation,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS x,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS yd
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  series AS (
+    SELECT nation, x, yd,
+           row_number() OVER (PARTITION BY nation ORDER BY x) AS i
+    FROM monthly),
+  mcount AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_months
+             FROM monthly GROUP BY 1),
+  rec AS (
+    SELECT s2.nation, CAST(2 AS BIGINT) AS i, s2.yd AS l,
+           s2.yd - s1.yd AS b
+    FROM series s1 JOIN series s2
+      ON s1.nation = s2.nation AND s1.i = 1 AND s2.i = 2
+    UNION ALL
+    SELECT rec.nation, rec.i + 1,
+           round(CAST(0.5 AS DOUBLE) * s.yd
+                 + CAST(0.5 AS DOUBLE) * (rec.l + rec.b), -3) AS l,
+           round(CAST(0.5 AS DOUBLE)
+                 * (round(CAST(0.5 AS DOUBLE) * s.yd
+                          + CAST(0.5 AS DOUBLE) * (rec.l + rec.b), -3)
+                    - rec.l)
+                 + CAST(0.5 AS DOUBLE) * rec.b, -3) AS b
+    FROM rec JOIN series s
+      ON s.nation = rec.nation AND s.i = rec.i + 1),
+  last AS (SELECT nation, max(i) AS mi FROM rec GROUP BY 1)
+  SELECT rec.nation, n_months, l AS level, b AS trend,
+         l + b AS forecast_next
+  FROM rec JOIN last ON rec.nation = last.nation AND rec.i = last.mi
+       JOIN mcount ON mcount.nation = rec.nation
+  ORDER BY rec.nation
+"""
+
+
 def _markov_removal_sql(channels: tuple[str, ...], steps: int = 8) -> str:
     """Generated oracle for q_attribution_markov_removal: the shared
     transition/pi CTEs, one unrolled value-iteration chain for the
@@ -11049,6 +11247,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_js_divergence": q_lang_js_divergence,
     "feature_information_gain": q_feature_information_gain,
     "nation_theilsen_trend": q_nation_theilsen_trend,
+    "nation_revenue_holt": q_nation_revenue_holt,
+    "linkage_sorted_neighborhood": q_linkage_sorted_neighborhood,
     "attribution_markov_removal": q_attribution_markov_removal,
     "embedding_mutual_nn": q_embedding_mutual_nn,
     "embedding_mutual_nn_lsh": q_embedding_mutual_nn_lsh,
@@ -11404,6 +11604,9 @@ BENCH_QUERIES = [
     # r7 seventh wave: attribution / feature-selection / keyness
     "term_keyness_g2",
     "feature_information_gain",
+    # r7 eighth wave: sorted-neighborhood linkage / Holt smoothing
+    "linkage_sorted_neighborhood",
+    "nation_revenue_holt",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
