@@ -4996,6 +4996,404 @@ def q_nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased Simpson concentration per language: D = sum c(c-1) /
+    (n(n-1)) -- the probability two tokens drawn WITHOUT replacement
+    are the same type -- plus the inverse-Simpson effective
+    vocabulary 1/D (Hill number of order 2), the concentration-side
+    companions of lang_token_entropy (entropy reads the whole
+    distribution; Simpson squares the head). ALL arithmetic is exact
+    integers (c(c-1) products as DECIMAL(38,0)) until the one final
+    division chain -- no transcendental, no rounding convention
+    needed. [lang, n_tokens, vocab, simpson, inv_simpson]; n <= 1
+    languages ship NULL (undefined without-replacement draw)."""
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    s2 = (
+        F.col("c").cast("decimal(19,0)")
+        * (F.col("c") - F.lit(1)).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    g = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(s2).cast("decimal(38,0)").alias("_s2"),
+    )
+    simpson = F.when(
+        F.col("n_tokens") > 1,
+        F.col("_s2").cast("string").cast("double")
+        / (
+            F.col("n_tokens").cast("double")
+            * (F.col("n_tokens") - F.lit(1)).cast("double")
+        ),
+    )
+    return g.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        simpson.alias("simpson"),
+        F.when(
+            (F.col("n_tokens") > 1) & (F.col("_s2") > 0),
+            F.lit(1.0) / simpson,
+        ).alias("inv_simpson"),
+    ).orderBy("lang")
+
+
+def q_brand_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit per supplier nation: the Herfindahl
+    -Hirschman index over part-brand revenue shares (HHI = sum
+    share_i^2, the antitrust-screening statistic) plus the CR4
+    four-brand concentration ratio. Shares never materialize:
+    HHI = sum(rev_i^2) / (sum rev_i)^2 on exact integer micros
+    (DECIMAL(38,0) squares, HUGEINT twin), so the only IEEE work is
+    one fixed division chain; CR4's top-4 pick is a brand-grain
+    window with rev-desc brand-asc deterministic tie-break.
+    [nation, n_brands, hhi, cr4].
+
+    Scale shape: one fact-scale groupBy to (nation, brand) grain
+    after broadcast dim joins; everything else (windows, squares,
+    ratios) lives on that nations x brands table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    nb = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("rev"))
+    )
+    w_rank = Window.partitionBy("nation").orderBy(
+        F.desc("rev"), F.asc("brand")
+    )
+    ranked = nb.withColumn("_rk", F.row_number().over(w_rank))
+    sq = (
+        F.col("rev").cast("decimal(19,0)") * F.col("rev").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    g = ranked.groupBy("nation").agg(
+        F.count("*").alias("n_brands"),
+        F.sum("rev").cast("decimal(35,0)").alias("_s1"),
+        F.sum(sq).cast("decimal(38,0)").alias("_s2"),
+        F.sum(F.when(F.col("_rk") <= 4, F.col("rev")).otherwise(F.lit(0)))
+        .cast("decimal(35,0)")
+        .alias("_t4"),
+    )
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    return g.select(
+        "nation",
+        "n_brands",
+        (
+            sdbl(F.col("_s2")) / (sdbl(F.col("_s1")) * sdbl(F.col("_s1")))
+        ).alias("hhi"),
+        (sdbl(F.col("_t4")) / sdbl(F.col("_s1"))).alias("cr4"),
+    ).orderBy("nation")
+
+
+def q_events_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length profile of each event type: consecutive same-type
+    runs inside each user's stream (the gaps-and-islands pattern at
+    event grain -- user_activity_streaks' twin on the type axis, the
+    repetition diagnostic behind rage-click / retry-storm review).
+    Boundary = type change or stream start (one lag() on the
+    user-keyed total order), run id = running boundary count, runs
+    collapse via one (user, run, type) groupBy. [event_type, n_runs,
+    longest_run, mean_run_len]; mean = exact total/runs division
+    (every event is in exactly one run)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    b = ev.withColumn("_prev", F.lag("event_type").over(w)).withColumn(
+        "_bnd",
+        (
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))
+        ).cast("long"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        b.withColumn("_run", F.sum("_bnd").over(w_run))
+        .groupBy("user_id", "_run", "event_type")
+        .agg(F.count("*").alias("_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("_len").alias("longest_run"),
+            (
+                F.sum("_len").cast("double") / F.count("*").cast("double")
+            ).alias("mean_run_len"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) over each event type's
+    daily value volume: z_t = round(0.5 x_t + 0.5 z_{t-1}) with x_t
+    the day's total value in exact integer MICROS -- the same
+    all-exact recursion discipline as nation_revenue_holt (alpha
+    exact-binary, states integer-valued doubles < 2^53, tie rounding
+    probed identical cross-engine), so the smoothing is bit-identical
+    with no decimal accumulator and no libm. Output [event_type,
+    n_days, ewma_last_micros, max_abs_dev_micros] where max_abs_dev
+    is the largest one-step |x_t - z_{t-1}| surprise the chart saw --
+    the control-limit numerator.
+
+    Scale shape: one fact-scale groupBy to (type, day) grain (value
+    6dp-decimal-summed exactly, scaled to BIGINT micros); the
+    recursion folds a <= calendar-days array per type JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.round("value", 6).cast("decimal(18,6)"))
+                .cast("decimal(20,6)")
+                * F.lit(1000000).cast("decimal(7,0)")
+            )
+            .cast("long")
+            .cast("double")
+            .alias("x")
+        )
+    )
+    arr = F.sort_array(F.collect_list(F.struct("day", "x")))
+    g = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), arr.alias("_a")
+    )
+    half = F.lit(0.5)
+    init = F.struct(
+        F.element_at(F.col("_a"), 1)["x"].alias("z"),
+        F.lit(0.0).alias("md"),
+    )
+    rest = F.slice(F.col("_a"), F.lit(2), F.size(F.col("_a")) - F.lit(1))
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, e: F.struct(
+            F.round(half * e["x"] + half * acc["z"], 0).alias("z"),
+            F.greatest(acc["md"], F.abs(e["x"] - acc["z"])).alias("md"),
+        ),
+    )
+    return (
+        g.withColumn("_f", folded)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("_f.z").alias("ewma_last_micros"),
+            F.col("_f.md").alias("max_abs_dev_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order month, cumulative revenue per cohort member tracked
+    over cohort age in months -- the user_retention counting curve
+    upgraded to money (the LTV readout subscription finance runs).
+    Revenue is exact integer CENTS (o_totalprice is 2dp by
+    construction); the cumulative sum is a window over the
+    (cohort, age) grain -- bounded by calendar^2/2, never orders --
+    and the per-member division is the only IEEE op.
+    [cohort_month, age_months, n_active, cohort_size, rev_cents,
+    cum_ltv_cents_per_customer].
+
+    Scale shape: first-order month is one min() groupBy on custkey
+    (uniform key); the order->cohort attach is an equi-join flowing
+    into the one (cohort, age) groupBy; windows never touch order
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    midx = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - F.lit(1992 * 12 + 1)
+    ).cast("long")
+    om = orders.select(
+        "o_custkey",
+        midx.alias("_m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    firsts = om.groupBy("o_custkey").agg(F.min("_m").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        om.join(firsts, "o_custkey")
+        .groupBy("cohort", (F.col("_m") - F.col("cohort")).alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(F.col("_cents").cast("decimal(25,0)"))
+            .cast("decimal(25,0)")
+            .alias("_rev"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .withColumn("_cum", F.sum("_rev").over(w_cum))
+        .select(
+            F.col("cohort").alias("cohort_month"),
+            "age_months",
+            "n_active",
+            "cohort_size",
+            F.col("_rev").cast("string").cast("double").alias("rev_cents"),
+            (
+                F.col("_cum").cast("string").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("cum_ltv_cents_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate profile by session ENTRY event type: sessionize
+    each user's stream on the repo's 30-minute gap convention (the
+    events_sessionize lag shape), take each session's first event
+    type as its landing page, and report how often that entry ends
+    the session immediately (n_events = 1) -- the funnel-entry
+    quality readout. [entry_type, n_sessions, n_bounces, bounce_rate,
+    mean_events_per_session]; both ratios exact long/long IEEE
+    divisions.
+
+    Scale shape: the sessionize lag and the session-id running count
+    share ONE user-keyed window shuffle; sessions collapse via one
+    (user, session) groupBy with a min(struct) entry pick (no second
+    window)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.withColumn(
+        "_st", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("_sid", F.sum("_st").over(w_run))
+    sess = s.groupBy("user_id", "_sid").agg(
+        F.count("*").alias("_n"),
+        F.min(
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("v"),
+            )
+        )["v"].alias("entry_type"),
+    )
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("_n") == 1).cast("long")).alias("n_bounces"),
+            (
+                F.sum((F.col("_n") == 1).cast("long")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("bounce_rate"),
+            (
+                F.sum("_n").cast("double") / F.count("*").cast("double")
+            ).alias("mean_events_per_session"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+def q_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution per order month: exact mean
+    plus p50/p90 by INTEGER-RANK SELECTION over the (month, distinct
+    delay-days) grain -- the late_shipments count query upgraded to a
+    full latency profile, with the repo's interpolation-free
+    percentile convention (events_anomaly_mad): p50 = smallest delay
+    with cum >= (n+1) div 2, p90 = smallest with 10*cum >= 9*n, all
+    integer comparisons, no float decides a rank. [month, n_items,
+    mean_delay_days, p50_delay_days, p90_delay_days].
+
+    Scale shape: one equi-join on the uniform orderkey, one groupBy
+    to (month, delay) grain (bounded by calendar x delay range);
+    the percentile windows never touch lineitem rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    month = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - F.lit(1992 * 12 + 1)
+    ).cast("long")
+    d = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            month.alias("month"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("dd"),
+        )
+        .groupBy("month", "dd")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = d.groupBy("month").agg(
+        F.sum("cnt").alias("n_items"),
+        F.sum(F.col("dd") * F.col("cnt")).alias("_sum_dd"),
+    )
+    w_cm = (
+        Window.partitionBy("month")
+        .orderBy("dd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cm", F.sum("cnt").over(w_cm)).join(
+        F.broadcast(tot), "month"
+    )
+    p50 = (
+        cum.filter(
+            F.col("cm")
+            >= F.floor((F.col("n_items") + 1) / F.lit(2.0)).cast("long")
+        )
+        .groupBy("month")
+        .agg(F.min("dd").alias("p50_delay_days"))
+    )
+    p90 = (
+        cum.filter(F.col("cm") * 10 >= F.col("n_items") * 9)
+        .groupBy("month")
+        .agg(F.min("dd").alias("p90_delay_days"))
+    )
+    return (
+        tot.join(p50, "month")
+        .join(p90, "month")
+        .select(
+            "month",
+            "n_items",
+            (
+                F.col("_sum_dd").cast("double")
+                / F.col("n_items").cast("double")
+            ).alias("mean_delay_days"),
+            "p50_delay_days",
+            "p90_delay_days",
+        )
+        .orderBy("month")
+    )
+
+
 def q_embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal nearest-neighbor pairs over the embedding corpus
     (similarity.mutual_nearest_pairs): candidates come from the
@@ -10310,6 +10708,223 @@ ORACLES["lang_js_divergence"] = """
   FROM terms GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{TOKS}", _SQL_TOKS)
 
+# Cohort LTV triangle: exact integer cents, window cumsum at the
+# (cohort, age) grain, one IEEE division per row.
+ORACLES["customer_cohort_ltv"] = """
+  WITH om AS (
+    SELECT o_custkey,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS m,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS cents
+    FROM orders),
+  firsts AS (SELECT o_custkey, min(m) AS cohort FROM om GROUP BY 1),
+  sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM firsts GROUP BY 1),
+  cells AS (
+    SELECT cohort, om.m - cohort AS age_months,
+           CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_active,
+           sum(CAST(cents AS HUGEINT)) AS rev
+    FROM om JOIN firsts ON om.o_custkey = firsts.o_custkey
+    GROUP BY 1, 2),
+  cum AS (
+    SELECT cohort, age_months, n_active, rev,
+           sum(rev) OVER (PARTITION BY cohort ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+    FROM cells)
+  SELECT cohort AS cohort_month, age_months, n_active, cohort_size,
+         CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev_cents,
+         CAST(CAST(crev AS VARCHAR) AS DOUBLE)
+           / CAST(cohort_size AS DOUBLE) AS cum_ltv_cents_per_customer
+  FROM cum JOIN sizes USING (cohort)
+  ORDER BY cohort_month, age_months
+"""
+
+# Bounce profile: the events_sessionize epoch-floor gap convention;
+# entry pick via rn = 1 on the session-keyed total order.
+ORACLES["session_bounce_rate"] = """
+  WITH g AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+  s AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+    FROM g),
+  e2 AS (
+    SELECT user_id, sid, event_type,
+           row_number() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id, sid) AS n
+    FROM s),
+  sess AS (SELECT user_id, sid, event_type AS entry_type,
+                  CAST(n AS BIGINT) AS n
+           FROM e2 WHERE rn = 1)
+  SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS bounce_rate,
+         CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_events_per_session
+  FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+# Delay profile: integer-rank percentile selection (the MAD oracle
+# convention), exact integer day sums for the mean.
+ORACLES["shipping_delay_profile"] = """
+  WITH d AS (
+    SELECT CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS month,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) AS BIGINT) AS dd,
+           count(*) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2),
+  tot AS (SELECT month, CAST(sum(cnt) AS BIGINT) AS n_items,
+                 CAST(sum(dd * cnt) AS BIGINT) AS sdd
+          FROM d GROUP BY 1),
+  cum AS (SELECT month, dd, cnt,
+                 sum(cnt) OVER (PARTITION BY month ORDER BY dd
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+          FROM d),
+  p50 AS (SELECT cum.month, min(dd) AS p50_delay_days
+          FROM cum JOIN tot USING (month)
+          WHERE cm >= CAST(floor((n_items + 1) / 2.0) AS BIGINT)
+          GROUP BY 1),
+  p90 AS (SELECT cum.month, min(dd) AS p90_delay_days
+          FROM cum JOIN tot USING (month)
+          WHERE cm * 10 >= n_items * 9 GROUP BY 1)
+  SELECT tot.month, n_items,
+         CAST(sdd AS DOUBLE) / CAST(n_items AS DOUBLE)
+           AS mean_delay_days,
+         p50_delay_days, p90_delay_days
+  FROM tot JOIN p50 USING (month) JOIN p90 USING (month)
+  ORDER BY tot.month
+"""
+
+# Unbiased Simpson: exact-integer c(c-1) sums (HUGEINT twin), one
+# final IEEE division chain, no rounding convention needed.
+ORACLES["lang_simpson_diversity"] = """
+  WITH t AS ({TOKS}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, count(*) AS c FROM tk GROUP BY 1, 2),
+  g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS s2
+        FROM cnt GROUP BY 1)
+  SELECT lang, n_tokens, vocab,
+         CASE WHEN n_tokens > 1
+              THEN CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE)
+                      * CAST(n_tokens - 1 AS DOUBLE)) END AS simpson,
+         CASE WHEN n_tokens > 1 AND s2 > 0
+              THEN CAST(1.0 AS DOUBLE)
+                   / (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE)
+                         * CAST(n_tokens - 1 AS DOUBLE))) END
+           AS inv_simpson
+  FROM g ORDER BY lang
+""".replace("{TOKS}", _SQL_TOKS)
+
+# HHI/CR4: exact micro squares as HUGEINT; the only IEEE work is the
+# final fixed division chains; CR4 pick by deterministic window rank.
+ORACLES["brand_revenue_hhi"] = """
+  WITH nb AS (
+    SELECT n_name AS nation, p_brand AS brand,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS rev
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN part ON l_partkey = p_partkey
+         JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT nation, brand, rev,
+           row_number() OVER (PARTITION BY nation
+                              ORDER BY rev DESC, brand ASC) AS rk
+    FROM nb),
+  g AS (
+    SELECT nation, CAST(count(*) AS BIGINT) AS n_brands,
+           sum(rev) AS s1, sum(rev * rev) AS s2,
+           sum(CASE WHEN rk <= 4 THEN rev ELSE 0 END) AS t4
+    FROM ranked GROUP BY 1)
+  SELECT nation, n_brands,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+           / (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)) AS hhi,
+         CAST(CAST(t4 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS cr4
+  FROM g ORDER BY nation
+"""
+
+# Gaps-and-islands on the type axis: lag boundary + running count.
+ORACLES["events_run_length"] = """
+  WITH b AS (
+    SELECT user_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS bnd,
+           ts, event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  r AS (
+    SELECT user_id, event_type,
+           sum(bnd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM b),
+  runs AS (SELECT user_id, run, event_type,
+                  CAST(count(*) AS BIGINT) AS len
+           FROM r GROUP BY 1, 2, 3)
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+         max(len) AS longest_run,
+         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_run_len
+  FROM runs GROUP BY 1 ORDER BY 1
+"""
+
+# EWMA: recursive CTE stepping the identical exact-integer-micros
+# arithmetic (alpha = 0.5 exact binary; tie rounding probed equal).
+ORACLES["events_ewma_control"] = """
+  WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                          AS DECIMAL(20,6))
+                     * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+                AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2),
+  series AS (
+    SELECT event_type, day, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+    FROM daily),
+  dcount AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1),
+  rec AS (
+    SELECT event_type, CAST(1 AS BIGINT) AS i, x AS z,
+           CAST(0.0 AS DOUBLE) AS md
+    FROM series WHERE i = 1
+    UNION ALL
+    SELECT rec.event_type, rec.i + 1,
+           round(CAST(0.5 AS DOUBLE) * s.x
+                 + CAST(0.5 AS DOUBLE) * rec.z, 0) AS z,
+           greatest(rec.md, abs(s.x - rec.z)) AS md
+    FROM rec JOIN series s
+      ON s.event_type = rec.event_type AND s.i = rec.i + 1),
+  last AS (SELECT event_type, max(i) AS mi FROM rec GROUP BY 1)
+  SELECT rec.event_type, n_days, z AS ewma_last_micros,
+         md AS max_abs_dev_micros
+  FROM rec JOIN last ON rec.event_type = last.event_type
+                    AND rec.i = last.mi
+       JOIN dcount ON dcount.event_type = rec.event_type
+  ORDER BY rec.event_type
+"""
+
+
 def _sorted_neighborhood_oracle(window: int = 10) -> str:
     """Oracle for q_linkage_sorted_neighborhood: reuses the m/c
     record CTEs of _linkage_ctes (its blocked-pair CTEs go unused)
@@ -11249,6 +11864,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_theilsen_trend": q_nation_theilsen_trend,
     "nation_revenue_holt": q_nation_revenue_holt,
     "linkage_sorted_neighborhood": q_linkage_sorted_neighborhood,
+    "lang_simpson_diversity": q_lang_simpson_diversity,
+    "brand_revenue_hhi": q_brand_revenue_hhi,
+    "events_run_length": q_events_run_length,
+    "events_ewma_control": q_events_ewma_control,
+    "customer_cohort_ltv": q_customer_cohort_ltv,
+    "session_bounce_rate": q_session_bounce_rate,
+    "shipping_delay_profile": q_shipping_delay_profile,
     "attribution_markov_removal": q_attribution_markov_removal,
     "embedding_mutual_nn": q_embedding_mutual_nn,
     "embedding_mutual_nn_lsh": q_embedding_mutual_nn_lsh,
@@ -11607,6 +12229,15 @@ BENCH_QUERIES = [
     # r7 eighth wave: sorted-neighborhood linkage / Holt smoothing
     "linkage_sorted_neighborhood",
     "nation_revenue_holt",
+    # r7 ninth wave: diversity / concentration / runs / EWMA
+    "lang_simpson_diversity",
+    "brand_revenue_hhi",
+    "events_run_length",
+    "events_ewma_control",
+    # r7 tenth wave: cohort LTV / bounce / delay percentiles
+    "customer_cohort_ltv",
+    "session_bounce_rate",
+    "shipping_delay_profile",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the
