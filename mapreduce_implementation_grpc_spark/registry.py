@@ -5203,6 +5203,73 @@ def q_events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year value-quintile migration matrix: customers
+    ranked into spend quintiles within 1995 and within 1996 (exact
+    integer cents, rank by spend desc with custkey tie-break,
+    quintile = 5*(rn-1) DIV n -- an INTEGER boundary, no ntile() and
+    no float), then the 1995 -> 1996 transition counts over customers
+    active in both years -- the churn-risk migration table of CRM
+    practice (diagonal = retained tier, below-diagonal = upgraded).
+    [q_1995, q_1996, n_customers] ordered by both tiers.
+
+    Scale shape: per-year ranks ride the GROUP-SCOPED two-level
+    bucketed machinery (bucketize group_cols=[yr]: per-year
+    1024-bucket ladders, windows partitioned by (yr, bucket) -- no
+    per-year SinglePartition sort of the customer grain); the pivot
+    is one self-equi-join on custkey at customer grain."""
+    from .operators.ranking import bucket_offsets, bucketize_by_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "decimal(25,0)"
+                )
+            )
+            .cast("decimal(25,0)")
+            .cast("string")
+            .cast("double")
+            .alias("cents")
+        )
+    )
+    bk = bucketize_by_key(spend, "cents", ascending=False, group_cols=["yr"])
+    offs = bucket_offsets(bk, group_cols=["yr"])
+    w_loc = Window.partitionBy("yr", "_bkt").orderBy(
+        F.asc("_ak"), F.asc("custkey")
+    )
+    ranked = (
+        bk.withColumn("_lrn", F.row_number().over(w_loc))
+        .join(offs, ["yr", "_bkt"])
+        .select(
+            "custkey",
+            "yr",
+            F.least(
+                F.lit(4),
+                F.expr("5 * (_off + _lrn - 1) DIV _tot"),
+            ).cast("long").alias("q"),
+        )
+    )
+    a = ranked.filter(F.col("yr") == 1995).select(
+        "custkey", F.col("q").alias("q_1995")
+    )
+    b = ranked.filter(F.col("yr") == 1996).select(
+        "custkey", F.col("q").alias("q_1996")
+    )
+    return (
+        a.join(b, "custkey")
+        .groupBy("q_1995", "q_1996")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("q_1995", "q_1996")
+    )
+
+
 def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value triangle: customers grouped by
     first-order month, cumulative revenue per cohort member tracked
@@ -10708,6 +10775,31 @@ ORACLES["lang_js_divergence"] = """
   FROM terms GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{TOKS}", _SQL_TOKS)
 
+# Quintile migration: integer 5*(rn-1) DIV n boundaries (no ntile,
+# no float), rank by exact cents desc with custkey tie-break.
+ORACLES["customer_value_migration"] = """
+  WITH spend AS (
+    SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS cents
+    FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1, 2),
+  r AS (
+    SELECT custkey, yr,
+           row_number() OVER (PARTITION BY yr
+                              ORDER BY cents DESC, custkey) AS rn,
+           count(*) OVER (PARTITION BY yr) AS n
+    FROM spend),
+  q AS (SELECT custkey, yr,
+               CAST(least(4, 5 * (rn - 1) // n) AS BIGINT) AS q
+        FROM r)
+  SELECT a.q AS q_1995, b.q AS q_1996,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM q a JOIN q b ON a.custkey = b.custkey
+       AND a.yr = 1995 AND b.yr = 1996
+  GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # Cohort LTV triangle: exact integer cents, window cumsum at the
 # (cohort, age) grain, one IEEE division per row.
 ORACLES["customer_cohort_ltv"] = """
@@ -11868,6 +11960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_revenue_hhi": q_brand_revenue_hhi,
     "events_run_length": q_events_run_length,
     "events_ewma_control": q_events_ewma_control,
+    "customer_value_migration": q_customer_value_migration,
     "customer_cohort_ltv": q_customer_cohort_ltv,
     "session_bounce_rate": q_session_bounce_rate,
     "shipping_delay_profile": q_shipping_delay_profile,
@@ -12238,6 +12331,8 @@ BENCH_QUERIES = [
     "customer_cohort_ltv",
     "session_bounce_rate",
     "shipping_delay_profile",
+    # r7 eleventh wave: quintile migration
+    "customer_value_migration",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the

@@ -1426,3 +1426,124 @@ def streaming_duplicate_charges(events: DataFrame) -> DataFrame:
     return keyed.groupBy("user_id", "event_type", "cents").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_ewma_control(events: DataFrame) -> DataFrame:
+    """Stateful online twin of registry.q_events_ewma_control: the
+    EWMA control chart as an O(1)-state fold per event type. The
+    batch operator folds DAILY value totals (exact BIGINT micros)
+    through z' = round_half_away((x + z) / 2); here the state
+    additionally accumulates the OPEN day's running micro total and
+    folds a day the moment a later-day event arrives -- so every
+    emitted row is a CLOSED day, and the trajectory is bit-identical
+    to the batch fold over the same closed-day prefix (the
+    session_window closed-only parity convention).
+
+    State per type: (cur_day_epoch, cur_sum_micros, z, md, n_closed,
+    last_ts_us, last_event_id) -- seven longs. Integer arithmetic
+    mirrors the batch all-exact recursion EXACTLY: micros via
+    Decimal(repr(value)).quantize(1e-6, HALF_UP) * 1e6 == the batch
+    round(value, 6) decimal sum; the half-step is pure-integer
+    ties-away division, the same values the batch computes in
+    exact-integer doubles. In-order contract as streaming_cusum /
+    wallet: exact redelivery of the last folded event is skipped as
+    idempotent; genuine out-of-order arrival fails loudly.
+
+    Output per closed day: [event_type, day_epoch, day_index,
+    x_micros, z_micros, max_abs_dev_micros]."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day_epoch", LongType()),
+            StructField("day_index", LongType()),
+            StructField("x_micros", LongType()),
+            StructField("z_micros", LongType()),
+            StructField("max_abs_dev_micros", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cur_day", LongType()),
+            StructField("cur_sum", LongType()),
+            StructField("z", LongType()),
+            StructField("md", LongType()),
+            StructField("n_closed", LongType()),
+            StructField("last_ts_us", LongType()),
+            StructField("last_event_id", LongType()),
+        ]
+    )
+
+    def half_away(s: int) -> int:
+        # round_half_away(s / 2) on an exact integer s -- the integer
+        # mirror of the batch round(0.5*x + 0.5*z, 0) double chain
+        if s % 2 == 0:
+            return s // 2
+        return (abs(s) + 1) // 2 * (1 if s > 0 else -1)
+
+    def update(key, pdfs, state: GroupState):
+        etype = key[0]
+        if state.exists:
+            cur_day, cur_sum, z, md, n_closed, last_us, last_id = state.get
+        else:
+            cur_day, cur_sum, z, md, n_closed = -(2**62), 0, 0, 0, 0
+            last_us, last_id = -(2**63), -(2**63)
+        rows = []
+
+        def close_day():
+            nonlocal z, md, n_closed
+            x = cur_sum
+            if n_closed == 0:
+                z, md = x, 0
+            else:
+                md = max(md, abs(x - z))
+                z = half_away(x + z)
+            n_closed += 1
+            rows.append((etype, cur_day, n_closed, x, z, md))
+
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts, eid, value in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            t = pd.Timestamp(ts)
+            ts_us = int(t.value // 1000)
+            if (ts_us, int(eid)) == (last_us, last_id):
+                continue  # idempotent redelivery of the last folded event
+            if (ts_us, int(eid)) < (last_us, last_id):
+                raise ValueError(
+                    f"streaming_ewma_control: out-of-order event "
+                    f"(type {etype!r}, event_id {int(eid)}) after state "
+                    f"folded ts_us={last_us} -- in-order contract broken"
+                )
+            last_us, last_id = ts_us, int(eid)
+            day = (t.normalize().value // 1000) // 86_400_000_000
+            if day > cur_day:
+                if cur_day > -(2**62):
+                    close_day()
+                cur_day, cur_sum = day, 0
+            micros = int(
+                Decimal(repr(float(value))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+                * 1_000_000
+            )
+            cur_sum += micros
+        state.update((cur_day, cur_sum, z, md, n_closed, last_us, last_id))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_type",
+                "day_epoch",
+                "day_index",
+                "x_micros",
+                "z_micros",
+                "max_abs_dev_micros",
+            ],
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
