@@ -5203,6 +5203,82 @@ def q_events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile per market segment: the distribution
+    of days between a customer's consecutive orders -- median and p90
+    by INTEGER-RANK SELECTION (the shipping_delay_profile /
+    events_anomaly_mad convention: no interpolation, no float rank),
+    mean from exact integer day sums. The replenishment-cycle readout
+    behind inventory and win-back timing. [segment, n_gaps,
+    mean_gap_days, median_gap_days, p90_gap_days].
+
+    Scale shape: consecutive-order gaps are one lag() on the
+    custkey-keyed total order (uniform key, one shuffle); the
+    segment attach is a customer-grain equi-join; percentiles ride
+    the (segment, distinct-gap) grain -- bounded by the calendar,
+    never order rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    gaps = (
+        orders.withColumn("_prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "_prev").cast("long").alias("gap"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("segment", "gap")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = gaps.groupBy("segment").agg(
+        F.sum("cnt").alias("n_gaps"),
+        F.sum(F.col("gap") * F.col("cnt")).alias("_sum_gap"),
+    )
+    w_cm = (
+        Window.partitionBy("segment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gaps.withColumn("cm", F.sum("cnt").over(w_cm)).join(
+        F.broadcast(tot), "segment"
+    )
+    p50 = (
+        cum.filter(
+            F.col("cm")
+            >= F.floor((F.col("n_gaps") + 1) / F.lit(2.0)).cast("long")
+        )
+        .groupBy("segment")
+        .agg(F.min("gap").alias("median_gap_days"))
+    )
+    p90 = (
+        cum.filter(F.col("cm") * 10 >= F.col("n_gaps") * 9)
+        .groupBy("segment")
+        .agg(F.min("gap").alias("p90_gap_days"))
+    )
+    return (
+        tot.join(p50, "segment")
+        .join(p90, "segment")
+        .select(
+            "segment",
+            "n_gaps",
+            (
+                F.col("_sum_gap").cast("double")
+                / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_days"),
+            "median_gap_days",
+            "p90_gap_days",
+        )
+        .orderBy("segment")
+    )
+
+
 def q_customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year value-quintile migration matrix: customers
     ranked into spend quintiles within 1995 and within 1996 (exact
@@ -10775,6 +10851,42 @@ ORACLES["lang_js_divergence"] = """
   FROM terms GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{TOKS}", _SQL_TOKS)
 
+# Cadence profile: lag gaps on the custkey total order; percentile
+# selection at the (segment, distinct-gap) grain.
+ORACLES["segment_order_gap_profile"] = """
+  WITH g AS (
+    SELECT o_custkey,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC)),
+  gg AS (
+    SELECT c_mktsegment AS segment, gap, count(*) AS cnt
+    FROM g JOIN customer ON o_custkey = c_custkey
+    WHERE gap IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS n_gaps,
+                 CAST(sum(gap * cnt) AS BIGINT) AS sg
+          FROM gg GROUP BY 1),
+  cum AS (SELECT segment, gap, cnt,
+                 sum(cnt) OVER (PARTITION BY segment ORDER BY gap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+          FROM gg),
+  p50 AS (SELECT cum.segment, min(gap) AS median_gap_days
+          FROM cum JOIN tot USING (segment)
+          WHERE cm >= CAST(floor((n_gaps + 1) / 2.0) AS BIGINT)
+          GROUP BY 1),
+  p90 AS (SELECT cum.segment, min(gap) AS p90_gap_days
+          FROM cum JOIN tot USING (segment)
+          WHERE cm * 10 >= n_gaps * 9 GROUP BY 1)
+  SELECT tot.segment, n_gaps,
+         CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_days,
+         median_gap_days, p90_gap_days
+  FROM tot JOIN p50 USING (segment) JOIN p90 USING (segment)
+  ORDER BY tot.segment
+"""
+
 # Quintile migration: integer 5*(rn-1) DIV n boundaries (no ntile,
 # no float), rank by exact cents desc with custkey tie-break.
 ORACLES["customer_value_migration"] = """
@@ -11961,6 +12073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_run_length": q_events_run_length,
     "events_ewma_control": q_events_ewma_control,
     "customer_value_migration": q_customer_value_migration,
+    "segment_order_gap_profile": q_segment_order_gap_profile,
     "customer_cohort_ltv": q_customer_cohort_ltv,
     "session_bounce_rate": q_session_bounce_rate,
     "shipping_delay_profile": q_shipping_delay_profile,
@@ -12331,8 +12444,9 @@ BENCH_QUERIES = [
     "customer_cohort_ltv",
     "session_bounce_rate",
     "shipping_delay_profile",
-    # r7 eleventh wave: quintile migration
+    # r7 eleventh wave: quintile migration / cadence profile
     "customer_value_migration",
+    "segment_order_gap_profile",
 ]
 
 # The EAGER family: queries whose DataFrame CONSTRUCTION runs the

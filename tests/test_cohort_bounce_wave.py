@@ -132,3 +132,34 @@ def test_delay_percentile_selection_hand_computed(spark):
     assert r.mean_delay_days == pytest.approx(5.5)
     assert r.p50_delay_days == 5
     assert r.p90_delay_days == 9
+
+
+def test_order_gap_profile_invariants_and_hand_case(spark, sf_check):
+    out = registry.QUERIES["segment_order_gap_profile"](
+        spark, sf_check
+    ).collect()
+    assert out
+    for r in out:
+        assert r.median_gap_days <= r.p90_gap_days
+        assert r.n_gaps >= 1 and r.mean_gap_days > 0
+    # crafted: one customer, orders at days 0, 10, 20, 50 -> gaps
+    # 10, 10, 30: median 10, p90 30, mean 50/3
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "c", 1, 0.0, "SEGX")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    orders = [
+        (k, 1, "O", 1.0, dt.datetime(1995, 1, 1) + dt.timedelta(days=day), "P")
+        for k, day in enumerate([0, 10, 20, 50])
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    r = registry.QUERIES["segment_order_gap_profile"](spark, d).collect()[0]
+    assert r.n_gaps == 3
+    assert r.median_gap_days == 10 and r.p90_gap_days == 30
+    assert r.mean_gap_days == pytest.approx(50 / 3)
