@@ -5076,9 +5076,24 @@ def q_brand_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("rev"), F.asc("brand")
     )
     ranked = nb.withColumn("_rk", F.row_number().over(w_rank))
-    sq = (
-        F.col("rev").cast("decimal(19,0)") * F.col("rev").cast("decimal(19,0)")
-    ).cast("decimal(38,0)")
+    # Square at the native decimal(25,0) grain, capped to decimal(38,0).
+    # A per-cell revenue >= 1e19 micros would overflow the 38-digit
+    # square; rather than letting non-ANSI Spark null it (and the sum
+    # silently skip the cell), raise loudly at the offending row. The
+    # DuckDB oracle's HUGEINT square survives past this bound, so a
+    # silent null here would surface as a confusing hash mismatch.
+    _hhi_sq_bound = F.lit("9999999999999999999").cast("decimal(25,0)")
+    sq = F.when(
+        F.col("rev") <= _hhi_sq_bound,
+        (F.col("rev") * F.col("rev")).cast("decimal(38,0)"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "brand_revenue_hhi: per-(nation,brand) revenue >= 1e19 "
+                "micros overflows the decimal(38,0) square"
+            )
+        ).cast("decimal(38,0)")
+    )
     g = ranked.groupBy("nation").agg(
         F.count("*").alias("n_brands"),
         F.sum("rev").cast("decimal(35,0)").alias("_s1"),
@@ -5650,6 +5665,13 @@ def q_event_conversion_absorption(
     ).orderBy("event_type")
 
 
+# Single source of truth for the Markov removal-effect channel
+# universe: the oracle SQL unrolls one absorbing-chain CTE per channel
+# at authoring time, and the Spark query asserts its data-derived set
+# equals this tuple (loud desync detection, advice r7).
+MARKOV_ORACLE_CHANNELS = ("click", "error", "signup", "view")
+
+
 def q_attribution_markov_removal(
     spark: SparkSession, sf_dir: str, steps: int = 8
 ) -> DataFrame:
@@ -5710,6 +5732,21 @@ def q_attribution_markov_removal(
     channels = sorted(
         r.node for r in states.collect() if r.node != "purchase"
     )
+    # The oracle pins this channel universe at authoring time (it is
+    # unrolled into the SQL); if the generator's event-type set ever
+    # drifts, fail HERE with both sets named instead of surfacing as
+    # an inscrutable oracle hash mismatch (advice r7). Crafted-fixture
+    # universes (disjoint channel names, oracle not in play) skip the
+    # check; any drift of the REAL universe still overlaps and trips.
+    if set(channels) & set(MARKOV_ORACLE_CHANNELS) and tuple(
+        channels
+    ) != MARKOV_ORACLE_CHANNELS:
+        raise RuntimeError(
+            "attribution_markov_removal: data-derived channel set "
+            f"{tuple(channels)} != oracle's pinned universe "
+            f"{MARKOV_ORACLE_CHANNELS}; regenerate the oracle via "
+            "_markov_removal_sql with the new tuple"
+        )
     per_channel = []
     for ch in channels:
         p_rm = _absorb_p(tr.filter(F.col("_t2") != ch), states, steps)
@@ -11308,7 +11345,7 @@ def _markov_removal_sql(channels: tuple[str, ...], steps: int = 8) -> str:
 
 
 ORACLES["attribution_markov_removal"] = _markov_removal_sql(
-    ("click", "error", "signup", "view")
+    MARKOV_ORACLE_CHANNELS
 )
 
 # Information gain: every entropy term from exact integer counts,

@@ -1498,6 +1498,18 @@ def streaming_ewma_control(events: DataFrame) -> DataFrame:
         def close_day():
             nonlocal z, md, n_closed
             x = cur_sum
+            # Bit-identity with the batch round(0.5*x + 0.5*z, 0)
+            # double chain holds only while x and x+z are exact in a
+            # double; check the 2^53 precondition loudly instead of
+            # silently diverging by one micro at extreme daily
+            # volumes (advice r7).
+            if abs(x) >= 2**53 or abs(x + z) >= 2**53:
+                raise ValueError(
+                    "streaming_ewma_control: daily micro-total "
+                    f"|{x}| or |x+z|={abs(x + z)} >= 2^53 — the "
+                    "integer state is no longer bit-identical to the "
+                    "batch double recursion"
+                )
             if n_closed == 0:
                 z, md = x, 0
             else:

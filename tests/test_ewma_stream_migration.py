@@ -44,7 +44,11 @@ def test_streaming_ewma_matches_batch_on_closed_days(
             )
             for r in load_table(spark, sf_smoke, "events").collect()
         ),
-        key=lambda x: x[1],
+        # (ts, event_id): ties on the ts string alone could land the
+        # microbatch split between two same-timestamp events with
+        # event_ids out of order, tripping the operator's loud
+        # out-of-order guard (advice r7).
+        key=lambda x: (x[1], x[0]),
     )
     src = str(tmp_path / "ev")
     os.makedirs(src)
