@@ -8,33 +8,52 @@ column of every row is computed and shipped to the writer, so
 Catalyst cannot column-prune projections or window expressions the
 way a bare count() would allow. Results are NOT collected to the
 driver.
+
+ISOLATION (round 8, VERDICT r7 #1): the old single-JVM sequential
+battery drifted ~1.33x r6->r7 on plans whose code did not change --
+each round's ~30 new plans inflate every later query's wall time
+(codegen cache, GC pressure, broadcast cleanup backlog), which makes
+round-over-round per-query comparison meaningless. The run is now
+tiered into FRESH JVM SUBPROCESSES:
+
+  canary   -- registry.CANARY_QUERIES (pinned, append-only, 25
+              queries spanning every plan family), ALWAYS FIRST in
+              its own clean JVM, median-of-3. THE round-comparable
+              surface: its environment (fresh JVM + wordcount warmup
+              + <=25 preceding plans) is identical every round by
+              construction.
+  headline -- remaining BENCH_QUERIES in registry-list order, chunked
+              into fixed-size batches (default 50), one fresh JVM per
+              batch. Because rounds APPEND to BENCH_QUERIES, an old
+              query keeps its batch and its position inside it, so
+              accumulation ahead of it is bounded and stable.
+  eager    -- build-time trainers (Lloyd/BPE/fixpoints), one JVM.
+  extended -- the long tail incl. deliberately-quadratic oracle
+              baselines, one JVM (split if it outgrows a batch).
+
+The per-tier accumulation-vs-fresh A/B that motivated this layout is
+measured in tools/bench_ab_probe.py and recorded in SCALING.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_implementation_grpc_spark import registry
-from mapreduce_implementation_grpc_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Three sections covering EVERY registry query (asserted in registry):
-#   queries   -- headline set, median-of-N (comparable across rounds)
-#   eager_queries    -- build-time trainers (Lloyd/BPE/fixpoints): the
-#                       timing INCLUDES construction, which runs the
-#                       algorithm's materialized rounds; single run by
-#                       default (round counts are deterministic)
-#   extended_queries -- the long tail incl. deliberately-quadratic
-#                       oracle baselines; single run by default
 BENCH_QUERIES = getattr(registry, "BENCH_QUERIES", list(registry.QUERIES))
 EAGER_QUERIES = getattr(registry, "EAGER_BENCH_QUERIES", [])
 EXTENDED_QUERIES = getattr(registry, "EXTENDED_BENCH_QUERIES", [])
+CANARY_QUERIES = getattr(registry, "CANARY_QUERIES", [])
 
 
 def _run(df) -> None:
@@ -43,43 +62,116 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    spark = get_spark(app_name="bench")
+# ---------------------------------------------------------------------------
+# worker mode: one fresh JVM, one tier (or batch of a tier)
+# ---------------------------------------------------------------------------
+
+def worker(spec_path: str) -> None:
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+    from mapreduce_implementation_grpc_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{spec['tier']}")
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers once so timings measure the
+    # plans, not class loading -- identical warmup in every worker so
+    # every batch starts from the same environment
+    _run(registry.QUERIES["wordcount"](spark, spec["sf_dir"]))
+    # optional untimed preload (tools/bench_ab_probe.py uses it to
+    # reproduce the accumulated-JVM condition deliberately)
+    for name in spec.get("preload", []):
+        _run(registry.QUERIES[name](spark, spec["sf_dir"]))
 
-    # warm the JVM + parquet footers once so timings measure the plans
-    _run(registry.QUERIES["wordcount"](spark, SF_DIR))
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in spec["names"]:
+        fn = registry.QUERIES[name]
+        samples = []
+        for _ in range(spec["runs"]):
+            t0 = time.perf_counter()
+            _run(fn(spark, spec["sf_dir"]))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        median = samples[len(samples) // 2]
+        timings[name] = round(median, 3)
+        # flag queries whose worst run strayed >50% from the median
+        if samples[-1] > 1.5 * median and samples[-1] - median > 0.25:
+            spreads[name] = round(samples[-1], 3)
+    with open(spec["out"], "w") as fh:
+        json.dump({"timings": timings, "spreads": spreads}, fh)
+    spark.stop()
 
-    # median-of-N (default 3): robust to one-off system-load outliers,
-    # so the shipped number is reproducible; per-query spread is
-    # recorded so a discarded outlier is visible, not hidden. The
-    # eager/extended sections default to ONE run (env-overridable):
-    # their 108 rows cost ~180 s once, and tripling that buys noise
-    # reduction only on rows nobody compares across rounds.
+
+# ---------------------------------------------------------------------------
+# orchestrator: tier specs -> subprocesses -> merged document
+# ---------------------------------------------------------------------------
+
+def _run_tier(tier: str, names: list[str], runs: int, workdir: str,
+              spreads: dict[str, float]) -> dict[str, float]:
+    if not names:
+        return {}
+    spec_path = os.path.join(workdir, f"{tier}.spec.json")
+    out_path = os.path.join(workdir, f"{tier}.out.json")
+    with open(spec_path, "w") as fh:
+        json.dump(
+            {"tier": tier, "names": names, "runs": runs,
+             "sf_dir": SF_DIR, "out": out_path},
+            fh,
+        )
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", spec_path],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=os.environ,
+    )
+    if proc.returncode != 0 or not os.path.exists(out_path):
+        sys.stderr.write(
+            f"bench tier {tier} failed (rc={proc.returncode}):\n"
+            + proc.stderr[-3000:]
+            + "\n"
+        )
+        raise SystemExit(1)
+    with open(out_path) as fh:
+        frag = json.load(fh)
+    spreads.update(frag["spreads"])
+    return frag["timings"]
+
+
+def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     ext_runs = int(os.environ.get("SPARK_GRAFT_BENCH_EXT_RUNS", "1"))
+    batch = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "50"))
     spreads: dict[str, float] = {}
 
-    def time_queries(names: list[str], n_runs: int) -> dict[str, float]:
-        timings: dict[str, float] = {}
-        for name in names:
-            fn = registry.QUERIES[name]
-            samples = []
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                _run(fn(spark, SF_DIR))
-                samples.append(time.perf_counter() - t0)
-            samples.sort()
-            median = samples[len(samples) // 2]
-            timings[name] = round(median, 3)
-            # flag queries whose worst run strayed >50% from the median
-            if samples[-1] > 1.5 * median and samples[-1] - median > 0.25:
-                spreads[name] = round(samples[-1], 3)
-        return timings
+    with tempfile.TemporaryDirectory(prefix="bench_") as workdir:
+        # 1. canary: pinned set, clean JVM, FIRST -- the comparable
+        #    surface (its timings double as the headline rows for
+        #    these queries; environment matches the other batches:
+        #    fresh JVM + warmup + a bounded, pinned prefix)
+        canary = _run_tier("canary", CANARY_QUERIES, runs, workdir, spreads)
+        # 2. headline remainder in registry order, fixed-size fresh-JVM
+        #    batches; appends land in the LAST batch, so an existing
+        #    query's batch + intra-batch position never changes
+        rest = [q for q in BENCH_QUERIES if q not in set(CANARY_QUERIES)]
+        timings = dict(canary)
+        for i in range(0, len(rest), batch):
+            timings.update(
+                _run_tier(f"headline{i // batch}", rest[i:i + batch],
+                          runs, workdir, spreads)
+            )
+        # 3/4. eager + extended tiers, one fresh JVM each
+        eager = _run_tier("eager", EAGER_QUERIES, ext_runs, workdir, spreads)
+        extended = {}
+        for i in range(0, len(EXTENDED_QUERIES), batch):
+            extended.update(
+                _run_tier(f"extended{i // batch}",
+                          EXTENDED_QUERIES[i:i + batch],
+                          ext_runs, workdir, spreads)
+            )
 
-    timings = time_queries(BENCH_QUERIES, runs)
-    eager = time_queries(EAGER_QUERIES, ext_runs)
-    extended = time_queries(EXTENDED_QUERIES, ext_runs)
+    # headline order in the document follows BENCH_QUERIES, as before
+    timings = {q: timings[q] for q in BENCH_QUERIES}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -88,13 +180,18 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "canary_queries": canary,
+        "canary_total_sec": round(sum(canary.values()), 3),
         "eager_queries": eager,
         "extended_queries": extended,
         "eager_total_sec": round(sum(eager.values()), 3),
         "extended_total_sec": round(sum(extended.values()), 3),
         "n_queries_all": len(timings) + len(eager) + len(extended),
         "sf": float(sf),
-        "method": f"median_of_{runs}; eager/extended median_of_{ext_runs}",
+        "method": (
+            f"median_of_{runs}; eager/extended median_of_{ext_runs}; "
+            f"fresh JVM per tier, headline batch={batch}, canary first"
+        ),
     }
     # The driver captures only the LAST ~2000 chars of stdout and
     # parses the JSON it finds there; r4's single all-query line
@@ -133,8 +230,9 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "sf": float(sf),
-        "method": f"median_of_{runs}",
+        "method": f"median_of_{runs};fresh_jvm_tiers",
         "n_queries": len(timings),
+        "canary_total_sec": out["canary_total_sec"],
         "eager_total_sec": out["eager_total_sec"],
         "extended_total_sec": out["extended_total_sec"],
         "n_queries_all": out["n_queries_all"],
@@ -148,8 +246,10 @@ def main() -> None:
             break
     final["queries_omitted"] = len(timings) - len(final["queries"])
     print(json.dumps(final, separators=(",", ":")))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+    else:
+        main()

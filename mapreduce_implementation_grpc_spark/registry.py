@@ -12533,3 +12533,50 @@ assert not (set(BENCH_QUERIES) & set(EAGER_BENCH_QUERIES))
 assert (
     set(BENCH_QUERIES) | set(EAGER_BENCH_QUERIES) | set(EXTENDED_BENCH_QUERIES)
 ) == set(QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# bench canary (round-comparable measurement surface, VERDICT r7 #1)
+# ---------------------------------------------------------------------------
+# PINNED set of 25 headline queries spanning every plan family
+# (scan-agg, multi-join, window/session, percentile, dedup/LSH, ANN,
+# text ranking, graph motif/iteration, banded linkage, data layout).
+# bench.py times these FIRST, in their own fresh JVM subprocess,
+# median-of-3 -- so their numbers are comparable across rounds no
+# matter how many queries later rounds append. r6->r7 taught us the
+# sequential single-JVM battery drifts ~1.3x on untouched plans as
+# the registry grows; this set is the stable reference frame. DO NOT
+# reorder or remove entries -- append-only changes keep old rounds
+# comparable (contract-tested).
+CANARY_QUERIES = [
+    "wordcount",
+    "pricing_summary",
+    "revenue_by_nation",
+    "market_share",
+    "top_customers",
+    "orders_monthly",
+    "events_rollup",
+    "events_sessionize",
+    "events_hopping",
+    "orders_running_total",
+    "events_quantiles_binned",
+    "dedup_exact",
+    "minhash_near_dup",
+    "simhash",
+    "knn_cosine",
+    "ann_lsh",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "doc_perplexity",
+    "purchase_pagerank",
+    "cosupply_triangles",
+    "embedding_mutual_nn_lsh",
+    "linkage_sorted_neighborhood",
+    "heaps_law_fit",
+    "zorder_skipping_summary",
+]
+
+# Canary entries are headline queries (their fresh-JVM timing IS the
+# headline row; bench.py skips re-timing them in the batched tier).
+assert set(CANARY_QUERIES) <= set(BENCH_QUERIES)
+assert len(CANARY_QUERIES) == len(set(CANARY_QUERIES))

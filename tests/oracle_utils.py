@@ -23,11 +23,22 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 
 import duckdb
 import pandas as pd
 
 from mapreduce_implementation_grpc_spark.sources.catalog import TABLES
+
+
+# Strict float lens (VERDICT r7 #2): SPARK_GRAFT_CANON_BITEXACT=1
+# makes _canon compare raw IEEE bits via float.hex() instead of
+# round(v, 9). The repo's convention is bit-identical cross-engine
+# arithmetic (exact-integer state, 9/12dp-decimal routed sums), so
+# the full battery must pass under this lens too; the 9dp default
+# stays only as the pytest-time lens because it is what seven rounds
+# of driver artifacts were validated against.
+BITEXACT_FLOATS = os.environ.get("SPARK_GRAFT_CANON_BITEXACT", "") == "1"
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
@@ -56,6 +67,15 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
+        if BITEXACT_FLOATS:
+            # strict mode (VERDICT r7 #2): the driver's hash is the
+            # pandas repr of the raw double, so 9dp rounding here is
+            # MORE LENIENT than the driver -- a query that is only
+            # 9dp-close would pass this replica and fail the gate.
+            # float.hex() is lossless: equal hex == equal IEEE bits,
+            # and -0.0 stays distinct from 0.0, exactly like the
+            # driver's string rendering.
+            return ("f", v.hex())
         return ("f", round(v, 9))
     if isinstance(v, int):
         return ("i", v)

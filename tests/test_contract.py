@@ -203,6 +203,15 @@ def test_bench_final_line_fits_driver_window(tmp_path):
     from mapreduce_implementation_grpc_spark import registry
 
     assert set(full["queries"]) == set(registry.BENCH_QUERIES)
+    # round-8 canary tier: the pinned round-comparable surface ran,
+    # covered exactly CANARY_QUERIES, and its timings ARE the
+    # headline rows for those queries (same fresh-JVM environment)
+    assert set(full["canary_queries"]) == set(registry.CANARY_QUERIES)
+    assert all(
+        full["queries"][q] == full["canary_queries"][q]
+        for q in full["canary_queries"]
+    )
+    assert payload["canary_total_sec"] == full["canary_total_sec"]
     # VERDICT r5 #1: EVERY registry query has a measured row in one of
     # the three sections -- headline, eager (build-inclusive trainer
     # timings), extended (long tail incl. quadratic oracle baselines)
@@ -340,3 +349,42 @@ def test_registry_has_no_shadowed_bindings():
         assert dup_keys == [], (
             f"{node.target.id} literal repeats keys: {dup_keys}"
         )
+
+
+def test_canary_set_is_pinned_append_only():
+    """The canary tier is only round-comparable if its membership and
+    ORDER never change under it; this pins the r8 list as a required
+    prefix. Future rounds may APPEND (and then extend this pin) but
+    any reorder/removal/insertion fails here."""
+    from mapreduce_implementation_grpc_spark import registry
+
+    r8_pin = [
+        "wordcount",
+        "pricing_summary",
+        "revenue_by_nation",
+        "market_share",
+        "top_customers",
+        "orders_monthly",
+        "events_rollup",
+        "events_sessionize",
+        "events_hopping",
+        "orders_running_total",
+        "events_quantiles_binned",
+        "dedup_exact",
+        "minhash_near_dup",
+        "simhash",
+        "knn_cosine",
+        "ann_lsh",
+        "bm25_topk",
+        "tfidf_top_terms",
+        "doc_perplexity",
+        "purchase_pagerank",
+        "cosupply_triangles",
+        "embedding_mutual_nn_lsh",
+        "linkage_sorted_neighborhood",
+        "heaps_law_fit",
+        "zorder_skipping_summary",
+    ]
+    assert registry.CANARY_QUERIES[: len(r8_pin)] == r8_pin
+    assert set(registry.CANARY_QUERIES) <= set(registry.BENCH_QUERIES)
+    assert len(registry.CANARY_QUERIES) == len(set(registry.CANARY_QUERIES))

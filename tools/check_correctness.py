@@ -39,6 +39,52 @@ def value_hash(pdf) -> str:
     ).hexdigest()[:12]
 
 
+def _current_round() -> int:
+    """Build round this session belongs to: one past the newest driver
+    CORRECTNESS artifact (overridable via SPARK_GRAFT_ROUND)."""
+    import glob
+    import re
+
+    if os.environ.get("SPARK_GRAFT_ROUND"):
+        return int(os.environ["SPARK_GRAFT_ROUND"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def record_local_battery(green: list[str], red: list[str], sf_dir: str) -> None:
+    """Merge this run into LOCAL_BATTERY.json: per-query last round the
+    LOCAL replica saw it green / checked it at all. Feeds the
+    committed STALENESS.json ledger (VERDICT r7 #7) so per-query
+    freshness is auditable without re-deriving it from every
+    CORRECTNESS_r*.json."""
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "LOCAL_BATTERY.json")
+    doc: dict = {"queries": {}}
+    if os.path.exists(path):
+        with open(path) as fh:
+            doc = _json.load(fh)
+    rnd = _current_round()
+    qs = doc.setdefault("queries", {})
+    for name in green:
+        row = qs.setdefault(name, {})
+        row["last_green_round"] = max(row.get("last_green_round", 0), rnd)
+        row["last_checked_round"] = max(row.get("last_checked_round", 0), rnd)
+        row["sf_dir"] = sf_dir
+    for name in red:
+        row = qs.setdefault(name, {})
+        row["last_checked_round"] = max(row.get("last_checked_round", 0), rnd)
+        row["sf_dir"] = sf_dir
+    with open(path, "w") as fh:
+        _json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(registry.QUERIES)
@@ -49,12 +95,15 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = 0
+    green: list[str] = []
+    red: list[str] = []
     for name in names:
         try:
             sdf = registry.QUERIES[name](spark, sf_dir)
             spdf = sdf.toPandas()
             if name not in registry.ORACLES:
                 print(f"  {name}: rows-only rows={len(spdf)} (no oracle)")
+                green.append(name)  # rows-only IS its strongest check
                 continue
             opdf = con.execute(registry.ORACLES[name]).fetchdf()
             schema_ok = sorted(spdf.columns) == sorted(opdf.columns)
@@ -62,6 +111,7 @@ def main() -> None:
             ok = schema_ok and len(spdf) == len(opdf) and hash_ok
             status = "OK " if ok else "FAIL"
             failures += 0 if ok else 1
+            (green if ok else red).append(name)
             print(
                 f"  {name}: {status} rows={len(spdf)}/{len(opdf)} "
                 f"schema={'ok' if schema_ok else f'{sorted(spdf.columns)} vs {sorted(opdf.columns)}'} "
@@ -69,7 +119,9 @@ def main() -> None:
             )
         except Exception:
             failures += 1
+            red.append(name)
             print(f"  {name}: ERROR\n{traceback.format_exc()}")
+    record_local_battery(green, red, sf_dir)
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'} on {sf_dir}")
     sys.exit(1 if failures else 0)
 

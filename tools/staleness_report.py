@@ -134,5 +134,55 @@ def main() -> None:
             print(f"  {name}")
 
 
+def write_ledger() -> None:
+    """--write: emit STALENESS.json, the committed per-query freshness
+    ledger (VERDICT r7 #7): last driver-green round, last
+    driver-checked round, and last LOCAL replica-battery
+    green/checked round (from LOCAL_BATTERY.json, maintained by
+    tools/check_correctness.py). Every registry query appears
+    (contract-tested), so freshness is auditable from one artifact
+    instead of re-deriving it from every CORRECTNESS_r*.json."""
+    from mapreduce_implementation_grpc_spark import registry
+
+    last_green, last_checked, _never = gather()
+    latest = max(last_checked.values(), default=0)
+    local: dict = {}
+    lb_path = os.path.join(REPO, "LOCAL_BATTERY.json")
+    if os.path.exists(lb_path):
+        with open(lb_path) as fh:
+            local = json.load(fh).get("queries", {})
+    fresh = new_this_round()
+    queries = {}
+    for name in sorted(registry.QUERIES):
+        lrow = local.get(name, {})
+        queries[name] = {
+            "last_driver_green": last_green.get(name),
+            "last_driver_checked": last_checked.get(name),
+            "last_local_green": lrow.get("last_green_round"),
+            "last_local_checked": lrow.get("last_checked_round"),
+            "new_this_round": name in fresh,
+        }
+    doc = {
+        "latest_driver_round": latest,
+        "n_queries": len(queries),
+        "n_driver_green_ever": sum(
+            1 for q in queries.values() if q["last_driver_green"]
+        ),
+        "queries": queries,
+    }
+    out = os.path.join(REPO, "STALENESS.json")
+    with open(out, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        f"wrote {out}: {doc['n_queries']} queries, "
+        f"{doc['n_driver_green_ever']} ever driver-green, "
+        f"latest driver round r{latest:02d}"
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--write" in sys.argv:
+        write_ledger()
+    else:
+        main()
