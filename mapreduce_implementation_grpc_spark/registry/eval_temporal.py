@@ -1,0 +1,2519 @@
+"""registry part 10: eval_temporal (split from the monolithic registry.py in round 8; see tools/split_registry.py)."""
+
+from __future__ import annotations
+
+from .shared import (
+    DataFrame,
+    F,
+    SparkSession,
+    Window,
+    embedding_dup_pairs,
+    load_table,
+    materialize,
+    top_k,
+    with_token_array,
+)
+
+
+
+def q_linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage
+    (operators/linkage.sorted_neighborhood_pairs) over the SAME
+    FEBRL-style master/corrupted-contacts pair as record_linkage_fs:
+    one global bal-sorted sequence (two-level bucketed ranks), pairs
+    within 10 rank positions scored with the shared FS weights. The
+    point is the documented recall hole of the blocking join --
+    balance nudges that cross a floor(bal) boundary -- which this
+    query recovers and flags via cross_block. Top-100 report."""
+    from ..operators.linkage import sorted_neighborhood_pairs
+
+    master, contacts = _linkage_frames(spark, sf_dir)
+    return sorted_neighborhood_pairs(master, contacts)
+
+
+def q_nation_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double) exponential smoothing per nation over the
+    SAME exact monthly integer-micros revenue series as the OLS and
+    Theil-Sen trend queries -- the classic adaptive level+trend
+    forecaster (Holt 1957). alpha = beta = 0.5 (exact binary) and
+    every recursion step rounds to the thousand-micros grain
+    (round(x, -3)): each state value is an exact-integer-valued
+    double below 2^53, every multiply-by-0.5 and add is EXACT IEEE,
+    so the whole recursion is bit-identical cross-engine with no
+    libm, no rounding-mode edge, and no decimal accumulator. Output
+    [nation, n_months, level, trend, forecast_next] (forecast = one
+    exact add), nations with >= 2 observed months; gaps in the
+    calendar are treated as consecutive observations (documented
+    smoothing-over-observations convention).
+
+    Scale shape: the fact-scale work is the one monthly groupBy; the
+    recursion folds a <= calendar-months array per nation via
+    F.aggregate, JVM-side, no driver loop and no per-step shuffle.
+    The oracle is a recursive CTE stepping the same arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    monthly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - F.lit(1992 * 12 + 1)
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(rev_micros)
+            .cast("decimal(25,0)")
+            .cast("string")
+            .cast("double")
+            .alias("yd")
+        )
+    )
+    arr = F.sort_array(F.collect_list(F.struct("x", "yd")))
+    g = (
+        monthly.groupBy("nation")
+        .agg(F.count("*").alias("n_months"), arr.alias("_a"))
+        .filter(F.col("n_months") >= 2)
+    )
+    half = F.lit(0.5)
+
+    def lvl(acc, e):
+        return F.round(half * e["yd"] + half * (acc["l"] + acc["b"]), -3)
+
+    init = F.struct(
+        F.element_at(F.col("_a"), 2)["yd"].alias("l"),
+        (
+            F.element_at(F.col("_a"), 2)["yd"]
+            - F.element_at(F.col("_a"), 1)["yd"]
+        ).alias("b"),
+    )
+    rest = F.slice(F.col("_a"), F.lit(3), F.size(F.col("_a")) - F.lit(2))
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, e: F.struct(
+            lvl(acc, e).alias("l"),
+            F.round(
+                half * (lvl(acc, e) - acc["l"]) + half * acc["b"], -3
+            ).alias("b"),
+        ),
+    )
+    return (
+        g.withColumn("_h", folded)
+        .select(
+            "nation",
+            "n_months",
+            F.col("_h.l").alias("level"),
+            F.col("_h.b").alias("trend"),
+            (F.col("_h.l") + F.col("_h.b")).alias("forecast_next"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain (mutual information, nats) of three document
+    features for predicting lang='en' -- the feature-selection
+    primitive of a quality-classifier pipeline: which cheap signals
+    carry label information at all. Features: len_bucket
+    (least(9, n_chars DIV 200), a fixed INTEGER bucketing -- no
+    data-driven boundary), has_digit (regex class presence), and the
+    source column as-is. IG = H(Y) - H(Y|X) with every entropy term
+    -(k/n) ln(k/n) computed from exact integer counts, rounded 9dp
+    into order-independent DECIMAL sums, string-routed.
+
+    Scale shape: stack() fans each row into 3 (feature, val) rows
+    once; one partial-agg'd groupBy to (feature, val, y) cell grain;
+    marginals are re-aggregations of the cell table (category-
+    cardinality-sized). Output 3 rows [feature, h_y, h_y_given_x,
+    ig_nats]."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr(
+            "stack(3,"
+            " 'has_digit', CASE WHEN text RLIKE '[0-9]' THEN 'y' ELSE 'n' END,"
+            " 'len_bucket', CAST(least(9, n_chars DIV 200) AS STRING),"
+            " 'source', source) AS (feature, val)"
+        ),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    cells = f.groupBy("feature", "val", "y").agg(F.count("*").alias("nxy"))
+    nx = cells.groupBy("feature", "val").agg(F.sum("nxy").alias("nx"))
+    nf = cells.groupBy("feature").agg(F.sum("nxy").alias("n"))
+    term = F.round(
+        -(F.col("nxy").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("nxy").cast("double") / F.col("nx").cast("double")),
+        9,
+    ).cast("decimal(12,9)")
+    hyx = (
+        cells.join(nx, ["feature", "val"])
+        .join(F.broadcast(nf), "feature")
+        .groupBy("feature")
+        .agg(F.sum(term).alias("_hyx"))
+    )
+    lab = docs.groupBy((F.col("lang") == "en").cast("int").alias("y")).agg(
+        F.count("*").alias("ny")
+    )
+    ntot = lab.agg(F.sum("ny").alias("n"))
+    hterm = F.round(
+        -(F.col("ny").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("ny").cast("double") / F.col("n").cast("double")),
+        9,
+    ).cast("decimal(12,9)")
+    hy = lab.crossJoin(F.broadcast(ntot)).agg(F.sum(hterm).alias("_hy"))
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    return (
+        hyx.crossJoin(F.broadcast(hy))
+        .select(
+            "feature",
+            sdbl(F.col("_hy")).alias("h_y"),
+            sdbl(F.col("_hyx")).alias("h_y_given_x"),
+            (sdbl(F.col("_hy")) - sdbl(F.col("_hyx"))).alias("ig_nats"),
+        )
+        .orderBy("feature")
+    )
+
+
+def q_term_keyness_g2(
+    spark: SparkSession, sf_dir: str, top_k: int = 10, min_count: int = 5
+) -> DataFrame:
+    """Top-k keyness terms per language by the Dunning log-likelihood
+    ratio G2 = 2 * sum over the 2x2 table of O ln(O/E) (Dunning 1993,
+    "Accurate Methods for the Statistics of Surprise and
+    Coincidence") -- the low-count-honest companion of
+    term_chi2_keywords (chi-square overstates rare-event surprise;
+    G2 is the likelihood-ratio form). Same exact token-instance
+    contingency counts; each of the four O ln(O/E) terms (zero cells
+    contribute 0) is rounded 9dp into a DECIMAL per-word G2, and the
+    per-lang ranking happens ON that exact decimal -- ulp-identical
+    ordering cross-engine with word-asc tie-break. [lang, rank, word,
+    n_in_lang, g2]; candidates pruned to a >= min_count.
+
+    Scale shape: identical to term_chi2_keywords -- everything after
+    the tokenize pass lives at (lang, word) / vocab grain."""
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("a"))
+    )
+    ltot = cnt.groupBy("lang").agg(F.sum("a").alias("lt"))
+    wtot = cnt.groupBy("w").agg(F.sum("a").alias("wt"))
+    ntot = ltot.agg(F.sum("lt").alias("nn"))
+    j = (
+        cnt.filter(F.col("a") >= min_count)
+        .join(F.broadcast(ltot), "lang")
+        .join(wtot, "w")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn("b", F.col("wt") - F.col("a"))
+        .withColumn("c", F.col("lt") - F.col("a"))
+        .withColumn("d", F.col("nn") - F.col("lt") - (F.col("wt") - F.col("a")))
+    )
+
+    def gterm(o, r, cc):
+        e = (r.cast("double") * cc.cast("double")) / F.col("nn").cast("double")
+        return F.when(
+            o > 0,
+            F.round(
+                F.lit(2.0) * o.cast("double") * F.log(o.cast("double") / e), 9
+            ),
+        ).otherwise(F.lit(0.0)).cast("decimal(20,9)")
+
+    lt, wt, nn = F.col("lt"), F.col("wt"), F.col("nn")
+    g2d = (
+        gterm(F.col("a"), lt, wt)
+        + gterm(F.col("b"), nn - lt, wt)
+        + gterm(F.col("c"), lt, nn - wt)
+        + gterm(F.col("d"), nn - lt, nn - wt)
+    )
+    ranked = j.withColumn("_g2", g2d).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("_g2"), F.asc("w"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= top_k)
+        .select(
+            "lang",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("a").alias("n_in_lang"),
+            F.col("_g2").cast("string").cast("double").alias("g2"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+def q_nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation over the SAME monthly
+    revenue series as nation_revenue_trend's OLS: the median of all
+    pairwise slopes (rev_j - rev_i) / (month_j - month_i) -- the
+    29%-breakdown estimator a single promo-spike month cannot drag
+    (Theil 1950, Sen 1968). [nation, n_months, n_pairs,
+    theil_sen_slope]; the median is the LOWER median by integer-rank
+    selection over exact pair-slope doubles (the events_anomaly_mad
+    convention -- no midpoint interpolation to diverge cross-engine).
+
+    Scale shape: the fact-scale work is the one monthly-revenue
+    groupBy (exact integer micros); pair enumeration and median
+    selection happen at nation x month grain (C(n_months, 2) pairs
+    per nation, bounded by the calendar, never row counts). The pair
+    self-join is an equi-join on nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    monthly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - F.lit(1992 * 12 + 1)
+            ).cast("long").alias("x"),
+        )
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("y"))
+    )
+    lhs = monthly.select(
+        "nation", F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    rhs = monthly.select(
+        "nation", F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        lhs.join(rhs, "nation")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "nation",
+            (
+                (F.col("y2") - F.col("y1"))
+                .cast("decimal(26,0)")
+                .cast("string")
+                .cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    sc = slopes.groupBy("nation", "slope").agg(F.count("*").alias("cnt"))
+    tot = sc.groupBy("nation").agg(F.sum("cnt").alias("np"))
+    w_cm = (
+        Window.partitionBy("nation")
+        .orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        sc.withColumn("cm", F.sum("cnt").over(w_cm))
+        .join(F.broadcast(tot), "nation")
+        .filter(
+            F.col("cm")
+            >= F.floor((F.col("np") + 1) / F.lit(2.0)).cast("long")
+        )
+        .groupBy("nation")
+        .agg(F.min("slope").alias("theil_sen_slope"))
+    )
+    months = monthly.groupBy("nation").agg(F.count("*").alias("n_months"))
+    return (
+        months.join(F.broadcast(tot), "nation")
+        .join(med, "nation")
+        .select(
+            "nation",
+            "n_months",
+            F.col("np").alias("n_pairs"),
+            "theil_sen_slope",
+        )
+        .orderBy("nation")
+    )
+
+
+def q_lang_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased Simpson concentration per language: D = sum c(c-1) /
+    (n(n-1)) -- the probability two tokens drawn WITHOUT replacement
+    are the same type -- plus the inverse-Simpson effective
+    vocabulary 1/D (Hill number of order 2), the concentration-side
+    companions of lang_token_entropy (entropy reads the whole
+    distribution; Simpson squares the head). ALL arithmetic is exact
+    integers (c(c-1) products as DECIMAL(38,0)) until the one final
+    division chain -- no transcendental, no rounding convention
+    needed. [lang, n_tokens, vocab, simpson, inv_simpson]; n <= 1
+    languages ship NULL (undefined without-replacement draw)."""
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    s2 = (
+        F.col("c").cast("decimal(19,0)")
+        * (F.col("c") - F.lit(1)).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    g = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(s2).cast("decimal(38,0)").alias("_s2"),
+    )
+    simpson = F.when(
+        F.col("n_tokens") > 1,
+        F.col("_s2").cast("string").cast("double")
+        / (
+            F.col("n_tokens").cast("double")
+            * (F.col("n_tokens") - F.lit(1)).cast("double")
+        ),
+    )
+    return g.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        simpson.alias("simpson"),
+        F.when(
+            (F.col("n_tokens") > 1) & (F.col("_s2") > 0),
+            F.lit(1.0) / simpson,
+        ).alias("inv_simpson"),
+    ).orderBy("lang")
+
+
+def q_brand_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit per supplier nation: the Herfindahl
+    -Hirschman index over part-brand revenue shares (HHI = sum
+    share_i^2, the antitrust-screening statistic) plus the CR4
+    four-brand concentration ratio. Shares never materialize:
+    HHI = sum(rev_i^2) / (sum rev_i)^2 on exact integer micros
+    (DECIMAL(38,0) squares, HUGEINT twin), so the only IEEE work is
+    one fixed division chain; CR4's top-4 pick is a brand-grain
+    window with rev-desc brand-asc deterministic tie-break.
+    [nation, n_brands, hhi, cr4].
+
+    Scale shape: one fact-scale groupBy to (nation, brand) grain
+    after broadcast dim joins; everything else (windows, squares,
+    ratios) lives on that nations x brands table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    nb = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("rev"))
+    )
+    w_rank = Window.partitionBy("nation").orderBy(
+        F.desc("rev"), F.asc("brand")
+    )
+    ranked = nb.withColumn("_rk", F.row_number().over(w_rank))
+    # Square at the native decimal(25,0) grain, capped to decimal(38,0).
+    # A per-cell revenue >= 1e19 micros would overflow the 38-digit
+    # square; rather than letting non-ANSI Spark null it (and the sum
+    # silently skip the cell), raise loudly at the offending row. The
+    # DuckDB oracle's HUGEINT square survives past this bound, so a
+    # silent null here would surface as a confusing hash mismatch.
+    _hhi_sq_bound = F.lit("9999999999999999999").cast("decimal(25,0)")
+    sq = F.when(
+        F.col("rev") <= _hhi_sq_bound,
+        (F.col("rev") * F.col("rev")).cast("decimal(38,0)"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "brand_revenue_hhi: per-(nation,brand) revenue >= 1e19 "
+                "micros overflows the decimal(38,0) square"
+            )
+        ).cast("decimal(38,0)")
+    )
+    g = ranked.groupBy("nation").agg(
+        F.count("*").alias("n_brands"),
+        F.sum("rev").cast("decimal(35,0)").alias("_s1"),
+        F.sum(sq).cast("decimal(38,0)").alias("_s2"),
+        F.sum(F.when(F.col("_rk") <= 4, F.col("rev")).otherwise(F.lit(0)))
+        .cast("decimal(35,0)")
+        .alias("_t4"),
+    )
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    return g.select(
+        "nation",
+        "n_brands",
+        (
+            sdbl(F.col("_s2")) / (sdbl(F.col("_s1")) * sdbl(F.col("_s1")))
+        ).alias("hhi"),
+        (sdbl(F.col("_t4")) / sdbl(F.col("_s1"))).alias("cr4"),
+    ).orderBy("nation")
+
+
+def q_events_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length profile of each event type: consecutive same-type
+    runs inside each user's stream (the gaps-and-islands pattern at
+    event grain -- user_activity_streaks' twin on the type axis, the
+    repetition diagnostic behind rage-click / retry-storm review).
+    Boundary = type change or stream start (one lag() on the
+    user-keyed total order), run id = running boundary count, runs
+    collapse via one (user, run, type) groupBy. [event_type, n_runs,
+    longest_run, mean_run_len]; mean = exact total/runs division
+    (every event is in exactly one run)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    b = ev.withColumn("_prev", F.lag("event_type").over(w)).withColumn(
+        "_bnd",
+        (
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))
+        ).cast("long"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        b.withColumn("_run", F.sum("_bnd").over(w_run))
+        .groupBy("user_id", "_run", "event_type")
+        .agg(F.count("*").alias("_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("_len").alias("longest_run"),
+            (
+                F.sum("_len").cast("double") / F.count("*").cast("double")
+            ).alias("mean_run_len"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) over each event type's
+    daily value volume: z_t = round(0.5 x_t + 0.5 z_{t-1}) with x_t
+    the day's total value in exact integer MICROS -- the same
+    all-exact recursion discipline as nation_revenue_holt (alpha
+    exact-binary, states integer-valued doubles < 2^53, tie rounding
+    probed identical cross-engine), so the smoothing is bit-identical
+    with no decimal accumulator and no libm. Output [event_type,
+    n_days, ewma_last_micros, max_abs_dev_micros] where max_abs_dev
+    is the largest one-step |x_t - z_{t-1}| surprise the chart saw --
+    the control-limit numerator.
+
+    Scale shape: one fact-scale groupBy to (type, day) grain (value
+    6dp-decimal-summed exactly, scaled to BIGINT micros); the
+    recursion folds a <= calendar-days array per type JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.round("value", 6).cast("decimal(18,6)"))
+                .cast("decimal(20,6)")
+                * F.lit(1000000).cast("decimal(7,0)")
+            )
+            .cast("long")
+            .cast("double")
+            .alias("x")
+        )
+    )
+    arr = F.sort_array(F.collect_list(F.struct("day", "x")))
+    g = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), arr.alias("_a")
+    )
+    half = F.lit(0.5)
+    init = F.struct(
+        F.element_at(F.col("_a"), 1)["x"].alias("z"),
+        F.lit(0.0).alias("md"),
+    )
+    rest = F.slice(F.col("_a"), F.lit(2), F.size(F.col("_a")) - F.lit(1))
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, e: F.struct(
+            F.round(half * e["x"] + half * acc["z"], 0).alias("z"),
+            F.greatest(acc["md"], F.abs(e["x"] - acc["z"])).alias("md"),
+        ),
+    )
+    return (
+        g.withColumn("_f", folded)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("_f.z").alias("ewma_last_micros"),
+            F.col("_f.md").alias("max_abs_dev_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_segment_order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile per market segment: the distribution
+    of days between a customer's consecutive orders -- median and p90
+    by INTEGER-RANK SELECTION (the shipping_delay_profile /
+    events_anomaly_mad convention: no interpolation, no float rank),
+    mean from exact integer day sums. The replenishment-cycle readout
+    behind inventory and win-back timing. [segment, n_gaps,
+    mean_gap_days, median_gap_days, p90_gap_days].
+
+    Scale shape: consecutive-order gaps are one lag() on the
+    custkey-keyed total order (uniform key, one shuffle); the
+    segment attach is a customer-grain equi-join; percentiles ride
+    the (segment, distinct-gap) grain -- bounded by the calendar,
+    never order rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    gaps = (
+        orders.withColumn("_prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "_prev").cast("long").alias("gap"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("segment", "gap")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = gaps.groupBy("segment").agg(
+        F.sum("cnt").alias("n_gaps"),
+        F.sum(F.col("gap") * F.col("cnt")).alias("_sum_gap"),
+    )
+    w_cm = (
+        Window.partitionBy("segment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gaps.withColumn("cm", F.sum("cnt").over(w_cm)).join(
+        F.broadcast(tot), "segment"
+    )
+    p50 = (
+        cum.filter(
+            F.col("cm")
+            >= F.floor((F.col("n_gaps") + 1) / F.lit(2.0)).cast("long")
+        )
+        .groupBy("segment")
+        .agg(F.min("gap").alias("median_gap_days"))
+    )
+    p90 = (
+        cum.filter(F.col("cm") * 10 >= F.col("n_gaps") * 9)
+        .groupBy("segment")
+        .agg(F.min("gap").alias("p90_gap_days"))
+    )
+    return (
+        tot.join(p50, "segment")
+        .join(p90, "segment")
+        .select(
+            "segment",
+            "n_gaps",
+            (
+                F.col("_sum_gap").cast("double")
+                / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_days"),
+            "median_gap_days",
+            "p90_gap_days",
+        )
+        .orderBy("segment")
+    )
+
+
+def q_customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year value-quintile migration matrix: customers
+    ranked into spend quintiles within 1995 and within 1996 (exact
+    integer cents, rank by spend desc with custkey tie-break,
+    quintile = 5*(rn-1) DIV n -- an INTEGER boundary, no ntile() and
+    no float), then the 1995 -> 1996 transition counts over customers
+    active in both years -- the churn-risk migration table of CRM
+    practice (diagonal = retained tier, below-diagonal = upgraded).
+    [q_1995, q_1996, n_customers] ordered by both tiers.
+
+    Scale shape: per-year ranks ride the GROUP-SCOPED two-level
+    bucketed machinery (bucketize group_cols=[yr]: per-year
+    1024-bucket ladders, windows partitioned by (yr, bucket) -- no
+    per-year SinglePartition sort of the customer grain); the pivot
+    is one self-equi-join on custkey at customer grain."""
+    from ..operators.ranking import bucket_offsets, bucketize_by_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "decimal(25,0)"
+                )
+            )
+            .cast("decimal(25,0)")
+            .cast("string")
+            .cast("double")
+            .alias("cents")
+        )
+    )
+    bk = bucketize_by_key(spend, "cents", ascending=False, group_cols=["yr"])
+    offs = bucket_offsets(bk, group_cols=["yr"])
+    w_loc = Window.partitionBy("yr", "_bkt").orderBy(
+        F.asc("_ak"), F.asc("custkey")
+    )
+    ranked = (
+        bk.withColumn("_lrn", F.row_number().over(w_loc))
+        .join(offs, ["yr", "_bkt"])
+        .select(
+            "custkey",
+            "yr",
+            F.least(
+                F.lit(4),
+                F.expr("5 * (_off + _lrn - 1) DIV _tot"),
+            ).cast("long").alias("q"),
+        )
+    )
+    a = ranked.filter(F.col("yr") == 1995).select(
+        "custkey", F.col("q").alias("q_1995")
+    )
+    b = ranked.filter(F.col("yr") == 1996).select(
+        "custkey", F.col("q").alias("q_1996")
+    )
+    return (
+        a.join(b, "custkey")
+        .groupBy("q_1995", "q_1996")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("q_1995", "q_1996")
+    )
+
+
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order month, cumulative revenue per cohort member tracked
+    over cohort age in months -- the user_retention counting curve
+    upgraded to money (the LTV readout subscription finance runs).
+    Revenue is exact integer CENTS (o_totalprice is 2dp by
+    construction); the cumulative sum is a window over the
+    (cohort, age) grain -- bounded by calendar^2/2, never orders --
+    and the per-member division is the only IEEE op.
+    [cohort_month, age_months, n_active, cohort_size, rev_cents,
+    cum_ltv_cents_per_customer].
+
+    Scale shape: first-order month is one min() groupBy on custkey
+    (uniform key); the order->cohort attach is an equi-join flowing
+    into the one (cohort, age) groupBy; windows never touch order
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    midx = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - F.lit(1992 * 12 + 1)
+    ).cast("long")
+    om = orders.select(
+        "o_custkey",
+        midx.alias("_m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    firsts = om.groupBy("o_custkey").agg(F.min("_m").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        om.join(firsts, "o_custkey")
+        .groupBy("cohort", (F.col("_m") - F.col("cohort")).alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(F.col("_cents").cast("decimal(25,0)"))
+            .cast("decimal(25,0)")
+            .alias("_rev"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .withColumn("_cum", F.sum("_rev").over(w_cum))
+        .select(
+            F.col("cohort").alias("cohort_month"),
+            "age_months",
+            "n_active",
+            "cohort_size",
+            F.col("_rev").cast("string").cast("double").alias("rev_cents"),
+            (
+                F.col("_cum").cast("string").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("cum_ltv_cents_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate profile by session ENTRY event type: sessionize
+    each user's stream on the repo's 30-minute gap convention (the
+    events_sessionize lag shape), take each session's first event
+    type as its landing page, and report how often that entry ends
+    the session immediately (n_events = 1) -- the funnel-entry
+    quality readout. [entry_type, n_sessions, n_bounces, bounce_rate,
+    mean_events_per_session]; both ratios exact long/long IEEE
+    divisions.
+
+    Scale shape: the sessionize lag and the session-id running count
+    share ONE user-keyed window shuffle; sessions collapse via one
+    (user, session) groupBy with a min(struct) entry pick (no second
+    window)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.withColumn(
+        "_st", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("_sid", F.sum("_st").over(w_run))
+    sess = s.groupBy("user_id", "_sid").agg(
+        F.count("*").alias("_n"),
+        F.min(
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("v"),
+            )
+        )["v"].alias("entry_type"),
+    )
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("_n") == 1).cast("long")).alias("n_bounces"),
+            (
+                F.sum((F.col("_n") == 1).cast("long")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("bounce_rate"),
+            (
+                F.sum("_n").cast("double") / F.count("*").cast("double")
+            ).alias("mean_events_per_session"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+def q_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution per order month: exact mean
+    plus p50/p90 by INTEGER-RANK SELECTION over the (month, distinct
+    delay-days) grain -- the late_shipments count query upgraded to a
+    full latency profile, with the repo's interpolation-free
+    percentile convention (events_anomaly_mad): p50 = smallest delay
+    with cum >= (n+1) div 2, p90 = smallest with 10*cum >= 9*n, all
+    integer comparisons, no float decides a rank. [month, n_items,
+    mean_delay_days, p50_delay_days, p90_delay_days].
+
+    Scale shape: one equi-join on the uniform orderkey, one groupBy
+    to (month, delay) grain (bounded by calendar x delay range);
+    the percentile windows never touch lineitem rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    month = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - F.lit(1992 * 12 + 1)
+    ).cast("long")
+    d = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            month.alias("month"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("dd"),
+        )
+        .groupBy("month", "dd")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = d.groupBy("month").agg(
+        F.sum("cnt").alias("n_items"),
+        F.sum(F.col("dd") * F.col("cnt")).alias("_sum_dd"),
+    )
+    w_cm = (
+        Window.partitionBy("month")
+        .orderBy("dd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cm", F.sum("cnt").over(w_cm)).join(
+        F.broadcast(tot), "month"
+    )
+    p50 = (
+        cum.filter(
+            F.col("cm")
+            >= F.floor((F.col("n_items") + 1) / F.lit(2.0)).cast("long")
+        )
+        .groupBy("month")
+        .agg(F.min("dd").alias("p50_delay_days"))
+    )
+    p90 = (
+        cum.filter(F.col("cm") * 10 >= F.col("n_items") * 9)
+        .groupBy("month")
+        .agg(F.min("dd").alias("p90_delay_days"))
+    )
+    return (
+        tot.join(p50, "month")
+        .join(p90, "month")
+        .select(
+            "month",
+            "n_items",
+            (
+                F.col("_sum_dd").cast("double")
+                / F.col("n_items").cast("double")
+            ).alias("mean_delay_days"),
+            "p50_delay_days",
+            "p90_delay_days",
+        )
+        .orderBy("month")
+    )
+
+
+def q_embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs over the embedding corpus
+    (similarity.mutual_nearest_pairs): candidates come from the
+    thresholded pair scan, the reciprocity filter is two node-grain
+    argmax windows + one equi-join. The high-precision subset of
+    embedding_dup_pairs."""
+    from ..operators.similarity import mutual_nearest_pairs
+
+    pairs = embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.35
+    )
+    return mutual_nearest_pairs(pairs)
+
+
+def q_embedding_mutual_nn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB wiring of mutual-NN (VERDICT r6 #4): candidates come
+    from the LSH-bucketed pair scan (pairs only form inside a
+    hyperplane-sign bucket -- the embedding_dup_pairs_lsh path)
+    instead of the global O(n^2) scan; the reciprocity filter
+    (mutual_nearest_pairs) is unchanged node-grain windows. Recall<1
+    by design but deterministic: the LCG planes are embedded in the
+    oracle, so the approximate path hash-checks exactly.
+    `embedding_mutual_nn` remains the exact small-corpus twin."""
+    from ..operators.similarity import mutual_nearest_pairs
+
+    pairs = embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.35, use_lsh=True
+    )
+    return mutual_nearest_pairs(pairs)
+
+
+def _markov_transitions(spark: SparkSession, sf_dir: str):
+    """Shared first-order event-chain pieces: (events, transition
+    matrix [_s, _t2, _T], state list) -- the one corpus-scale pass is
+    the lead() window; everything downstream is event-TYPE grain."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = nxt.groupBy("event_type", "next_type").agg(F.count("*").alias("_n"))
+    tot = c.groupBy("event_type").agg(F.sum("_n").alias("_t"))
+    tr = c.join(tot, "event_type").select(
+        F.col("event_type").alias("_s"),
+        F.col("next_type").alias("_t2"),
+        (F.col("_n") / F.col("_t")).alias("_T"),
+    )
+    states = (
+        tr.select(F.col("_s").alias("node"))
+        .unionByName(tr.select(F.col("_t2").alias("node")))
+        .distinct()
+    )
+    return ev, tr, states
+
+
+def _absorb_p(
+    tr: DataFrame, states: DataFrame, steps: int, absorb_state: str = "purchase"
+) -> DataFrame:
+    """`steps` unrolled value-iteration rounds of p(reach absorb_state
+    within k steps) with the absorbing state clamped to 1; 12dp
+    decimal per-step contributions (bit-identical cross-engine). All
+    work at state grain."""
+    absorb = F.when(F.col("node") == absorb_state, F.lit(1.0))
+
+    def sdbl(col):
+        return col.cast("string").cast("double")
+
+    p = states.select("node", absorb.otherwise(F.lit(0.0)).alias("p"))
+    for _ in range(steps):
+        stepped = (
+            tr.join(F.broadcast(p), F.col("_t2") == F.col("node"))
+            .groupBy(F.col("_s").alias("node"))
+            .agg(
+                sdbl(
+                    F.sum(
+                        F.round(F.col("_T") * F.col("p"), 12).cast(
+                            "decimal(24,12)"
+                        )
+                    )
+                ).alias("_sm")
+            )
+        )
+        p = states.join(stepped, "node", "left").select(
+            "node",
+            absorb.otherwise(F.coalesce("_sm", F.lit(0.0))).alias("p"),
+        )
+    return p
+
+
+def q_event_conversion_absorption(
+    spark: SparkSession, sf_dir: str, steps: int = 8
+) -> DataFrame:
+    """Absorbing-chain conversion probability: for each event type,
+    the probability that a user's Markov walk (first-order, the
+    event_transitions matrix) reaches 'purchase' within `steps`
+    steps -- the attribution-modeling primitive behind Markov
+    removal-effect analysis, computed by `steps` unrolled
+    value-iteration rounds p_k(s) = sum_t T[s,t] * p_{k-1}(t) with
+    'purchase' clamped to 1 (absorbing). ALL iteration work happens
+    at event-TYPE grain (a k x k matrix, k = |event types|): the one
+    corpus-scale pass is the lead() window that builds the
+    transition counts. Per-step contributions are 12dp-decimal
+    summed (the pagerank recipe) so every round is bit-identical
+    cross-engine. [event_type, p_convert]."""
+    _, tr, states = _markov_transitions(spark, sf_dir)
+    p = _absorb_p(tr, states, steps)
+    return p.select(
+        F.col("node").alias("event_type"), F.col("p").alias("p_convert")
+    ).orderBy("event_type")
+
+
+# Single source of truth for the Markov removal-effect channel
+# universe: the oracle SQL unrolls one absorbing-chain CTE per channel
+# at authoring time, and the Spark query asserts its data-derived set
+# equals this tuple (loud desync detection, advice r7).
+MARKOV_ORACLE_CHANNELS = ("click", "error", "signup", "view")
+
+
+def q_attribution_markov_removal(
+    spark: SparkSession, sf_dir: str, steps: int = 8
+) -> DataFrame:
+    """Markov removal-effect channel attribution (Anderl et al.,
+    "Mapping the customer journey"): credit each non-converting event
+    type by how much the 8-step conversion reach drops when walks can
+    no longer ENTER it. p_base = sum_s pi(s) p(s) with pi the
+    first-event (journey-start) distribution and p the absorbing-
+    chain reach of q_event_conversion_absorption; for each channel c,
+    p_removed(c) re-runs the SAME value iteration on the transition
+    matrix with every edge INTO c dropped (that probability mass
+    walks to nowhere = null, the standard removal semantics) and
+    drops journeys STARTING at c. Output [channel, p_base, p_removed,
+    removal_effect, attribution_share] with effect = 1 - p_rm/p_base
+    rounded 12dp (a nonneg decimal -- removal only deletes paths) and
+    share = effect / sum(effects) on the exact decimal total
+    (NULL when no channel has any effect).
+
+    Scale shape: the two corpus passes are the transition lead()
+    window and the first-event row_number -- both one user-keyed
+    shuffle; EVERYTHING else (4 channels x 8 unrolled rounds) runs at
+    event-TYPE grain. The |channels|-sized collect() is model state
+    (the Lloyd-centroid convention), not data."""
+    ev, tr, states = _markov_transitions(spark, sf_dir)
+
+    def sdbl(col):
+        return col.cast("string").cast("double")
+
+    w_first = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    first = (
+        ev.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .groupBy(F.col("event_type").alias("node"))
+        .agg(F.count("*").alias("_c"))
+    )
+    users = first.agg(F.sum("_c").alias("_u"))
+    pi = first.crossJoin(F.broadcast(users)).select(
+        "node", (F.col("_c") / F.col("_u")).alias("pi")
+    )
+
+    def reach(p: DataFrame, skip: str | None = None) -> DataFrame:
+        src = pi if skip is None else pi.filter(F.col("node") != skip)
+        return src.join(p, "node").agg(
+            sdbl(
+                F.sum(
+                    F.round(F.col("pi") * F.col("p"), 12).cast(
+                        "decimal(24,12)"
+                    )
+                )
+            ).alias("val")
+        )
+
+    base = reach(_absorb_p(tr, states, steps)).select(
+        F.col("val").alias("p_base")
+    )
+    channels = sorted(
+        r.node for r in states.collect() if r.node != "purchase"
+    )
+    # The oracle pins this channel universe at authoring time (it is
+    # unrolled into the SQL); if the generator's event-type set ever
+    # drifts, fail HERE with both sets named instead of surfacing as
+    # an inscrutable oracle hash mismatch (advice r7). Crafted-fixture
+    # universes (disjoint channel names, oracle not in play) skip the
+    # check; any drift of the REAL universe still overlaps and trips.
+    if set(channels) & set(MARKOV_ORACLE_CHANNELS) and tuple(
+        channels
+    ) != MARKOV_ORACLE_CHANNELS:
+        raise RuntimeError(
+            "attribution_markov_removal: data-derived channel set "
+            f"{tuple(channels)} != oracle's pinned universe "
+            f"{MARKOV_ORACLE_CHANNELS}; regenerate the oracle via "
+            "_markov_removal_sql with the new tuple"
+        )
+    per_channel = []
+    for ch in channels:
+        p_rm = _absorb_p(tr.filter(F.col("_t2") != ch), states, steps)
+        per_channel.append(
+            reach(p_rm, skip=ch).select(
+                F.lit(ch).alias("channel"), F.col("val").alias("p_removed")
+            )
+        )
+    rem = per_channel[0]
+    for nxt_df in per_channel[1:]:
+        rem = rem.unionByName(nxt_df)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = (
+        rem.crossJoin(F.broadcast(base))
+        .withColumn(
+            "_eff",
+            F.round(
+                F.lit(1.0) - F.col("p_removed") / F.col("p_base"), 12
+            ).cast("decimal(24,12)"),
+        )
+        .withColumn("_te", F.sum("_eff").over(w_all))
+    )
+    return out.select(
+        "channel",
+        "p_base",
+        "p_removed",
+        sdbl(F.col("_eff")).alias("removal_effect"),
+        F.when(
+            F.col("_te") != F.lit(0), sdbl(F.col("_eff")) / sdbl(F.col("_te"))
+        ).alias("attribution_share"),
+    ).orderBy("channel")
+
+
+def _absorption_ctes(steps: int = 8) -> str:
+    """Unrolled value-iteration oracle for q_event_conversion_absorption."""
+    parts = ["""nxt AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events),
+  c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS nn
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT event_type, CAST(sum(nn) AS BIGINT) AS t
+          FROM c GROUP BY 1),
+  tr AS (SELECT c.event_type AS s, next_type AS t2, nn / t AS T
+         FROM c JOIN tot ON c.event_type = tot.event_type),
+  st AS (SELECT s AS node FROM tr UNION SELECT t2 FROM tr),
+  p0 AS (SELECT node,
+                CASE WHEN node = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS p
+         FROM st)"""]
+    for k in range(1, steps + 1):
+        parts.append(f"""p{k} AS (
+    SELECT st.node,
+           CASE WHEN st.node = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                ELSE coalesce(x.sm, CAST(0.0 AS DOUBLE)) END AS p
+    FROM st LEFT JOIN (
+      SELECT s AS node,
+             CAST(CAST(sum(CAST(round(T * p, 12) AS DECIMAL(24,12)))
+                       AS VARCHAR) AS DOUBLE) AS sm
+      FROM tr JOIN p{k - 1} ON tr.t2 = p{k - 1}.node GROUP BY 1) x
+    USING (node))""")
+    return ",\n  ".join(parts) + f"""
+  SELECT node AS event_type, p AS p_convert FROM p{steps} ORDER BY node"""
+
+
+def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label over the
+    embedding corpus: s_i = (b_i - a_i) / max(a_i, b_i) with a_i the
+    SQUARED distance to the own-label centroid and b_i the minimum
+    over other labels' centroids -- the O(n*k) silhouette every
+    clustering-quality dashboard uses when the O(n^2) medoid form is
+    unaffordable (Hruschka et al.'s simplified silhouette; also the
+    nearest_centroid_confusion's quality twin). [label, n_vecs,
+    mean_silhouette], silhouette terms 9dp-decimal-summed
+    (order-independent) and string-routed.
+
+    Scale shape: identical to nearest_centroid_confusion -- broadcast
+    k x dims centroids, per-(vec, label) squared distance via
+    ||v||^2 - 2<v,c> + ||c||^2 from the same decimal-exact dot/norm
+    aggregates, one vec-grain window for the b_i argmin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    cent = flat.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(
+            sdbl(F.sum(F.col("v").cast("decimal(27,12)"))) / F.count("*"), 6
+        ).alias("c")
+    )
+    cn = cent.groupBy("clabel").agg(
+        sdbl(F.sum((F.col("c") * F.col("c")).cast("decimal(24,12)"))).alias(
+            "cnorm2"
+        )
+    )
+    vn = flat.groupBy("vec_id").agg(
+        sdbl(F.sum((F.col("v") * F.col("v")).cast("decimal(24,12)"))).alias(
+            "vnorm2"
+        )
+    )
+    dots = (
+        flat.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            sdbl(
+                F.sum((F.col("v") * F.col("c")).cast("decimal(24,12)"))
+            ).alias("dot")
+        )
+    )
+    d2 = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .withColumn(
+            "_d2",
+            F.col("vnorm2") - F.lit(2.0) * F.col("dot") + F.col("cnorm2"),
+        )
+    )
+    a = d2.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("_d2").alias("_a")
+    )
+    b = (
+        d2.filter(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.min("_d2").alias("_b"))
+    )
+    s = a.join(b, "vec_id").withColumn(
+        "_s",
+        F.round(
+            (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"), 9
+        ).cast("decimal(12,9)"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (sdbl(F.sum("_s")) / F.count("*")).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_cosupply_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the thresholded
+    co-supply graph: per nation, Q_c = intra_c/m - (d_c/(2m))^2 --
+    "is co-supply structured by geography?" A positive term means the
+    nation's suppliers co-supply each other more than a degree-
+    preserving random rewiring predicts. No clustering is run: the
+    partition is a dimension attribute, so the whole operator is
+    exact integers (m, intra-edge counts, degree sums) into one fixed
+    IEEE chain per nation.
+
+    Scale shape: the edge list is node-pair-sized and joined twice to
+    the supplier->nation map (node-table-sized, AQE-broadcastable);
+    m is a 1-row broadcast; everything else is nation-grain.
+    [nation, n_suppliers, degree_sum, intra_edges, modularity_term]."""
+    from ..operators.graph_motifs import cosupply_edges
+
+    e = materialize(cosupply_edges(spark, sf_dir))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    sn = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("sk", F.col("n_name").alias("nation"))
+    m1 = e.agg(F.count("*").alias("m"))
+    und = e.select(F.col("s1").alias("node")).unionByName(
+        e.select(F.col("s2").alias("node"))
+    )
+    dnat = (
+        und.join(sn, F.col("node") == F.col("sk"))
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("degree_sum"),
+            F.count_distinct("node").alias("n_suppliers"),
+        )
+    )
+    intra = (
+        e.join(
+            sn.select(F.col("sk").alias("_k1"), F.col("nation").alias("_n1")),
+            F.col("s1") == F.col("_k1"),
+        )
+        .join(
+            sn.select(F.col("sk").alias("_k2"), F.col("nation").alias("_n2")),
+            F.col("s2") == F.col("_k2"),
+        )
+        .filter(F.col("_n1") == F.col("_n2"))
+        .groupBy(F.col("_n1").alias("nation"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    md = F.col("m").cast("double")
+    half = F.col("degree_sum").cast("double") / (F.lit(2) * F.col("m")).cast(
+        "double"
+    )
+    return (
+        dnat.join(intra, "nation", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "nation",
+            "n_suppliers",
+            "degree_sum",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            (
+                F.coalesce("intra_edges", F.lit(0)).cast("double") / md
+                - half * half
+            ).alias("modularity_term"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_cosupply_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman) of the co-supply graph: Pearson
+    correlation of endpoint degrees across all directed edge
+    instances -- do high-degree suppliers co-supply with each other
+    (r > 0, social-network-like) or with the periphery (r < 0,
+    internet-like)? One row [m_directed, sum_j, assortativity].
+    Moments accumulate as exact DECIMAL (the ols_fit cast family --
+    j*k products dec(18)x dec(19) -> dec(38)), so a 10^9-edge hub
+    graph widens instead of wrapping; r is one IEEE chain over the
+    string-routed exact moments (sum_j == sum_k by symmetry, both
+    orientations counted)."""
+    from ..operators.graph_motifs import cosupply_edges
+
+    e = materialize(cosupply_edges(spark, sf_dir))
+    und = e.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionByName(
+        e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("_n")).agg(F.count("*").alias("_d"))
+    ed = (
+        und.join(deg.select(F.col("_n").alias("src"), F.col("_d").alias("j")), "src")
+        .join(deg.select(F.col("_n").alias("dst"), F.col("_d").alias("k")), "dst")
+    )
+    agg = ed.agg(
+        F.count("*").alias("m_directed"),
+        F.sum("j").alias("sum_j"),
+        F.sum(F.col("j").cast("decimal(18,0)") * F.col("k").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("_sjk"),
+        F.sum(F.col("j").cast("decimal(18,0)") * F.col("j").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("_sjj"),
+    )
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    num = sdbl(
+        F.col("m_directed").cast("decimal(8,0)") * F.col("_sjk").cast("decimal(30,0)")
+        - F.col("sum_j").cast("decimal(18,0)") * F.col("sum_j").cast("decimal(19,0)")
+    )
+    den = sdbl(
+        F.col("m_directed").cast("decimal(8,0)") * F.col("_sjj").cast("decimal(30,0)")
+        - F.col("sum_j").cast("decimal(18,0)") * F.col("sum_j").cast("decimal(19,0)")
+    )
+    return agg.select(
+        "m_directed", "sum_j", (num / den).alias("assortativity")
+    )
+
+
+def q_events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival-time burstiness per event type: gaps between a
+    user's consecutive events of the same type (exact microseconds
+    via one lag window on the sessionize shuffle), then per-type
+    exact moments -> mean, sample variance, coefficient of variation,
+    and the Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu)
+    (B ~ -1 periodic, 0 Poisson, -> 1 bursty). Variance numerator
+    n*s2 - s^2 rides the ols_fit decimal family (gap us as dec(18),
+    squares to dec(38)); the only IEEE ops are the final chain.
+    [event_type, n_gaps, mean_gap_us, var_gap_us, cv, burstiness]."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_gap", us - F.lag(us).over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_gap").alias("_s"),
+        F.sum(
+            F.col("_gap").cast("decimal(18,0)") * F.col("_gap").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    )
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    n = F.col("n_gaps")
+    mean = F.col("_s").cast("double") / n.cast("double")
+    num = sdbl(
+        n.cast("decimal(8,0)") * F.col("_s2").cast("decimal(30,0)")
+        - F.col("_s").cast("decimal(18,0)") * F.col("_s").cast("decimal(19,0)")
+    )
+    var = num / (n * (n - F.lit(1))).cast("double")
+    sd = F.sqrt(var)
+    return (
+        agg.filter(F.col("n_gaps") >= 2)
+        .select(
+            "event_type",
+            "n_gaps",
+            mean.alias("mean_gap_us"),
+            var.alias("var_gap_us"),
+            (sd / mean).alias("cv"),
+            ((sd - mean) / (sd + mean)).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of the embedding corpus against
+    its own per-label centroids, reported as a confusion matrix
+    [label, pred_label, n_vecs] -- the cheapest embedding-space
+    sanity check of labels (Rocchio classification): if the corpus
+    labels are coherent, the diagonal dominates; off-diagonal mass
+    localizes label noise. Centroids use the label_centroids recipe
+    (exact decimal sums, 6dp means); every dot/norm accumulates
+    12dp-decimal terms (order-independent) string-routed to double,
+    so cosine is one deterministic IEEE chain; argmax tie-breaks on
+    label asc.
+
+    Scale shape: centroids are a k x dims aggregate BROADCAST to the
+    flat (vec, pos, v) table; the k-way fan-out is per-element with
+    k = |labels| (small by construction). One shuffle on vec_id for
+    the per-(vec, label) dot aggregate; the confusion matrix is a
+    k x k aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+
+    def sdbl(c):
+        return c.cast("string").cast("double")
+
+    cent = flat.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(
+            sdbl(F.sum(F.col("v").cast("decimal(27,12)"))) / F.count("*"), 6
+        ).alias("c")
+    )
+    cn = cent.groupBy("clabel").agg(
+        sdbl(F.sum((F.col("c") * F.col("c")).cast("decimal(24,12)"))).alias(
+            "cnorm2"
+        )
+    )
+    vn = flat.groupBy("vec_id").agg(
+        sdbl(F.sum((F.col("v") * F.col("v")).cast("decimal(24,12)"))).alias(
+            "vnorm2"
+        )
+    )
+    dots = (
+        flat.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            sdbl(
+                F.sum((F.col("v") * F.col("c")).cast("decimal(24,12)"))
+            ).alias("dot")
+        )
+    )
+    scored = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .withColumn(
+            "csim",
+            F.col("dot") / (F.sqrt("vnorm2") * F.sqrt("cnorm2")),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("clabel"))
+    pred = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        pred.groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("label", "pred_label")
+    )
+
+
+def q_nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period league table: each nation's revenue rank in
+    1995 vs 1996 and the rank delta (positive = climbed). Ranks are
+    per-year windows over the 25-row nation aggregate (reduced rows);
+    revenue is exact integer micros so ranking and deltas are
+    engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    yearly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("rev_micros"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("rev_micros"), F.asc("nation"))
+    ranked = yearly.withColumn("rnk", F.row_number().over(w).cast("long"))
+    a = ranked.filter(F.col("yr") == 1995).select(
+        "nation",
+        F.col("rnk").alias("rank_1995"),
+        F.col("rev_micros").cast("string").cast("double").alias("rev_1995"),
+    )
+    b = ranked.filter(F.col("yr") == 1996).select(
+        "nation",
+        F.col("rnk").alias("rank_1996"),
+        F.col("rev_micros").cast("string").cast("double").alias("rev_1996"),
+    )
+    return (
+        a.join(b, "nation")
+        .select(
+            "nation",
+            "rank_1995",
+            "rank_1996",
+            (F.col("rank_1995") - F.col("rank_1996")).alias("rank_delta"),
+            "rev_1995",
+            "rev_1996",
+        )
+        .orderBy(F.desc("rank_delta"), "nation")
+    )
+
+
+def q_nation_rank_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-agreement between the 1995 and 1996 nation revenue league
+    tables: one row [n_nations, sum_d2, spearman, n_concordant,
+    n_discordant, kendall_tau]. Spearman rho = 1 - 6*sum(d^2) /
+    (n(n^2-1)) on the exact integer rank deltas; Kendall tau-a from
+    the concordant/discordant pair counts (row_number ranks are
+    tie-free, so tau-a == tau-b). The pair enumeration is a theta
+    self-join of the 25-row NATION-GRAIN aggregate -- O(nations^2)
+    pairs at aggregate grain, never at fact grain, so the shape is
+    scale-free in the corpus size (the skyline/ztest stance). Both
+    correlation chains are single IEEE expressions over exact longs,
+    bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_micros = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(25,0)")
+    yearly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("rev_micros"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("rev_micros"), F.asc("nation"))
+    ranked = yearly.withColumn("rnk", F.row_number().over(w).cast("long"))
+    a = ranked.filter(F.col("yr") == 1995).select(
+        "nation", F.col("rnk").alias("r95")
+    )
+    b = ranked.filter(F.col("yr") == 1996).select(
+        F.col("nation").alias("_nb"), F.col("rnk").alias("r96")
+    )
+    both = a.join(b, F.col("nation") == F.col("_nb")).select(
+        "nation", "r95", "r96"
+    )
+    d = F.col("r95") - F.col("r96")
+    s = both.agg(
+        F.count("*").alias("n_nations"),
+        F.sum(d * d).alias("sum_d2"),
+    )
+    lhs = both.select(
+        F.col("nation").alias("_na"),
+        F.col("r95").alias("_a95"),
+        F.col("r96").alias("_a96"),
+    )
+    rhs = both.select(
+        F.col("nation").alias("_nb2"),
+        F.col("r95").alias("_b95"),
+        F.col("r96").alias("_b96"),
+    )
+    prod = (F.col("_a95") - F.col("_b95")) * (F.col("_a96") - F.col("_b96"))
+    # broadcast the build side: the theta join then plans as
+    # BroadcastNestedLoopJoin over the 25-row NATION-GRAIN aggregate
+    # (never a shuffled CartesianProduct -- plan-lint enforced)
+    pairs = lhs.join(F.broadcast(rhs), F.col("_na") < F.col("_nb2")).agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias(
+            "n_concordant"
+        ),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias(
+            "n_discordant"
+        ),
+    )
+    n = F.col("n_nations")
+    spearman = F.lit(1.0) - (
+        F.lit(6.0) * F.col("sum_d2").cast("double")
+    ) / (n * (n * n - F.lit(1))).cast("double")
+    kendall = (
+        F.col("n_concordant") - F.col("n_discordant")
+    ).cast("double") / F.expr("(n_nations * (n_nations - 1)) div 2").cast(
+        "double"
+    )
+    return s.crossJoin(F.broadcast(pairs)).select(
+        "n_nations",
+        "sum_d2",
+        spearman.alias("spearman"),
+        "n_concordant",
+        "n_discordant",
+        kendall.alias("kendall_tau"),
+    )
+
+
+def q_user_wallet_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance per user (credits on purchase,
+    debits on click) WITHOUT iteration: the Lindley recursion
+    B_t = max(0, B_{t-1} + x_t) looks inherently sequential, but its
+    closed form is B_t = S_t - min(0, min_{u<=t} S_u) (the reflected
+    random walk), so the whole operator is two per-user cumulative
+    windows sharing ONE exchange+sort -- the same rewrite class as
+    the CUSUM/decay operators (registry events_cusum). Everything is
+    exact integer cents; ordering is the unique (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    sign = F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    flow = sign * (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = ev.select(
+        "user_id", "event_id", "ts", flow.alias("flow_cents")
+    ).withColumn("_run", F.sum("flow_cents").over(w))
+    return base.withColumn(
+        "balance_cents",
+        F.col("_run") - F.least(F.lit(0), F.min("_run").over(w)),
+    ).select("user_id", "event_id", "flow_cents", "balance_cents")
+
+
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage (operators/linkage.py) between
+    customers and a deterministically-corrupted contacts copy (the
+    FEBRL-style benchmark construction: every 5th contact's name is
+    truncated, every 3rd's balance nudged +0.01). Blocking on
+    (nation, floor(balance)); per-field log-likelihood weights as
+    PRE-COMPUTED double literals shared with the oracle. Pairs with
+    two corrupted fields fall below threshold -- the documented FS
+    false-negative class, visible in the output as is_match=false
+    true pairs."""
+    from ..operators.linkage import fs_score_pairs
+
+    master, contacts = _linkage_frames(spark, sf_dir)
+    return fs_score_pairs(master, contacts, ["nat", "blk"])
+
+
+def _linkage_frames(spark: SparkSession, sf_dir: str):
+    """The FEBRL-style master/corrupted-contacts pair shared by the
+    linkage report and the golden-record merge."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.lower(F.col("c_name")).alias("nm"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    master = cust.withColumn("blk", F.floor("bal"))
+    contacts = cust.select(
+        (F.col("custkey") + F.lit(10_000_000)).alias("contact_id"),
+        F.when(
+            F.col("custkey") % 5 == 0,
+            F.expr("substring(nm, 1, length(nm) - 3)"),
+        )
+        .otherwise(F.col("nm"))
+        .alias("nm"),
+        F.when(F.col("custkey") % 3 == 0, F.col("bal") + F.lit(0.01))
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+        "seg",
+        "nat",
+    ).withColumn("blk", F.floor("bal"))
+    return master, contacts
+
+
+def q_linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over the FS linkage matches
+    (operators/linkage.golden_records): master-anchored clusters,
+    longest-name / most-frequent-value survivorship as min(struct)
+    argmax aggregates -- no iteration, no window over fact rows. The
+    repair is REAL on this data: truncated contact names lose to the
+    master's full name, nudged balances are outvoted back to the
+    original cents."""
+    from ..operators.linkage import fs_match_pairs, golden_records
+
+    master, contacts = _linkage_frames(spark, sf_dir)
+    matches = fs_match_pairs(master, contacts, ["nat", "blk"])
+    return golden_records(master, contacts, matches)
+
+
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture drift between two corpus halves
+    (operators/drift.categorical_drift): even doc_ids are the frozen
+    baseline, odd the current snapshot; per-lang PSI and KL terms.
+    Proportions are int/int divisions; each ln ratio is rounded to
+    9dp (one value per row, never cross-engine-summed). A lang with
+    zero mass on either side raises loudly."""
+    from ..operators.drift import categorical_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return categorical_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
+def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic
+    (operators/drift.ks_test) between purchase and click value
+    distributions: the numeric-feature drift monitor. Cumulative
+    fractions ride the two-level bucketed cumsum (no row table
+    crosses SinglePartition); the statistic is a TakeOrdered(1) with
+    a smallest-value tie-break. Oracle = native-window CDF SQL."""
+    from ..operators.drift import ks_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_test(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("value").alias("v")
+        ),
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("value").alias("v")
+        ),
+    )
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier report (operators/robust.mad_outliers):
+    exact lower-median + MAD + Hampel cut (k=3, sigma scale 1.4826).
+    The robust twin of events_anomaly_zscore -- judged against the
+    median, so the outliers can't inflate their own yardstick. Lower
+    medians are integer-rank SELECTION (no midpoint interpolation to
+    diverge cross-engine)."""
+    from ..operators.robust import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type: [event_type, dow
+    (0=Sunday), n, mean_value, seasonal_index = dow mean / overall
+    type mean]. The classical seasonal-index decomposition at the
+    weekly grain -- the monitoring companion to revenue_forecast's
+    trend fit. Means accumulate 9dp-decimal terms (order-independent)
+    string-routed to double; the index is one division of those
+    deterministic doubles. Two partial-agg'd passes collapse to
+    |types| x 7 rows; the per-type totals broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.round(F.col("value"), 9).cast("decimal(20,9)")
+    per = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - F.lit(1)).alias("dow")
+    ).agg(F.count("*").alias("n"), F.sum(dec).alias("_sv"))
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").alias("_nt"), F.sum(dec).alias("_st")
+    )
+    mean_dow = F.col("_sv").cast("string").cast("double") / F.col("n").cast(
+        "double"
+    )
+    mean_typ = F.col("_st").cast("string").cast("double") / F.col(
+        "_nt"
+    ).cast("double")
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            mean_dow.alias("mean_value"),
+            (mean_dow / mean_typ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+def q_frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (operators/seqmine.py): top-20
+    contiguous event-type trigrams by distinct-user support. One
+    user-keyed window (total order via the unique event_id tiebreak)
+    chains two lead()s; exact distinct support via the two-phase
+    (gram, user) -> (gram) groupBy. Oracle = native lead() SQL."""
+    from ..operators.seqmine import contiguous_sequences
+
+    return contiguous_sequences(
+        load_table(spark, sf_dir, "events"), n=3, top_n=20
+    )
+
+
+def q_user_day_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reload reconciliation via operators/diffing.snapshot_diff: the
+    OLD per-(user, day) rollup was built from a load that missed every
+    10th event (late data); the NEW reload has all events but starts
+    at Jan 5 (retention purge). The diff is the changeset a downstream
+    consumer must apply: 'delete' = purged days, 'insert' = days whose
+    events were ALL late, 'update' = days where stragglers changed the
+    aggregates (changed_cols says which); untouched days don't appear.
+    One full-outer join on (user_id, day); both rollups use the
+    decimal-sum recipe so equality compares are engine-exact."""
+    from ..operators.diffing import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("string")
+                .cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+
+    old = snap(ev.filter(F.col("event_id") % 10 != 0))
+    new = snap(ev.filter(F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-05 00:00:00'")))
+    d = snapshot_diff(
+        old, new, keys=["user_id", "day"], compare_cols=["n_events", "sum_value"]
+    )
+    return d.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "change",
+        "changed_cols",
+        "old_n_events",
+        "new_n_events",
+        "old_sum_value",
+        "new_sum_value",
+    )
+
+
+def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori level-3 triple mining (operators/basket.py): frequent
+    pairs extended per order, downward-closure pruned; naive
+    all-triples oracle proves the pruning lossless."""
+    from ..operators.basket import market_basket_triples
+
+    return market_basket_triples(spark, sf_dir)
+
+
+# RAKE delimiter set for the synthetic corpus: the two true function
+# words plus the high-frequency modifier vocabulary, so candidate
+# phrases are short noun runs. Real corpora swap in a full stopword
+# list -- the operator shape (delimit -> islands -> deg/freq -> sum)
+# is unchanged. Mirrored literally in the SQL oracle.
+RAKE_STOPWORDS = ("the", "a", "join", "merge", "small", "fast", "slow", "big")
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str, max_len: int = 4,
+                      topn: int = 20) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs (capped at max_len, the
+    standard RAKE cut); word score = deg(w)/freq(w) where deg counts
+    phrase-mate co-occurrence including self; phrase score = sum of
+    member word scores. Returns the top phrases by score with their
+    corpus frequency -- the cheap unsupervised 'what is this corpus
+    about' report.
+
+    Scale: one doc-keyed window builds the islands (running stopword
+    count); word stats are one groupBy over phrase members; the
+    per-phrase score sum uses the round-9dp decimal-sum recipe so
+    member order can't move the hash. Everything is token-count
+    linear."""
+    from pyspark.sql import Window
+
+    from ..functions.text_stats import with_token_array
+
+    docs = with_token_array(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "word")
+    ).withColumn("is_stop", F.col("word").isin(*RAKE_STOPWORDS).cast("long"))
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    members = (
+        words.withColumn("phrase_id", F.sum("is_stop").over(wd))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "phrase_id", "pos", "word")
+    )
+    members = materialize(members)  # word stats + phrase build share it
+    phr = members.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    ).filter(F.col("plen") <= max_len)
+    wstat = (
+        members.join(
+            phr.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"]
+        )
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "word", (F.col("deg") / F.col("freq")).alias("wscore")
+        )
+    )
+    pscore = (
+        members.join(phr.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .join(wstat, "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(
+                F.round(F.col("wscore"), 9).cast("decimal(20,9)")
+            ).cast("string").cast("double").alias("score")
+        )
+    )
+    agg = (
+        phr.join(pscore, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(F.count("*").alias("n"), F.max("score").alias("score"))
+    )
+    return (
+        agg.select("phrase", "n", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(topn)
+    )
+
+
+def q_training_negatives(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Deterministic negative sampling for (customer, part) training
+    pairs -- the contrastive-training data op: every positive
+    interaction gets k pseudo-random negative parts, drawn by portable
+    hash (seeded, reproducible across runs AND engines) over the DENSE
+    part id space, then FALSE negatives (parts the customer actually
+    bought) are dropped by one anti-join against the positive set --
+    rejection without iteration, the scale-safe form (retry loops
+    serialize; an anti-join is one shuffle). Expected loss is
+    |positives per user| / |parts| -- negligible, and exactly
+    reproducible.
+
+    Plan: positives = one distinct over the order->part join; the k
+    slots are a bounded explode; the candidate draw is map-only
+    hashing; the anti-join is the only extra shuffle. Output keeps the
+    slot so the (pos, slot) -> negative mapping is stable for epoch
+    replay."""
+    from ..operators.dedup import portable_hash32
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("custkey")
+    )
+    pos = li.join(orders, "okey").select("custkey", "part").distinct()
+    pos = materialize(pos)  # consumed by the explode AND the anti-join
+    n_parts = load_table(spark, sf_dir, "part").agg(
+        F.count("*").alias("n_parts")
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(n_parts))
+        .select(
+            "custkey",
+            F.col("part").alias("pos_part"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"),
+            "n_parts",
+        )
+        .withColumn(
+            "neg_part",
+            portable_hash32(
+                F.concat_ws(
+                    ":",
+                    F.lit("neg1"),
+                    F.col("custkey").cast("string"),
+                    F.col("pos_part").cast("string"),
+                    F.col("slot").cast("string"),
+                )
+            )
+            % F.col("n_parts"),
+        )
+    )
+    return cand.join(
+        pos.select("custkey", F.col("part").alias("neg_part")),
+        ["custkey", "neg_part"],
+        "left_anti",
+    ).select("custkey", "pos_part", F.col("slot").cast("long").alias("slot"), "neg_part")
+
+
+def q_item_item_cf(spark: SparkSession, sf_dir: str, min_pair: int = 2,
+                   topn: int = 5) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., WWW'01) over
+    binary order baskets: cosine sim(p1, p2) = c12 / sqrt(c1 * c2),
+    top-5 neighbors per part -- the 'customers who bought this also
+    bought' table. Reuses the A-priori pair machinery: support-pruned
+    pair counts symmetrized, then a per-item window over the pruned
+    neighbor lists (never the full item x item matrix).
+
+    Exactness: c1*c2 is an exact integer < 2^53 at every tested SF,
+    so sqrt and the division are engine-identical; round 6; ties on
+    neighbor id."""
+    from pyspark.sql import Window
+
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = materialize(b)
+    item = b.groupBy("p").agg(F.count("*").alias("item_n"))
+    a1 = b.select("o", F.col("p").alias("p1"))
+    a2 = b.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a1.join(a2, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_pair)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "c12"
+        )
+    )
+    scored = (
+        sym.join(item.select(F.col("p").alias("p1"), F.col("item_n").alias("c1")), "p1")
+        .join(item.select(F.col("p").alias("p2"), F.col("item_n").alias("c2")), "p2")
+        .select(
+            F.col("p1").alias("part"),
+            F.col("p2").alias("neighbor"),
+            "c12",
+            F.round(
+                F.col("c12")
+                / F.sqrt((F.col("c1") * F.col("c2")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+    )
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide data-quality audit (operators/dq.py): 17
+    checks — domain, PK uniqueness, referential integrity, decimal
+    reconciliation — one row [check_name, n_checked, n_violations]
+    each, all row-local checks sharing one scan per table. The audit
+    DOES fire on this data: 257 childless orders and a totalprice
+    column that never reconciles with its lineitems."""
+    from ..operators.dq import dq_audit
+
+    return dq_audit(spark, sf_dir)
+
+
+def q_brand_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per part brand
+    (operators/robust.weighted_median): the quantity level below
+    which half of each brand's extended-price mass sits -- the
+    aggregation-weighted generalization of the median ("where does
+    half the MONEY trade", not "what does the middle ROW order").
+    Weights are exact integer CENTS (double -> decimal(12,2) -> *100
+    -> long), so the 2*cum >= total tie-break is decided by integer
+    comparisons and the answer is a value that EXISTS in the data:
+    SELECTION, not interpolation, the same portability stance as the
+    MAD medians. lineitem collapses to (brand, distinct quantity)
+    grain in one partial-agg'd groupBy after a broadcast part join;
+    windows run over that ~|brands| x 50 grain, never fact rows."""
+    from ..operators.robust import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("decimal(12,2)").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return weighted_median(j, "p_brand", "qty", "cents")
+
+
+def q_segment_nation_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and
+    nation (operators/evalmetrics.chi_square_cells): per observed
+    contingency cell [c_mktsegment, n_name, observed, expected,
+    term, chi2, dof] -- "does segment mix differ by nation" asked
+    exactly, the categorical-drift sibling of corpus_drift_psi /
+    value_drift_ks. Every input to the IEEE arithmetic is an exact
+    integer (counts and their products, decimal-routed): the term is
+    (o*n - r*c)^2 / (r*c*n), so both engines square and divide
+    bit-identical doubles; the summed statistic is a 9dp-decimal
+    accumulation string-routed out. One groupBy collapses customer
+    x nation (broadcast dim join) to the |segments| x |nations| cell
+    grain; everything after runs on that metadata-sized table."""
+    from ..operators.evalmetrics import chi_square_cells
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    j = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select("c_mktsegment", "n_name")
+    return chi_square_cells(j, "c_mktsegment", "n_name")
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals
+    (operators/drift.benford_first_digit): first-digit distribution
+    of o_totalprice in exact integer cents vs log10(1 + 1/d), with
+    the Pearson deviation per digit and the summed chi2 -- the
+    fabricated-amounts detector, and the theoretical-distribution
+    twin of corpus_drift_psi. Digit extraction is by string head
+    (never log-bucketing, whose boundary ulps could disagree); the
+    one transcendental (benford_p) is 9dp-frozen as a decimal before
+    any arithmetic touches it. One partial-agg'd groupBy collapses
+    orders to <= 9 rows; everything after is constant-size."""
+    from ..operators.drift import benford_first_digit
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return benford_first_digit(
+        orders.select(cents.alias("cents")), "cents"
+    )
+
+
+def q_customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by customer decile: rank customers by lifetime
+    spend ascending, split into 10 equal-population deciles, report
+    [decile, n_customers, cents, share_of_total, cum_share] -- the
+    curve whose area complement is customer_spend_gini, shown as the
+    10-point table an analyst actually reads ("the top decile holds
+    X% of revenue"). Spend is exact integer cents; the global rank
+    rides the two-level bucketed machinery (operators/ranking.py --
+    no customer row crosses SinglePartition) and the decile boundary
+    is INTEGER arithmetic ((rn-1)*10 div n, the ABC-class stance: no
+    float decides a bucket). Shares divide exact longs; the only
+    unpartitioned windows run over the 10-row decile aggregate."""
+    from ..operators.ranking import with_global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents).alias("cents")
+    )
+    ranked = with_global_row_number(
+        spend,
+        "cents",
+        tiebreaks=[F.asc("custkey")],
+        out_col="rn",
+        total_col="n",
+    )
+    per = ranked.groupBy(
+        F.expr("((rn - 1) * 10) div n").alias("decile")
+    ).agg(F.count("*").alias("n_customers"), F.sum("cents").alias("cents"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        "cents",
+        (F.col("cents").cast("double") / F.sum("cents").over(w_all).cast("double")).alias(
+            "share_of_total"
+        ),
+        (F.sum("cents").over(w_cum).cast("double") / F.sum("cents").over(w_all).cast("double")).alias(
+            "cum_share"
+        ),
+    ).orderBy("decile")
+
+
+def q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of event value per type
+    (operators/robust.trimmed_mean): the robust location estimate
+    between events_anomaly_mad's median and the raw mean -- drop the
+    k = n*5 div 100 cheapest and dearest rows by exact integer rank,
+    average the rest. Values ride as exact integer cents; the only
+    IEEE ops are two final divisions of exact longs. The (type,
+    distinct cents) grain collapses ~5.6x below the facts before any
+    window runs."""
+    from ..operators.robust import trimmed_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    return trimmed_mean(
+        ev.select("event_type", cents.alias("cents")), "event_type", "cents"
+    )
+
+
+def q_events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided winsorized mean of event value per type
+    (operators/robust.winsorized_mean): trimmed_mean's sibling that
+    CLAMPS the k = n*5 div 100 cheapest/dearest rows to the exact
+    rank-(k+1) / rank-(n-k) fence values instead of dropping them.
+    Same (type, distinct cents) grain, same single per-group
+    cumulative window; fences are SELECTED integer cents and the
+    winsorized sum is exact longs -- one final IEEE division."""
+    from ..operators.robust import winsorized_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    return winsorized_mean(
+        ev.select("event_type", cents.alias("cents")), "event_type", "cents"
+    )
+
+
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on 24h activation between a
+    deterministic 50/50 user split (variant = user_id % 2):
+    population = users with a signup event, conversion = a purchase
+    within 24 hours of their FIRST signup ("does the variant
+    activate users faster") -- one row [n_a, conv_a, p_a, n_b,
+    conv_b, p_b, z_score], the classical pooled-variance test and
+    the experimentation sibling of segment_nation_chisq /
+    value_drift_ks. (Lifetime any-purchase saturates to p=1 on this
+    data -- a degenerate pooled rate the guard below rejects; the
+    windowed funnel is the honest metric.) Every input to the float
+    arithmetic is an exact integer count over exact microsecond
+    timestamp comparisons, so p's, the pooled rate, and the variance
+    are identical doubles cross-engine; sqrt is
+    IEEE-correctly-rounded, so z matches to the last bit. Shapes:
+    signup firsts collapse at user grain, one hash join back to
+    events on user_id (both sides user-partitioned; never
+    broadcast -- the user dimension scales with the corpus), then
+    per-user flags -> 2 variant rows -> 1."""
+    ev = load_table(spark, sf_dir, "events")
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s0"))
+    )
+    per_user = (
+        s0.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("s0"))
+                    & (F.col("ts") < F.col("s0") + F.expr("INTERVAL 24 HOURS")),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    by_var = per_user.groupBy(
+        (F.col("user_id") % 2).alias("variant")
+    ).agg(F.count("*").alias("n"), F.sum("conv").cast("long").alias("c"))
+    one = by_var.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("conv_b"),
+    )
+    degenerate = (
+        F.col("n_a").isNull()
+        | F.col("n_b").isNull()
+        | (F.col("conv_a") + F.col("conv_b") <= 0)
+        | (F.col("conv_a") + F.col("conv_b") >= F.col("n_a") + F.col("n_b"))
+    )
+    guard = F.when(
+        degenerate,
+        F.raise_error(
+            F.lit(
+                "ab_conversion_ztest: degenerate split (empty arm or "
+                "pooled rate 0/1) -- the z statistic is undefined; "
+                "check the assignment and conversion event"
+            )
+        ).cast("double"),
+    )
+    p_a = guard.otherwise(
+        F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    )
+    p_b = guard.otherwise(
+        F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    )
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_a - p_b) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return one.select(
+        "n_a",
+        "conv_a",
+        p_a.alias("p_a"),
+        "n_b",
+        "conv_b",
+        p_b.alias("p_b"),
+        z.alias("z_score"),
+    )
+
+
+def q_events_trailing_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS revenue slope per event type
+    (operators/regression.trailing_ols): for every (type, day), the
+    least-squares trend in cents/day over the trailing calendar week
+    -- the per-row "is this series accelerating NOW" detector, the
+    windowed sibling of nation_revenue_trend's one-fit-per-group.
+    The frame is a RANGE over the epoch-day index, so a missing day
+    shrinks the fit's n instead of stretching the window into stale
+    history. Facts collapse to the (type, day) grain first; the
+    window sums exact DECIMAL statistics over that grain (days, not
+    events cross the sort); slope_num/den are exact integers
+    string-routed to double, one IEEE division; warm-up rows keep a
+    NULL slope."""
+    from ..operators.regression import trailing_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn(
+            "x",
+            F.datediff(
+                F.col("day"), F.to_date(F.lit("1970-01-01"))
+            ).cast("long"),
+        )
+    )
+    return (
+        trailing_ols(daily, ["event_type"], "x", "cents", 7)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "n_points",
+            "slope",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_duplicate_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge detection: CONSECUTIVE events by the same
+    user, same type, same EXACT cent amount within 7 days -- the
+    classic double-billing screen, the record-linkage sibling of
+    orders_benford's digit audit. One lag() per (user, type, cents)
+    partition finds adjacent repeats (a same-key self-join would
+    emit O(m^2) pairs per hot key for the same finding;
+    consecutiveness bounds output at one row per repeat, and a chain
+    of m duplicates surfaces as m-1 adjacent pairs). Exact integer
+    cents and exact microsecond gaps decide everything; event_id
+    breaks equal-timestamp ties so the pairing is deterministic.
+    Legitimately SPARSE on clean data (3 hits at sf0.01, 29 at
+    sf0.1, exact-amount collisions are the anomaly being screened
+    for) -- pytest injects a synthetic duplicate chain for the
+    structural check, and streaming/pipelines.py carries the
+    O(1)-state online twin (parity-pinned). Output: [user_id,
+    event_type, cents, first_event_id, second_event_id, gap_us]."""
+    from ..operators.dq import duplicate_charge_pairs
+
+    return duplicate_charge_pairs(load_table(spark, sf_dir, "events"))
+
+
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day, with
+    same-day actives and the DAU/WAU stickiness ratio -- the product
+    health metric every event pipeline serves. Sliding DISTINCT
+    counts don't decompose into window sums, so the scale-correct
+    plan is the contribute-forward expansion: collapse events to the
+    (user, day) grain ONCE (the only fact-sized shuffle), explode
+    each row into the <=7 window-end days it contributes to, and
+    count distinct per day -- cost is 7x the user-day grain, never
+    7x the events, and never a per-day rescan of the fact table.
+    Window-end days are restricted to OBSERVED days (broadcast day
+    spine): trailing windows never invent days past the data, and a
+    silent zero-DAU day would surface as a missing row, not a fake
+    0/x ratio. Output: [day, dau, wau, stickiness], day formatted
+    (the date-vs-timestamp dtype trap)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct().withColumnRenamed("d", "dx")
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("dx"))
+    wau = (
+        expanded.join(F.broadcast(days), "dx")
+        .groupBy("dx")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau.d == wau.dx)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% stratified document sample with largest-remainder
+    (Hamilton) apportionment (operators/curation.stratified_sample):
+    per-lang quotas q_h = (n*N_h) div N plus +1 for the largest
+    remainders, so the sample size is EXACTLY N div 10 and every
+    stratum is within 1 doc of its ideal share -- the
+    fixed-token-budget mixing rule mixture_sample's Bernoulli filter
+    only achieves in expectation. Membership is the quota-first md5
+    (doc_id) hex order within each lang: a pure function of the
+    data, mirrored exactly by the oracle."""
+    from ..operators.curation import stratified_sample
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_nation_top_brands_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-with-OTHERS report: per supplier nation, the 3 highest-
+    revenue part brands by exact micros plus ONE 'OTHERS' row
+    rolling up the tail -- [n_name, brand, n_brands, revenue,
+    share], the report shape every BI tool renders (plain top-k
+    queries drop the tail; the OTHERS row is what makes shares sum
+    to 1). Rank ties break deterministically (micros desc, brand
+    asc). Facts collapse to the |nations| x |brands| grain in ONE
+    partial-agg'd groupBy after two broadcast dim joins; the rank
+    window and the re-aggregation run on that metadata-sized grain;
+    share divides exact longs by the nation total (a window over the
+    post-rollup <= 4-rows-per-nation grain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    base = (
+        li.join(
+            F.broadcast(
+                sup.join(
+                    F.broadcast(nat),
+                    sup.s_nationkey == nat.n_nationkey,
+                ).select("s_suppkey", "n_name")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("n_name", "p_brand")
+        .agg(F.sum((rev * F.lit(1_000_000)).cast("long")).alias("micros"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("micros"), F.asc("p_brand")
+    )
+    rolled = (
+        base.withColumn("_rk", F.row_number().over(w))
+        .groupBy(
+            "n_name",
+            F.when(F.col("_rk") <= 3, F.col("p_brand"))
+            .otherwise(F.lit("OTHERS"))
+            .alias("brand"),
+        )
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.sum("micros").alias("_mi"),
+            F.min("_rk").alias("_ord"),
+        )
+    )
+    wn = Window.partitionBy("n_name")
+    return rolled.select(
+        "n_name",
+        "brand",
+        "n_brands",
+        (F.col("_mi").cast("double") / F.lit(1_000_000.0)).alias("revenue"),
+        (
+            F.col("_mi").cast("double")
+            / F.sum("_mi").over(wn).cast("double")
+        ).alias("share"),
+        F.col("_ord"),
+    ).select(
+        "n_name", "brand", "n_brands", "revenue", "share"
+    ).orderBy("n_name", F.desc("share"), "brand")

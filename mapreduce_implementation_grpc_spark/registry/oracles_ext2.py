@@ -1,0 +1,2049 @@
+"""registry part 13: oracles_ext2 (split from the monolithic registry.py in round 8; see tools/split_registry.py)."""
+
+from __future__ import annotations
+
+from .shared import _SQL_TOKS, _SQL_WORDCOUNT
+from .oracle_builders import _bucket_terms_sql
+from .eval_temporal import MARKOV_ORACLE_CHANNELS, _absorption_ctes
+from .oracles_core import ORACLES
+from .oracles_ext import _linkage_ctes
+
+
+ORACLES["market_basket_pairs"] = """
+  WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  nn AS (SELECT count(DISTINCT o) AS n FROM b),
+  item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
+  pairs AS (SELECT a.p AS p1, c.p AS p2, count(*) AS pair_n
+            FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+  SELECT p1, p2, pair_n,
+         pair_n / n AS support,
+         pair_n / i1.item_n AS confidence,
+         (pair_n * n) / (i1.item_n * i2.item_n) AS lift
+  FROM pairs
+  JOIN item i1 ON i1.p = p1
+  JOIN item i2 ON i2.p = p2
+  CROSS JOIN nn
+  ORDER BY lift DESC, p1, p2
+  LIMIT 50
+"""
+
+# NAIVE all-triples enumeration: the hash match proves the A-priori
+# candidate pruning in operators/basket.market_basket_triples lossless
+ORACLES["market_basket_triples"] = """
+  WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  nn AS (SELECT count(DISTINCT o) AS n FROM b),
+  item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
+  pairs AS (SELECT a.p AS p1, c.p AS p2, count(*) AS pair_n
+            FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+  tri AS (SELECT a.p AS p1, c.p AS p2, d.p AS p3, count(*) AS tri_n
+          FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+                   JOIN b d ON a.o = d.o AND c.p < d.p
+          GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+  SELECT p1, p2, p3, tri_n,
+         tri_n / n AS support,
+         tri_n / pair_n AS confidence,
+         (tri_n * n * n) / (i1.item_n * i2.item_n * i3.item_n) AS lift
+  FROM tri
+  JOIN pairs USING (p1, p2)
+  JOIN item i1 ON i1.p = p1
+  JOIN item i2 ON i2.p = p2
+  JOIN item i3 ON i3.p = p3
+  CROSS JOIN nn
+  ORDER BY lift DESC, p1, p2, p3
+  LIMIT 30
+"""
+
+ORACLES["rake_keyphrases"] = f"""
+  WITH t AS ({_SQL_TOKS}),
+  w AS (SELECT doc_id,
+               unnest(generate_series(1, len(toks))) AS pos,
+               unnest(toks) AS word
+        FROM t),
+  m AS (SELECT doc_id, pos, word,
+               CASE WHEN word IN ('the', 'a', 'join', 'merge', 'small', 'fast', 'slow', 'big') THEN 1 ELSE 0 END AS is_stop
+        FROM w),
+  isl AS (SELECT doc_id, pos, word,
+                 sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id,
+                 is_stop
+          FROM m),
+  members AS (SELECT doc_id, phrase_id, pos, word FROM isl WHERE is_stop = 0),
+  phr AS (SELECT doc_id, phrase_id,
+                 string_agg(word, ' ' ORDER BY pos) AS phrase,
+                 count(*) AS plen
+          FROM members GROUP BY 1, 2 HAVING count(*) <= 4),
+  wstat AS (SELECT word, sum(plen) / count(*) AS wscore
+            FROM members JOIN phr USING (doc_id, phrase_id) GROUP BY 1),
+  pscore AS (SELECT doc_id, phrase_id,
+                    CAST(CAST(sum(CAST(round(wscore, 9) AS DECIMAL(20,9)))
+                         AS VARCHAR) AS DOUBLE) AS score
+             FROM members JOIN phr USING (doc_id, phrase_id)
+                          JOIN wstat USING (word)
+             GROUP BY 1, 2)
+  SELECT phrase, count(*) AS n, round(max(score), 6) AS score
+  FROM phr JOIN pscore USING (doc_id, phrase_id)
+  GROUP BY phrase
+  ORDER BY score DESC, phrase ASC LIMIT 20
+"""
+
+ORACLES["training_negatives"] = """
+  WITH pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS part
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  np AS (SELECT count(*) AS n_parts FROM part),
+  cand AS (SELECT custkey, part AS pos_part, slot,
+                  CAST(concat('0x', substr(md5(concat_ws(':', 'neg1',
+                        CAST(custkey AS VARCHAR), CAST(part AS VARCHAR),
+                        CAST(slot AS VARCHAR))), 1, 8)) AS BIGINT)
+                  % n_parts AS neg_part
+           FROM pos CROSS JOIN np
+           CROSS JOIN (SELECT unnest(range(1, 4)) AS slot))
+  SELECT custkey, pos_part, CAST(slot AS BIGINT) AS slot, neg_part
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.custkey = c.custkey AND p.part = c.neg_part)
+"""
+
+ORACLES["item_item_cf"] = """
+  WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
+  pairs AS (SELECT a.p AS p1, c.p AS p2, count(*) AS c12
+            FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+  sym AS (SELECT p1, p2, c12 FROM pairs
+          UNION ALL SELECT p2, p1, c12 FROM pairs),
+  scored AS (SELECT sym.p1 AS part, sym.p2 AS neighbor, c12,
+                    round(c12 / sqrt(CAST(i1.item_n * i2.item_n AS DOUBLE)), 6)
+                      AS cosine
+             FROM sym
+             JOIN item i1 ON i1.p = sym.p1
+             JOIN item i2 ON i2.p = sym.p2)
+  SELECT part, neighbor, c12, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY part
+              ORDER BY cosine DESC, neighbor ASC) AS BIGINT) AS rank
+    FROM scored) WHERE rank <= 5
+"""
+
+ORACLES["dq_audit"] = """
+  WITH lt AS (
+    SELECT l_orderkey,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                     * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))), 2) AS tot
+    FROM lineitem GROUP BY 1)
+  SELECT 'lineitem_qty_in_1_50' AS check_name, count(*) AS n_checked,
+         CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_in_0_01', count(*),
+         count(*) FILTER (l_discount < 0 OR l_discount > CAST(0.1 AS DOUBLE))
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_returnflag_domain', count(*),
+         count(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R'))
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_pk_nonnull', count(*),
+         count(*) FILTER (l_orderkey IS NULL OR l_linenumber IS NULL)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_totalprice_positive', count(*),
+         count(*) FILTER (o_totalprice <= 0)
+  FROM orders
+  UNION ALL
+  SELECT 'events_value_nonnull', count(*),
+         count(*) FILTER (value IS NULL)
+  FROM events
+  UNION ALL
+  SELECT 'events_props_json_valid', count(*),
+         count(*) FILTER (NOT json_valid(props))
+  FROM events
+  UNION ALL
+  SELECT 'events_event_id_nonnull', count(*),
+         count(*) FILTER (event_id IS NULL)
+  FROM events
+  UNION ALL
+  SELECT 'documents_nchars_consistent', count(*),
+         count(*) FILTER (n_chars <> length(text))
+  FROM documents
+  UNION ALL
+  SELECT 'documents_text_nonempty', count(*),
+         count(*) FILTER (text IS NULL OR length(text) = 0)
+  FROM documents
+  UNION ALL
+  SELECT 'orders_pk_unique', count(*), count(*) - count(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'events_pk_unique', count(*), count(*) - count(DISTINCT event_id)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem_pk_unique', count(*),
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_fk_customer', count(*),
+         count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer))
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_fk_orders', count(*),
+         count(*) FILTER (l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_have_lineitems', count(*),
+         count(*) FILTER (o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_reconciles', count(*),
+         count(*) FILTER (abs(CAST(o_totalprice AS DECIMAL(18,2)) - tot)
+                          > CAST(0.01 AS DECIMAL(18,2)))
+  FROM orders JOIN lt ON o_orderkey = l_orderkey
+"""
+
+
+# U-shaped multi-touch credits: weights are IEEE expressions over
+# identical integers; per-touch credits round 6dp and sum as DECIMAL.
+ORACLES["attribution_position_weighted"] = """
+  WITH s AS (
+    SELECT event_id, user_id, ts, event_type, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS st
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+  s2 AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+             AS session_id FROM s),
+  fp AS (SELECT user_id, session_id, ts AS p_ts, event_id AS p_id,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_cents,
+                row_number() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM s2 WHERE event_type = 'purchase'),
+  fp1 AS (SELECT * FROM fp WHERE rn = 1),
+  touches AS (
+    SELECT t.user_id, t.session_id, t.ts, t.event_id,
+           t.event_type AS touch_type, f.p_cents
+    FROM s2 t JOIN fp1 f ON t.user_id = f.user_id
+                         AND t.session_id = f.session_id
+    WHERE t.event_type <> 'purchase'
+      AND (t.ts < f.p_ts OR (t.ts = f.p_ts AND t.event_id < f.p_id))),
+  scored AS (
+    SELECT touch_type,
+           row_number() OVER wt AS idx,
+           count(*) OVER wn AS n,
+           p_cents
+    FROM touches
+    WINDOW wt AS (PARTITION BY user_id, session_id ORDER BY ts, event_id),
+           wn AS (PARTITION BY user_id, session_id)),
+  cr AS (
+    SELECT touch_type,
+           CASE WHEN idx = 1 THEN 'first' WHEN idx = n THEN 'last'
+                ELSE 'middle' END AS position,
+           CAST(round(p_cents * (CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                 WHEN idx = 1 THEN CASE WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                                        ELSE CAST(0.4 AS DOUBLE) END
+                 WHEN idx = n THEN CASE WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                                        ELSE CAST(0.4 AS DOUBLE) END
+                 ELSE CAST(0.2 AS DOUBLE) / (n - 2) END), 6)
+                AS DECIMAL(20,6)) AS credit
+    FROM scored)
+  SELECT touch_type, position, count(*) AS n_touches,
+         CAST(CAST(sum(credit) AS VARCHAR) AS DOUBLE) AS credit_total
+  FROM cr GROUP BY 1, 2 ORDER BY touch_type, position
+"""
+
+# Lindley reflection in closed form: B = S - min(0, running min S).
+ORACLES["user_wallet_balance"] = """
+  WITH base AS (
+    SELECT user_id, event_id, ts,
+           (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+             * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS flow_cents
+    FROM events WHERE event_type IN ('purchase', 'click')),
+  runs AS (
+    SELECT user_id, event_id, ts, flow_cents,
+           sum(flow_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM base)
+  SELECT user_id, event_id, flow_cents,
+         CAST(run - least(0, min(run) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              AS BIGINT) AS balance_cents
+  FROM runs
+"""
+
+ORACLES["embedding_mutual_nn"] = """
+  WITH pairs AS (
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.35),
+  sym AS (SELECT vec_a AS v, vec_b AS nb, cosine FROM pairs
+          UNION ALL SELECT vec_b, vec_a, cosine FROM pairs),
+  best AS (SELECT v, nb, cosine,
+                  row_number() OVER (PARTITION BY v
+                                     ORDER BY cosine DESC, nb) AS rn
+           FROM sym),
+  b1 AS (SELECT v, nb, cosine FROM best WHERE rn = 1)
+  SELECT a.v AS vec_a, a.nb AS vec_b, a.cosine
+  FROM b1 a JOIN b1 b ON a.nb = b.v AND b.nb = a.v AND a.v < a.nb
+  ORDER BY vec_a
+"""
+
+# Mutual-NN over LSH-bucket candidates: identical reciprocity filter,
+# candidate pairs restricted to a hyperplane-sign bucket (the
+# embedding_dup_pairs_lsh CTEs with the deterministic LCG planes).
+ORACLES["embedding_mutual_nn_lsh"] = f"""
+  WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+  b AS (SELECT vec_id, dvec, CAST({{bucket}} AS BIGINT) AS bucket FROM v),
+  pairs AS (
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             round(list_cosine_similarity(a.dvec, c.dvec), 6) AS cosine
+      FROM b a JOIN b c USING (bucket)
+      WHERE a.vec_id < c.vec_id
+    ) WHERE cosine >= 0.35),
+  sym AS (SELECT vec_a AS v, vec_b AS nb, cosine FROM pairs
+          UNION ALL SELECT vec_b, vec_a, cosine FROM pairs),
+  best AS (SELECT v, nb, cosine,
+                  row_number() OVER (PARTITION BY v
+                                     ORDER BY cosine DESC, nb) AS rn
+           FROM sym),
+  b1 AS (SELECT v, nb, cosine FROM best WHERE rn = 1)
+  SELECT a.v AS vec_a, a.nb AS vec_b, a.cosine
+  FROM b1 a JOIN b1 b ON a.nb = b.v AND b.nb = a.v AND a.v < a.nb
+  ORDER BY vec_a
+""".format(bucket=_bucket_terms_sql())
+
+# Winsorized mean: the trimmed-mean machinery with the tails CLAMPED
+# to the rank-(k+1)/(n-k) fences instead of dropped; fences selected
+# by cumulative count, winsorized sum in exact BIGINTs.
+ORACLES["events_winsorized_mean"] = """
+  WITH grain AS (
+    SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2),
+  cum AS (
+    SELECT g, v, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+    FROM grain),
+  kk AS (
+    SELECT *, (n * 5) // 100 AS k FROM cum),
+  kept AS (
+    SELECT g, v, cnt, cum, n, k,
+           greatest(CAST(0 AS BIGINT),
+                    least(cum, n - k) - greatest(cum - cnt, k)) AS kp
+    FROM kk),
+  agg AS (
+    SELECT g,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS k,
+           CAST(sum(kp * v) AS BIGINT) AS ks,
+           CAST(sum(cnt * v) AS BIGINT) AS ts,
+           min(CASE WHEN cum >= k + 1 THEN v END) AS lo,
+           min(CASE WHEN cum >= n - k THEN v END) AS hi
+    FROM kept GROUP BY g)
+  SELECT g AS event_type, n, k AS n_clamped_each_side,
+         lo AS lo_cents, hi AS hi_cents,
+         CAST(ks + k * lo + k * hi AS DOUBLE) / CAST(n AS DOUBLE)
+           AS winsorized_mean_cents,
+         CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents
+  FROM agg ORDER BY 1
+"""
+
+# Transition entropy per state: p from exact-integer division, each
+# -p*ln(p) term 9dp-decimal-rounded (order-independent sum), summed
+# as DECIMAL and string-routed to double.
+ORACLES["event_markov_entropy"] = """
+  WITH nxt AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events),
+  c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS nn
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT event_type, CAST(sum(nn) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS n_next
+          FROM c GROUP BY 1)
+  SELECT c.event_type,
+         max(t) AS n_transitions,
+         max(n_next) AS n_next_types,
+         CAST(CAST(sum(CAST(round(-((nn / t) * ln(nn / t)), 9)
+                            AS DECIMAL(12,9))) AS VARCHAR) AS DOUBLE)
+           AS entropy_nats
+  FROM c JOIN tot ON c.event_type = tot.event_type
+  GROUP BY c.event_type ORDER BY 1
+"""
+
+# Spearman rho + Kendall tau between the 1995/1996 nation revenue
+# rankings: all pair math at the 25-row nation grain.
+ORACLES["nation_rank_spearman"] = """
+  WITH yearly AS (
+    SELECT n_name AS nation, year(o_orderdate) AS yr,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT nation, yr,
+           CAST(row_number() OVER (PARTITION BY yr
+                                   ORDER BY rev DESC, nation) AS BIGINT) AS rnk
+    FROM yearly),
+  p AS (SELECT a.nation, a.rnk AS r95, b.rnk AS r96
+        FROM ranked a JOIN ranked b ON a.nation = b.nation
+        WHERE a.yr = 1995 AND b.yr = 1996),
+  s AS (SELECT CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(sum((r95 - r96) * (r95 - r96)) AS BIGINT) AS sum_d2
+        FROM p),
+  pr AS (SELECT
+           CAST(coalesce(sum(CASE WHEN (a.r95 - b.r95) * (a.r96 - b.r96) > 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_concordant,
+           CAST(coalesce(sum(CASE WHEN (a.r95 - b.r95) * (a.r96 - b.r96) < 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_discordant
+         FROM p a JOIN p b ON a.nation < b.nation)
+  SELECT n_nations, sum_d2,
+         1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+           / CAST(n_nations * (n_nations * n_nations - 1) AS DOUBLE)
+           AS spearman,
+         n_concordant, n_discordant,
+         CAST(n_concordant - n_discordant AS DOUBLE)
+           / CAST((n_nations * (n_nations - 1)) // 2 AS DOUBLE)
+           AS kendall_tau
+  FROM s CROSS JOIN pr
+"""
+
+# Directed association rules: both directions of each pruned pair,
+# classical support/confidence/lift/leverage/conviction; conviction
+# NULL for exact rules (integer-equality guard, not a float compare).
+ORACLES["basket_rules"] = """
+  WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  nn AS (SELECT count(DISTINCT o) AS n FROM b),
+  item AS (SELECT p, count(*) AS item_n FROM b GROUP BY 1),
+  pairs AS (SELECT a.p AS p1, c.p AS p2, count(*) AS pair_n
+            FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+  directed AS (SELECT p1 AS antecedent, p2 AS consequent, pair_n FROM pairs
+               UNION ALL
+               SELECT p2 AS antecedent, p1 AS consequent, pair_n FROM pairs)
+  SELECT antecedent, consequent, pair_n,
+         pair_n / n AS support,
+         pair_n / ia.item_n AS confidence,
+         (pair_n * n) / (ia.item_n * ic.item_n) AS lift,
+         pair_n / n - (ia.item_n / n) * (ic.item_n / n) AS leverage,
+         CASE WHEN pair_n = ia.item_n THEN NULL
+              ELSE (1.0 - ic.item_n / n) / (1.0 - pair_n / ia.item_n)
+         END AS conviction
+  FROM directed
+  JOIN item ia ON ia.p = antecedent
+  JOIN item ic ON ic.p = consequent
+  CROSS JOIN nn
+  ORDER BY lift DESC, antecedent, consequent
+  LIMIT 50
+"""
+
+# Heaps'-law vocabulary-growth fit: cumulative tokens/types in doc_id
+# order, 9dp-decimal log terms, the zipf OLS chain.
+ORACLES["heaps_law_fit"] = r"""
+  WITH raw AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(
+             regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS word
+    FROM documents),
+  tk AS (SELECT doc_id, word FROM raw WHERE word <> ''),
+  per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tok_n
+              FROM tk GROUP BY 1),
+  firsts AS (SELECT word, min(doc_id) AS doc_id FROM tk GROUP BY 1),
+  newt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS types_new
+           FROM firsts GROUP BY 1),
+  base AS (SELECT p.doc_id, p.tok_n, coalesce(n.types_new, 0) AS types_new
+           FROM per_doc p LEFT JOIN newt n USING (doc_id)),
+  cum AS (SELECT CAST(sum(tok_n) OVER w AS BIGINT) AS ct,
+                 CAST(sum(types_new) OVER w AS BIGINT) AS cv
+          FROM base
+          WINDOW w AS (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+  pts AS (SELECT ct, cv,
+                 CAST(round(ln(CAST(ct AS DOUBLE)), 9) AS DECIMAL(12,9)) AS lx,
+                 CAST(round(ln(CAST(cv AS DOUBLE)), 9) AS DECIMAL(12,9)) AS ly
+          FROM cum),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(ct) AS BIGINT) AS total_tokens,
+           CAST(max(cv) AS BIGINT) AS total_types,
+           CAST(CAST(sum(lx) AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sum(ly) AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sum(lx * ly) AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(sum(lx * lx) AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(ly * ly) AS VARCHAR) AS DOUBLE) AS syy
+    FROM pts)
+  SELECT n_docs, total_tokens, total_types,
+         (n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx) AS heaps_beta,
+         (sy * sxx - sx * sxy) / (n_docs * sxx - sx * sx) AS heaps_ln_k,
+         (n_docs * sxy - sx * sy) * (n_docs * sxy - sx * sy)
+           / ((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy)) AS r2
+  FROM agg
+"""
+
+# Per-doc distinct word-4-gram novelty vs all earlier docs.
+ORACLES["ngram_novelty"] = r"""
+  WITH raw AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(
+             regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             w -> w <> '') AS t
+    FROM documents),
+  g AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                 i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS gram
+        FROM raw WHERE len(t) >= 4),
+  f AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1)
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.fd < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seen_before,
+         CAST(count(*) - sum(CASE WHEN f.fd < g.doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS novelty
+  FROM g JOIN f USING (gram)
+  GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+# Rocchio nearest-centroid confusion: centroids via the
+# label_centroids decimal recipe; dots/norms as 12dp-decimal sums
+# string-routed to double; argmax tie-break on label asc.
+ORACLES["nearest_centroid_confusion"] = """
+  WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dvec
+             FROM embeddings),
+  i AS (SELECT vec_id, label, dvec,
+               unnest(range(1, len(dvec) + 1)) AS idx FROM e),
+  f AS (SELECT vec_id, label, idx AS pos, dvec[idx] AS v FROM i),
+  cent AS (SELECT label AS clabel, pos,
+                  round(CAST(CAST(sum(CAST(v AS DECIMAL(27,12)))
+                                  AS VARCHAR) AS DOUBLE) / count(*), 6) AS c
+           FROM f GROUP BY 1, 2),
+  cn AS (SELECT clabel,
+                CAST(CAST(sum(CAST(c * c AS DECIMAL(24,12))) AS VARCHAR)
+                     AS DOUBLE) AS cnorm2
+         FROM cent GROUP BY 1),
+  vn AS (SELECT vec_id,
+                CAST(CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS VARCHAR)
+                     AS DOUBLE) AS vnorm2
+         FROM f GROUP BY 1),
+  d AS (SELECT f.vec_id, f.label, cent.clabel,
+               CAST(CAST(sum(CAST(f.v * cent.c AS DECIMAL(24,12)))
+                         AS VARCHAR) AS DOUBLE) AS dot
+        FROM f JOIN cent USING (pos) GROUP BY 1, 2, 3),
+  s AS (SELECT d.vec_id, d.label, d.clabel,
+               dot / (sqrt(vnorm2) * sqrt(cnorm2)) AS csim
+        FROM d JOIN vn USING (vec_id) JOIN cn USING (clabel)),
+  p AS (SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, clabel) AS rn
+        FROM s)
+  SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# Unrolled absorbing-chain value iteration at event-type grain.
+ORACLES["event_conversion_absorption"] = "WITH " + _absorption_ctes(8)
+
+# Simplified silhouette: squared distances from the decimal-exact
+# dot/norm aggregates of the confusion oracle; per-term 9dp rounding.
+ORACLES["label_silhouette"] = """
+  WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dvec
+             FROM embeddings),
+  i AS (SELECT vec_id, label, dvec,
+               unnest(range(1, len(dvec) + 1)) AS idx FROM e),
+  f AS (SELECT vec_id, label, idx AS pos, dvec[idx] AS v FROM i),
+  cent AS (SELECT label AS clabel, pos,
+                  round(CAST(CAST(sum(CAST(v AS DECIMAL(27,12)))
+                                  AS VARCHAR) AS DOUBLE) / count(*), 6) AS c
+           FROM f GROUP BY 1, 2),
+  cn AS (SELECT clabel,
+                CAST(CAST(sum(CAST(c * c AS DECIMAL(24,12))) AS VARCHAR)
+                     AS DOUBLE) AS cnorm2
+         FROM cent GROUP BY 1),
+  vn AS (SELECT vec_id,
+                CAST(CAST(sum(CAST(v * v AS DECIMAL(24,12))) AS VARCHAR)
+                     AS DOUBLE) AS vnorm2
+         FROM f GROUP BY 1),
+  d AS (SELECT f.vec_id, f.label, cent.clabel,
+               CAST(CAST(sum(CAST(f.v * cent.c AS DECIMAL(24,12)))
+                         AS VARCHAR) AS DOUBLE) AS dot
+        FROM f JOIN cent USING (pos) GROUP BY 1, 2, 3),
+  dd AS (SELECT d.vec_id, d.label, d.clabel,
+                vnorm2 - 2.0 * dot + cnorm2 AS d2
+         FROM d JOIN vn USING (vec_id) JOIN cn USING (clabel)),
+  a AS (SELECT vec_id, label, d2 AS av FROM dd WHERE label = clabel),
+  b AS (SELECT vec_id, min(d2) AS bv FROM dd WHERE label <> clabel
+        GROUP BY 1),
+  s AS (SELECT a.label,
+               CAST(round((bv - av) / greatest(av, bv), 9)
+                    AS DECIMAL(12,9)) AS sil
+        FROM a JOIN b USING (vec_id))
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(CAST(sum(sil) AS VARCHAR) AS DOUBLE) / count(*)
+           AS mean_silhouette
+  FROM s GROUP BY 1 ORDER BY 1
+"""
+
+# Newman modularity of the nation partition over the co-supply graph:
+# all-integer counts into one fixed IEEE chain per nation.
+ORACLES["cosupply_nation_modularity"] = """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  sn AS (SELECT s_suppkey AS sk, n_name AS nation
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+  m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+  und AS (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e),
+  dnat AS (SELECT sn.nation,
+                  CAST(count(*) AS BIGINT) AS degree_sum,
+                  CAST(count(DISTINCT node) AS BIGINT) AS n_suppliers
+           FROM und JOIN sn ON und.node = sn.sk GROUP BY 1),
+  intra AS (SELECT a.nation, CAST(count(*) AS BIGINT) AS intra_edges
+            FROM e JOIN sn a ON e.s1 = a.sk JOIN sn b ON e.s2 = b.sk
+            WHERE a.nation = b.nation GROUP BY 1)
+  SELECT dnat.nation, n_suppliers, degree_sum,
+         coalesce(intra.intra_edges, 0) AS intra_edges,
+         CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+           - (CAST(degree_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
+             * (CAST(degree_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
+           AS modularity_term
+  FROM dnat LEFT JOIN intra USING (nation) CROSS JOIN m1
+  ORDER BY nation
+"""
+
+# Degree assortativity: exact decimal edge-moment accumulation, one
+# IEEE chain (sum_j == sum_k by both-orientation symmetry).
+ORACLES["cosupply_degree_assortativity"] = """
+  WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+  w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS c
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) * 1.1 AS thr FROM w),
+  e AS MATERIALIZED (SELECT s1, s2 FROM w, t WHERE c >= thr),
+  und AS (SELECT s1 AS src, s2 AS dst FROM e
+          UNION ALL SELECT s2, s1 FROM e),
+  deg AS (SELECT src AS n_, count(*) AS d FROM und GROUP BY 1),
+  ed AS (SELECT dj.d AS j, dk.d AS k
+         FROM und JOIN deg dj ON und.src = dj.n_
+                  JOIN deg dk ON und.dst = dk.n_),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS m_directed,
+           CAST(sum(j) AS BIGINT) AS sum_j,
+           CAST(sum(CAST(j AS DECIMAL(18,0)) * CAST(k AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sjk,
+           CAST(sum(CAST(j AS DECIMAL(18,0)) * CAST(j AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sjj
+    FROM ed)
+  SELECT m_directed, sum_j,
+         CAST(CAST(CAST(m_directed AS DECIMAL(8,0)) * CAST(sjk AS DECIMAL(30,0))
+                   - CAST(sum_j AS DECIMAL(18,0)) * CAST(sum_j AS DECIMAL(19,0))
+                   AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(CAST(m_directed AS DECIMAL(8,0)) * CAST(sjj AS DECIMAL(30,0))
+                   - CAST(sum_j AS DECIMAL(18,0)) * CAST(sum_j AS DECIMAL(19,0))
+                   AS VARCHAR) AS DOUBLE)
+           AS assortativity
+  FROM agg
+"""
+
+# Goh-Barabasi burstiness of same-type interarrival gaps per user:
+# exact microsecond gaps, decimal moment accumulation, IEEE tail.
+ORACLES["events_interarrival_burstiness"] = """
+  WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap
+    FROM events),
+  agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS s,
+           CAST(sum(CAST(gap AS DECIMAL(18,0)) * CAST(gap AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS s2
+    FROM g WHERE gap IS NOT NULL GROUP BY 1),
+  f AS (
+    SELECT event_type, n_gaps,
+           CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+           CAST(CAST(CAST(n_gaps AS DECIMAL(8,0)) * CAST(s2 AS DECIMAL(30,0))
+                     - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(19,0))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(n_gaps * (n_gaps - 1) AS DOUBLE) AS var_gap_us
+    FROM agg WHERE n_gaps >= 2)
+  SELECT event_type, n_gaps, mean_gap_us, var_gap_us,
+         sqrt(var_gap_us) / mean_gap_us AS cv,
+         (sqrt(var_gap_us) - mean_gap_us) / (sqrt(var_gap_us) + mean_gap_us)
+           AS burstiness
+  FROM f ORDER BY event_type
+"""
+
+ORACLES["nation_rank_movers"] = """
+  WITH yearly AS (
+    SELECT n_name AS nation, year(o_orderdate) AS yr,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT nation, yr,
+           CAST(row_number() OVER (PARTITION BY yr
+                                   ORDER BY rev DESC, nation) AS BIGINT) AS rnk,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revd
+    FROM yearly)
+  SELECT a.nation, a.rnk AS rank_1995, b.rnk AS rank_1996,
+         a.rnk - b.rnk AS rank_delta,
+         a.revd AS rev_1995, b.revd AS rev_1996
+  FROM ranked a JOIN ranked b ON a.nation = b.nation
+  WHERE a.yr = 1995 AND b.yr = 1996
+  ORDER BY rank_delta DESC, a.nation
+"""
+
+# Product-limit estimator at duration grain; ln factors rounded 9dp
+# and summed as DECIMAL, curve shipped in log form.
+ORACLES["user_survival_km"] = """
+  WITH spans AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                        CAST(max(ts) AS DATE) AS l
+                 FROM events GROUP BY 1),
+  edge AS (SELECT CAST(max(ts) AS DATE) AS e FROM events),
+  subj AS (SELECT date_diff('day', f, l) AS duration,
+                  (date_diff('day', l, e) < 7) AS censored
+           FROM spans, edge),
+  grain AS (SELECT duration,
+                   CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_events,
+                   CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_censored,
+                   count(*) AS n_total
+            FROM subj GROUP BY 1),
+  km AS (
+    SELECT duration, n_events, n_censored,
+           sum(n_total) OVER (ORDER BY duration
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+    FROM grain),
+  km2 AS (
+    SELECT duration, n_risk, n_events, n_censored,
+           CASE WHEN n_risk > n_events
+                THEN CAST(round(ln(CAST(n_risk - n_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE)), 9)
+                          AS DECIMAL(20,9)) END AS term,
+           max(CASE WHEN n_risk = n_events THEN 1 ELSE 0 END)
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+             AS survival_zero
+    FROM km)
+  SELECT CAST(duration AS BIGINT) AS duration,
+         CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+         survival_zero,
+         CASE WHEN NOT survival_zero
+              THEN CAST(CAST(sum(term) OVER (ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS VARCHAR) AS DOUBLE) END AS log_survival
+  FROM km2 ORDER BY duration
+"""
+
+# Nelson-Aalen: same lifetimes/grain CTEs as the KM oracle; each
+# increment is one long/long division rounded 12dp into the decimal
+# running sum (no transcendental anywhere).
+ORACLES["user_hazard_na"] = """
+  WITH spans AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                        CAST(max(ts) AS DATE) AS l
+                 FROM events GROUP BY 1),
+  edge AS (SELECT CAST(max(ts) AS DATE) AS e FROM events),
+  subj AS (SELECT date_diff('day', f, l) AS duration,
+                  (date_diff('day', l, e) < 7) AS censored
+           FROM spans, edge),
+  grain AS (SELECT duration,
+                   CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_events,
+                   CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_censored,
+                   count(*) AS n_total
+            FROM subj GROUP BY 1),
+  na AS (
+    SELECT duration, n_events, n_censored,
+           sum(n_total) OVER (ORDER BY duration
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+    FROM grain),
+  na2 AS (
+    SELECT duration, n_risk, n_events, n_censored,
+           CAST(round(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 12)
+                AS DECIMAL(20,12)) AS term
+    FROM na)
+  SELECT CAST(duration AS BIGINT) AS duration,
+         CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+         CAST(CAST(sum(term) OVER (ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE) AS cum_hazard
+  FROM na2 ORDER BY duration
+"""
+
+# Tie-aware average precision by the block convention: descending
+# cumulatives INCLUDE the block; per-block term rounded 12dp into the
+# order-independent decimal sum.
+ORACLES["score_average_precision"] = """
+  WITH per AS (
+    SELECT n_chars AS s, count(*) AS n,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+    FROM documents GROUP BY 1),
+  cum AS (
+    SELECT s, n, pos,
+           sum(n) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+           sum(pos) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+    FROM per),
+  agg AS (
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           sum(CAST(round(CAST(pos AS DOUBLE)
+                          * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)), 12)
+                    AS DECIMAL(27,12))) AS ts
+    FROM cum)
+  SELECT n_pos, n_total,
+         CAST(CAST(ts AS VARCHAR) AS DOUBLE) / CAST(n_pos AS DOUBLE) AS ap
+  FROM agg
+"""
+
+# Block-assigned gain/lift deciles: decile = integer division of the
+# strictly-above count (ties never split); rates are fixed IEEE chains.
+ORACLES["score_lift_deciles"] = """
+  WITH per AS (
+    SELECT n_chars AS s, count(*) AS n,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+    FROM documents GROUP BY 1),
+  cum AS (
+    SELECT s, n, pos,
+           coalesce(sum(n) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+    FROM per),
+  tot AS (SELECT sum(n) AS tn, sum(pos) AS tp FROM per),
+  dec AS (
+    SELECT CAST(least(9, (10 * above) // tn) AS BIGINT) AS decile, n, pos
+    FROM cum, tot),
+  per_dec AS (
+    SELECT decile, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM dec GROUP BY 1)
+  SELECT decile, n_rows, n_pos,
+         CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS resp_rate,
+         (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) AS lift,
+         CAST(sum(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(tp AS DOUBLE) AS cum_capture
+  FROM per_dec, tot ORDER BY decile
+"""
+
+# Chi-square keyness: every input an exact integer count; the
+# statistic one fixed IEEE chain (same association order as Spark).
+ORACLES["term_chi2_keywords"] = """
+  WITH t AS ({TOKS}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS a
+          FROM tk GROUP BY 1, 2),
+  ltot AS (SELECT lang, CAST(sum(a) AS BIGINT) AS lt FROM cnt GROUP BY 1),
+  wtot AS (SELECT w, CAST(sum(a) AS BIGINT) AS wt FROM cnt GROUP BY 1),
+  ntot AS (SELECT CAST(sum(lt) AS BIGINT) AS nn FROM ltot),
+  j AS (
+    SELECT cnt.lang, cnt.w, a, lt, wt, nn,
+           CAST(a AS DOUBLE) * CAST(nn - lt - (wt - a) AS DOUBLE)
+             - CAST(wt - a AS DOUBLE) * CAST(lt - a AS DOUBLE) AS diff
+    FROM cnt JOIN ltot USING (lang) JOIN wtot USING (w), ntot
+    WHERE a >= 5),
+  scored AS (
+    SELECT lang, w, a,
+           CAST(nn AS DOUBLE) * (diff * diff)
+             / (CAST(wt AS DOUBLE) * CAST(nn - wt AS DOUBLE)
+                * CAST(lt AS DOUBLE) * CAST(nn - lt AS DOUBLE)) AS chi2
+    FROM j),
+  ranked AS (
+    SELECT lang, w, a, chi2,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY chi2 DESC, w ASC) AS rank
+    FROM scored)
+  SELECT lang, CAST(rank AS BIGINT) AS rank, w AS word,
+         a AS n_in_lang, chi2
+  FROM ranked WHERE rank <= 10 ORDER BY lang, rank
+""".replace("{TOKS}", _SQL_TOKS)
+
+# Jensen-Shannon: per-word contribution is one fixed IEEE chain
+# (0.5*p*ln(p/m) with the zero branch guarded), rounded 12dp into the
+# order-independent decimal sum.
+ORACLES["lang_js_divergence"] = """
+  WITH t AS ({TOKS}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, count(*) AS c FROM tk GROUP BY 1, 2),
+  tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+  p AS (SELECT cnt.lang, w, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        FROM cnt JOIN tot USING (lang)),
+  langs AS (SELECT lang FROM tot),
+  pairs AS (SELECT a.lang AS la, b.lang AS lb
+            FROM langs a JOIN langs b ON a.lang < b.lang),
+  pa AS (SELECT la, lb, w, p AS pa FROM p JOIN pairs ON p.lang = pairs.la),
+  pb AS (SELECT la, lb, w, p AS pb FROM p JOIN pairs ON p.lang = pairs.lb),
+  j AS (
+    SELECT coalesce(pa.la, pb.la) AS la, coalesce(pa.lb, pb.lb) AS lb,
+           coalesce(pa.pa, 0.0) AS pa, coalesce(pb.pb, 0.0) AS pb
+    FROM pa FULL OUTER JOIN pb
+      ON pa.la = pb.la AND pa.lb = pb.lb AND pa.w = pb.w),
+  terms AS (
+    SELECT la, lb,
+           CAST(round(
+             CASE WHEN pa > 0.0
+                  THEN (0.5 * pa) * ln(pa / ((pa + pb) / 2.0))
+                  ELSE 0.0 END
+             + CASE WHEN pb > 0.0
+                    THEN (0.5 * pb) * ln(pb / ((pa + pb) / 2.0))
+                    ELSE 0.0 END, 12) AS DECIMAL(16,12)) AS term
+    FROM j)
+  SELECT la AS lang_a, lb AS lang_b, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS jsd_nats
+  FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+""".replace("{TOKS}", _SQL_TOKS)
+
+# Cadence profile: lag gaps on the custkey total order; percentile
+# selection at the (segment, distinct-gap) grain.
+ORACLES["segment_order_gap_profile"] = """
+  WITH g AS (
+    SELECT o_custkey,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC)),
+  gg AS (
+    SELECT c_mktsegment AS segment, gap, count(*) AS cnt
+    FROM g JOIN customer ON o_custkey = c_custkey
+    WHERE gap IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS n_gaps,
+                 CAST(sum(gap * cnt) AS BIGINT) AS sg
+          FROM gg GROUP BY 1),
+  cum AS (SELECT segment, gap, cnt,
+                 sum(cnt) OVER (PARTITION BY segment ORDER BY gap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+          FROM gg),
+  p50 AS (SELECT cum.segment, min(gap) AS median_gap_days
+          FROM cum JOIN tot USING (segment)
+          WHERE cm >= CAST(floor((n_gaps + 1) / 2.0) AS BIGINT)
+          GROUP BY 1),
+  p90 AS (SELECT cum.segment, min(gap) AS p90_gap_days
+          FROM cum JOIN tot USING (segment)
+          WHERE cm * 10 >= n_gaps * 9 GROUP BY 1)
+  SELECT tot.segment, n_gaps,
+         CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_days,
+         median_gap_days, p90_gap_days
+  FROM tot JOIN p50 USING (segment) JOIN p90 USING (segment)
+  ORDER BY tot.segment
+"""
+
+# Quintile migration: integer 5*(rn-1) DIV n boundaries (no ntile,
+# no float), rank by exact cents desc with custkey tie-break.
+ORACLES["customer_value_migration"] = """
+  WITH spend AS (
+    SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS cents
+    FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1, 2),
+  r AS (
+    SELECT custkey, yr,
+           row_number() OVER (PARTITION BY yr
+                              ORDER BY cents DESC, custkey) AS rn,
+           count(*) OVER (PARTITION BY yr) AS n
+    FROM spend),
+  q AS (SELECT custkey, yr,
+               CAST(least(4, 5 * (rn - 1) // n) AS BIGINT) AS q
+        FROM r)
+  SELECT a.q AS q_1995, b.q AS q_1996,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM q a JOIN q b ON a.custkey = b.custkey
+       AND a.yr = 1995 AND b.yr = 1996
+  GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# Cohort LTV triangle: exact integer cents, window cumsum at the
+# (cohort, age) grain, one IEEE division per row.
+ORACLES["customer_cohort_ltv"] = """
+  WITH om AS (
+    SELECT o_custkey,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS m,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS cents
+    FROM orders),
+  firsts AS (SELECT o_custkey, min(m) AS cohort FROM om GROUP BY 1),
+  sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM firsts GROUP BY 1),
+  cells AS (
+    SELECT cohort, om.m - cohort AS age_months,
+           CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_active,
+           sum(CAST(cents AS HUGEINT)) AS rev
+    FROM om JOIN firsts ON om.o_custkey = firsts.o_custkey
+    GROUP BY 1, 2),
+  cum AS (
+    SELECT cohort, age_months, n_active, rev,
+           sum(rev) OVER (PARTITION BY cohort ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+    FROM cells)
+  SELECT cohort AS cohort_month, age_months, n_active, cohort_size,
+         CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev_cents,
+         CAST(CAST(crev AS VARCHAR) AS DOUBLE)
+           / CAST(cohort_size AS DOUBLE) AS cum_ltv_cents_per_customer
+  FROM cum JOIN sizes USING (cohort)
+  ORDER BY cohort_month, age_months
+"""
+
+# Bounce profile: the events_sessionize epoch-floor gap convention;
+# entry pick via rn = 1 on the session-keyed total order.
+ORACLES["session_bounce_rate"] = """
+  WITH g AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+  s AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+    FROM g),
+  e2 AS (
+    SELECT user_id, sid, event_type,
+           row_number() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id, sid) AS n
+    FROM s),
+  sess AS (SELECT user_id, sid, event_type AS entry_type,
+                  CAST(n AS BIGINT) AS n
+           FROM e2 WHERE rn = 1)
+  SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS bounce_rate,
+         CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_events_per_session
+  FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+# Delay profile: integer-rank percentile selection (the MAD oracle
+# convention), exact integer day sums for the mean.
+ORACLES["shipping_delay_profile"] = """
+  WITH d AS (
+    SELECT CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS month,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) AS BIGINT) AS dd,
+           count(*) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2),
+  tot AS (SELECT month, CAST(sum(cnt) AS BIGINT) AS n_items,
+                 CAST(sum(dd * cnt) AS BIGINT) AS sdd
+          FROM d GROUP BY 1),
+  cum AS (SELECT month, dd, cnt,
+                 sum(cnt) OVER (PARTITION BY month ORDER BY dd
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+          FROM d),
+  p50 AS (SELECT cum.month, min(dd) AS p50_delay_days
+          FROM cum JOIN tot USING (month)
+          WHERE cm >= CAST(floor((n_items + 1) / 2.0) AS BIGINT)
+          GROUP BY 1),
+  p90 AS (SELECT cum.month, min(dd) AS p90_delay_days
+          FROM cum JOIN tot USING (month)
+          WHERE cm * 10 >= n_items * 9 GROUP BY 1)
+  SELECT tot.month, n_items,
+         CAST(sdd AS DOUBLE) / CAST(n_items AS DOUBLE)
+           AS mean_delay_days,
+         p50_delay_days, p90_delay_days
+  FROM tot JOIN p50 USING (month) JOIN p90 USING (month)
+  ORDER BY tot.month
+"""
+
+# Unbiased Simpson: exact-integer c(c-1) sums (HUGEINT twin), one
+# final IEEE division chain, no rounding convention needed.
+ORACLES["lang_simpson_diversity"] = """
+  WITH t AS ({TOKS}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, count(*) AS c FROM tk GROUP BY 1, 2),
+  g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS s2
+        FROM cnt GROUP BY 1)
+  SELECT lang, n_tokens, vocab,
+         CASE WHEN n_tokens > 1
+              THEN CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE)
+                      * CAST(n_tokens - 1 AS DOUBLE)) END AS simpson,
+         CASE WHEN n_tokens > 1 AND s2 > 0
+              THEN CAST(1.0 AS DOUBLE)
+                   / (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE)
+                         * CAST(n_tokens - 1 AS DOUBLE))) END
+           AS inv_simpson
+  FROM g ORDER BY lang
+""".replace("{TOKS}", _SQL_TOKS)
+
+# HHI/CR4: exact micro squares as HUGEINT; the only IEEE work is the
+# final fixed division chains; CR4 pick by deterministic window rank.
+ORACLES["brand_revenue_hhi"] = """
+  WITH nb AS (
+    SELECT n_name AS nation, p_brand AS brand,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS rev
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN part ON l_partkey = p_partkey
+         JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT nation, brand, rev,
+           row_number() OVER (PARTITION BY nation
+                              ORDER BY rev DESC, brand ASC) AS rk
+    FROM nb),
+  g AS (
+    SELECT nation, CAST(count(*) AS BIGINT) AS n_brands,
+           sum(rev) AS s1, sum(rev * rev) AS s2,
+           sum(CASE WHEN rk <= 4 THEN rev ELSE 0 END) AS t4
+    FROM ranked GROUP BY 1)
+  SELECT nation, n_brands,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+           / (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)) AS hhi,
+         CAST(CAST(t4 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS cr4
+  FROM g ORDER BY nation
+"""
+
+# Gaps-and-islands on the type axis: lag boundary + running count.
+ORACLES["events_run_length"] = """
+  WITH b AS (
+    SELECT user_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS bnd,
+           ts, event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  r AS (
+    SELECT user_id, event_type,
+           sum(bnd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM b),
+  runs AS (SELECT user_id, run, event_type,
+                  CAST(count(*) AS BIGINT) AS len
+           FROM r GROUP BY 1, 2, 3)
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+         max(len) AS longest_run,
+         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_run_len
+  FROM runs GROUP BY 1 ORDER BY 1
+"""
+
+# EWMA: recursive CTE stepping the identical exact-integer-micros
+# arithmetic (alpha = 0.5 exact binary; tie rounding probed equal).
+ORACLES["events_ewma_control"] = """
+  WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                          AS DECIMAL(20,6))
+                     * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)
+                AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2),
+  series AS (
+    SELECT event_type, day, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+    FROM daily),
+  dcount AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1),
+  rec AS (
+    SELECT event_type, CAST(1 AS BIGINT) AS i, x AS z,
+           CAST(0.0 AS DOUBLE) AS md
+    FROM series WHERE i = 1
+    UNION ALL
+    SELECT rec.event_type, rec.i + 1,
+           round(CAST(0.5 AS DOUBLE) * s.x
+                 + CAST(0.5 AS DOUBLE) * rec.z, 0) AS z,
+           greatest(rec.md, abs(s.x - rec.z)) AS md
+    FROM rec JOIN series s
+      ON s.event_type = rec.event_type AND s.i = rec.i + 1),
+  last AS (SELECT event_type, max(i) AS mi FROM rec GROUP BY 1)
+  SELECT rec.event_type, n_days, z AS ewma_last_micros,
+         md AS max_abs_dev_micros
+  FROM rec JOIN last ON rec.event_type = last.event_type
+                    AND rec.i = last.mi
+       JOIN dcount ON dcount.event_type = rec.event_type
+  ORDER BY rec.event_type
+"""
+
+
+def _sorted_neighborhood_oracle(window: int = 10) -> str:
+    """Oracle for q_linkage_sorted_neighborhood: reuses the m/c
+    record CTEs of _linkage_ctes (its blocked-pair CTEs go unused)
+    and mirrors the global rank + banded neighborhood + FS scoring.
+    Weight literals generated from fs_weights (never drift)."""
+    from ..operators.linkage import fs_weights
+
+    w = fs_weights()
+    score = " + ".join(
+        f"CASE WHEN {f}_agree THEN CAST({wa!r} AS DOUBLE) "
+        f"ELSE CAST({wd!r} AS DOUBLE) END"
+        for f, (wa, wd) in w.items()
+    )
+    return (
+        _linkage_ctes()
+        + f""",
+  u AS (
+    SELECT 0 AS role, custkey AS rid, nm, bal, seg, blk FROM m
+    UNION ALL
+    SELECT 1, contact_id, nm, bal, seg, CAST(floor(bal) AS BIGINT)
+    FROM c),
+  r AS (SELECT role, rid, nm, bal, seg, blk,
+               row_number() OVER (ORDER BY bal, role, rid) AS rn
+        FROM u),
+  pr AS (
+    SELECT a.rid AS custkey, b.rid AS contact_id,
+           abs(a.rn - b.rn) AS rank_gap,
+           a.blk <> b.blk AS cross_block,
+           a.nm = b.nm AS nm_agree,
+           a.bal = b.bal AS bal_agree,
+           a.seg = b.seg AS seg_agree
+    FROM r a JOIN r b
+      ON a.role = 0 AND b.role = 1 AND abs(a.rn - b.rn) <= {window}),
+  sn AS (SELECT custkey, contact_id, rank_gap, cross_block,
+                nm_agree, bal_agree, seg_agree, ({score}) AS score
+         FROM pr)
+  SELECT custkey, contact_id, CAST(rank_gap AS BIGINT) AS rank_gap,
+         cross_block, nm_agree, bal_agree, seg_agree, score,
+         score > 0.0 AS is_match
+  FROM sn ORDER BY (score > 0.0 AND cross_block) DESC, score DESC,
+                   custkey, contact_id
+  LIMIT 100"""
+    )
+
+
+ORACLES["linkage_sorted_neighborhood"] = _sorted_neighborhood_oracle()
+
+# Holt smoothing as a recursive CTE stepping the identical exact
+# arithmetic (0.5 multiplies of thousand-micros-rounded states --
+# every intermediate an exact-integer double; both engines round
+# half-away-from-zero at negative digits, probed 2026-08-16).
+ORACLES["nation_revenue_holt"] = """
+  WITH RECURSIVE monthly AS (
+    SELECT n_name AS nation,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS x,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS yd
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  series AS (
+    SELECT nation, x, yd,
+           row_number() OVER (PARTITION BY nation ORDER BY x) AS i
+    FROM monthly),
+  mcount AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_months
+             FROM monthly GROUP BY 1),
+  rec AS (
+    SELECT s2.nation, CAST(2 AS BIGINT) AS i, s2.yd AS l,
+           s2.yd - s1.yd AS b
+    FROM series s1 JOIN series s2
+      ON s1.nation = s2.nation AND s1.i = 1 AND s2.i = 2
+    UNION ALL
+    SELECT rec.nation, rec.i + 1,
+           round(CAST(0.5 AS DOUBLE) * s.yd
+                 + CAST(0.5 AS DOUBLE) * (rec.l + rec.b), -3) AS l,
+           round(CAST(0.5 AS DOUBLE)
+                 * (round(CAST(0.5 AS DOUBLE) * s.yd
+                          + CAST(0.5 AS DOUBLE) * (rec.l + rec.b), -3)
+                    - rec.l)
+                 + CAST(0.5 AS DOUBLE) * rec.b, -3) AS b
+    FROM rec JOIN series s
+      ON s.nation = rec.nation AND s.i = rec.i + 1),
+  last AS (SELECT nation, max(i) AS mi FROM rec GROUP BY 1)
+  SELECT rec.nation, n_months, l AS level, b AS trend,
+         l + b AS forecast_next
+  FROM rec JOIN last ON rec.nation = last.nation AND rec.i = last.mi
+       JOIN mcount ON mcount.nation = rec.nation
+  ORDER BY rec.nation
+"""
+
+
+def _markov_removal_sql(channels: tuple[str, ...], steps: int = 8) -> str:
+    """Generated oracle for q_attribution_markov_removal: the shared
+    transition/pi CTEs, one unrolled value-iteration chain for the
+    base matrix and one per removed channel (edges INTO the channel
+    filtered out), then the effect/share arithmetic on exact
+    decimals. The channel universe is the generator's fixed
+    event-type set (verified identical at all three SFs); the Spark
+    side derives it from the data."""
+    head = """WITH nxt AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events),
+  c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS nn
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+  tot AS (SELECT event_type, CAST(sum(nn) AS BIGINT) AS t
+          FROM c GROUP BY 1),
+  tr AS (SELECT c.event_type AS s, next_type AS t2, nn / t AS T
+         FROM c JOIN tot ON c.event_type = tot.event_type),
+  st AS (SELECT s AS node FROM tr UNION SELECT t2 FROM tr),
+  fe AS (SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+  pi0 AS (SELECT event_type AS node, CAST(count(*) AS BIGINT) AS cu
+          FROM fe WHERE rn = 1 GROUP BY 1),
+  ut AS (SELECT CAST(sum(cu) AS BIGINT) AS u FROM pi0),
+  pi AS (SELECT node, cu / u AS pi FROM pi0, ut)"""
+
+    def chain(prefix: str, tr_filter: str) -> list[str]:
+        parts = [f"""{prefix}p0 AS (
+    SELECT node, CASE WHEN node = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS p
+    FROM st)"""]
+        for k in range(1, steps + 1):
+            parts.append(f"""{prefix}p{k} AS (
+    SELECT st.node,
+           CASE WHEN st.node = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                ELSE coalesce(x.sm, CAST(0.0 AS DOUBLE)) END AS p
+    FROM st LEFT JOIN (
+      SELECT s AS node,
+             CAST(CAST(sum(CAST(round(T * p, 12) AS DECIMAL(24,12)))
+                       AS VARCHAR) AS DOUBLE) AS sm
+      FROM tr JOIN {prefix}p{k - 1} ON tr.t2 = {prefix}p{k - 1}.node
+      {tr_filter} GROUP BY 1) x
+    USING (node))""")
+        return parts
+
+    parts = [head]
+    parts.extend(chain("b", ""))
+    parts.append(f"""bval AS (
+    SELECT CAST(CAST(sum(CAST(round(pi * p, 12) AS DECIMAL(24,12)))
+                     AS VARCHAR) AS DOUBLE) AS v
+    FROM pi JOIN bp{steps} USING (node))""")
+    for i, ch in enumerate(channels):
+        parts.extend(chain(f"r{i}", f"WHERE tr.t2 <> '{ch}'"))
+        parts.append(f"""r{i}val AS (
+    SELECT CAST(CAST(sum(CAST(round(pi * p, 12) AS DECIMAL(24,12)))
+                     AS VARCHAR) AS DOUBLE) AS v
+    FROM pi JOIN r{i}p{steps} USING (node)
+    WHERE pi.node <> '{ch}')""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, bval.v AS p_base, r{i}val.v AS p_removed"
+        f" FROM bval, r{i}val"
+        for i, ch in enumerate(channels)
+    )
+    parts.append(f"""eff AS (
+    SELECT channel, p_base, p_removed,
+           CAST(round(CAST(1 AS DOUBLE) - p_removed / p_base, 12)
+                AS DECIMAL(24,12)) AS e
+    FROM ({union}))""")
+    parts.append("""te AS (SELECT sum(e) AS t FROM eff)""")
+    return (
+        ",\n  ".join(parts)
+        + """
+  SELECT channel, p_base, p_removed,
+         CAST(CAST(e AS VARCHAR) AS DOUBLE) AS removal_effect,
+         CASE WHEN t <> 0 THEN CAST(CAST(e AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(t AS VARCHAR) AS DOUBLE) END
+           AS attribution_share
+  FROM eff, te ORDER BY channel"""
+    )
+
+
+ORACLES["attribution_markov_removal"] = _markov_removal_sql(
+    MARKOV_ORACLE_CHANNELS
+)
+
+# Information gain: every entropy term from exact integer counts,
+# 9dp-rounded into order-independent decimal sums.
+ORACLES["feature_information_gain"] = """
+  WITH f AS (
+    SELECT 'has_digit' AS feature,
+           CASE WHEN regexp_matches(text, '[0-9]') THEN 'y' ELSE 'n' END AS val,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+    UNION ALL
+    SELECT 'len_bucket', CAST(least(9, n_chars // 200) AS VARCHAR),
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+    FROM documents
+    UNION ALL
+    SELECT 'source', source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+    FROM documents),
+  cells AS (SELECT feature, val, y, CAST(count(*) AS BIGINT) AS nxy
+            FROM f GROUP BY 1, 2, 3),
+  nx AS (SELECT feature, val, CAST(sum(nxy) AS BIGINT) AS nx
+         FROM cells GROUP BY 1, 2),
+  nf AS (SELECT feature, CAST(sum(nxy) AS BIGINT) AS n
+         FROM cells GROUP BY 1),
+  hyx AS (
+    SELECT cells.feature,
+           sum(CAST(round(
+             -(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nxy AS DOUBLE) / CAST(nx AS DOUBLE)), 9)
+             AS DECIMAL(12,9))) AS s
+    FROM cells JOIN nx USING (feature, val) JOIN nf USING (feature)
+    GROUP BY 1),
+  lab AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CAST(count(*) AS BIGINT) AS ny
+          FROM documents GROUP BY 1),
+  nt AS (SELECT CAST(sum(ny) AS BIGINT) AS n FROM lab),
+  hy AS (
+    SELECT sum(CAST(round(
+             -(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS DECIMAL(12,9))) AS s
+    FROM lab, nt)
+  SELECT feature,
+         CAST(CAST(hy.s AS VARCHAR) AS DOUBLE) AS h_y,
+         CAST(CAST(hyx.s AS VARCHAR) AS DOUBLE) AS h_y_given_x,
+         CAST(CAST(hy.s AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(hyx.s AS VARCHAR) AS DOUBLE) AS ig_nats
+  FROM hyx, hy ORDER BY feature
+"""
+
+# Dunning G2 keyness: four O ln(O/E) terms each 9dp-rounded to
+# DECIMAL, summed exactly; the per-lang ranking happens ON the exact
+# decimal so the order is ulp-identical cross-engine.
+ORACLES["term_keyness_g2"] = """
+  WITH t AS ({TOKS}),
+  tk AS (SELECT lang, unnest(toks) AS w FROM t),
+  cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS a
+          FROM tk GROUP BY 1, 2),
+  ltot AS (SELECT lang, CAST(sum(a) AS BIGINT) AS lt FROM cnt GROUP BY 1),
+  wtot AS (SELECT w, CAST(sum(a) AS BIGINT) AS wt FROM cnt GROUP BY 1),
+  ntot AS (SELECT CAST(sum(lt) AS BIGINT) AS nn FROM ltot),
+  j AS (
+    SELECT cnt.lang, cnt.w, a, lt, wt, nn,
+           wt - a AS b, lt - a AS c, nn - lt - (wt - a) AS d
+    FROM cnt JOIN ltot USING (lang) JOIN wtot USING (w), ntot
+    WHERE a >= 5),
+  g AS (
+    SELECT lang, w, a,
+           CAST(CASE WHEN a > 0 THEN round(
+               2.0 * CAST(a AS DOUBLE)
+               * ln(CAST(a AS DOUBLE)
+                    / ((CAST(lt AS DOUBLE) * CAST(wt AS DOUBLE))
+                       / CAST(nn AS DOUBLE))), 9)
+             ELSE 0.0 END AS DECIMAL(20,9))
+           + CAST(CASE WHEN b > 0 THEN round(
+               2.0 * CAST(b AS DOUBLE)
+               * ln(CAST(b AS DOUBLE)
+                    / ((CAST(nn - lt AS DOUBLE) * CAST(wt AS DOUBLE))
+                       / CAST(nn AS DOUBLE))), 9)
+             ELSE 0.0 END AS DECIMAL(20,9))
+           + CAST(CASE WHEN c > 0 THEN round(
+               2.0 * CAST(c AS DOUBLE)
+               * ln(CAST(c AS DOUBLE)
+                    / ((CAST(lt AS DOUBLE) * CAST(nn - wt AS DOUBLE))
+                       / CAST(nn AS DOUBLE))), 9)
+             ELSE 0.0 END AS DECIMAL(20,9))
+           + CAST(CASE WHEN d > 0 THEN round(
+               2.0 * CAST(d AS DOUBLE)
+               * ln(CAST(d AS DOUBLE)
+                    / ((CAST(nn - lt AS DOUBLE) * CAST(nn - wt AS DOUBLE))
+                       / CAST(nn AS DOUBLE))), 9)
+             ELSE 0.0 END AS DECIMAL(20,9)) AS g2d
+    FROM j),
+  ranked AS (
+    SELECT lang, w, a, g2d,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY g2d DESC, w ASC) AS rank
+    FROM g)
+  SELECT lang, CAST(rank AS BIGINT) AS rank, w AS word,
+         a AS n_in_lang, CAST(CAST(g2d AS VARCHAR) AS DOUBLE) AS g2
+  FROM ranked WHERE rank <= 10 ORDER BY lang, rank
+""".replace("{TOKS}", _SQL_TOKS)
+
+# Theil-Sen: same monthly-micros series as the OLS trend oracle; the
+# median pair slope by lower-median integer-rank selection.
+ORACLES["nation_theilsen_trend"] = """
+  WITH monthly AS (
+    SELECT n_name AS nation,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS x,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS y
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  slopes AS (
+    SELECT a.nation,
+           CAST(CAST(b.y - a.y AS VARCHAR) AS DOUBLE)
+             / CAST(b.x - a.x AS DOUBLE) AS slope
+    FROM monthly a JOIN monthly b
+      ON a.nation = b.nation AND a.x < b.x),
+  sc AS (SELECT nation, slope, count(*) AS cnt FROM slopes GROUP BY 1, 2),
+  tot AS (SELECT nation, CAST(sum(cnt) AS BIGINT) AS np FROM sc GROUP BY 1),
+  cum AS (SELECT nation, slope, cnt,
+                 sum(cnt) OVER (PARTITION BY nation ORDER BY slope
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+          FROM sc),
+  med AS (SELECT cum.nation, min(slope) AS theil_sen_slope
+          FROM cum JOIN tot USING (nation)
+          WHERE cm >= CAST(floor((np + 1) / 2.0) AS BIGINT) GROUP BY 1),
+  months AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_months
+             FROM monthly GROUP BY 1)
+  SELECT months.nation, n_months, np AS n_pairs, theil_sen_slope
+  FROM months JOIN tot USING (nation) JOIN med USING (nation)
+  ORDER BY 1
+"""
+
+# Mean-cleared integer ACF: z = n*y - S makes both sums exact
+# integers; the n^2 scale factor cancels in the ratio.
+ORACLES["events_acf"] = """
+  WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+             FROM events),
+  days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                    AS day, d0
+           FROM b),
+  types AS (SELECT DISTINCT event_type FROM events),
+  counts AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+             FROM events GROUP BY 1, 2),
+  series AS (
+    SELECT t.event_type, date_diff('day', d.d0, d.day) AS tt,
+           coalesce(c.y, 0) AS y
+    FROM types t CROSS JOIN days d
+         LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+  st AS (SELECT event_type, count(*) AS n, sum(y) AS s FROM series GROUP BY 1),
+  z AS (SELECT series.event_type, tt,
+               CAST(st.n * series.y - st.s AS HUGEINT) AS z, st.n
+        FROM series JOIN st USING (event_type)),
+  den AS (SELECT event_type, sum(z * z) AS den, max(n) AS n_points
+          FROM z GROUP BY 1),
+  lagged AS (SELECT event_type, tt, z, l.lag
+             FROM z CROSS JOIN
+                  (SELECT unnest(generate_series(1, 7)) AS lag) l),
+  num AS (SELECT a.event_type, a.lag, sum(a.z * b2.z) AS num
+          FROM lagged a JOIN z b2 ON b2.event_type = a.event_type
+                                 AND b2.tt = a.tt + a.lag
+          GROUP BY 1, 2)
+  SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+         CAST(d.n_points AS BIGINT) AS n_points,
+         CAST(CAST(n.num AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(d.den AS VARCHAR) AS DOUBLE) AS acf
+  FROM num n JOIN den d USING (event_type)
+  WHERE d.den <> 0 ORDER BY event_type, lag
+"""
+
+# HUGEINT mirror of the exact-integer OLS sufficient statistics; the
+# final divisions run on string-routed identical doubles.
+ORACLES["nation_revenue_trend"] = """
+  WITH monthly AS (
+    SELECT n_name AS nation,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1992 * 12 + 1) AS BIGINT) AS x,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    * 1000000 AS HUGEINT)) AS y
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  stats AS (
+    SELECT nation, count(*) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx, sum(y) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           sum(y * y) AS syy
+    FROM monthly GROUP BY 1),
+  vals AS (
+    SELECT nation, CAST(n AS BIGINT) AS n_points,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+           CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den,
+           CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE) AS inum,
+           CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS ydev
+    FROM stats)
+  SELECT nation, n_points, num / den AS slope, inum / den AS intercept,
+         CASE WHEN ydev <> 0 THEN num * num / (den * ydev) END AS r2
+  FROM vals WHERE den <> 0 ORDER BY nation
+"""
+
+ORACLES["zipf_word_fit"] = f"""
+  WITH wc AS ({_SQL_WORDCOUNT}),
+  top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 500),
+  pts AS (
+    SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, word)
+                              AS DOUBLE)), 9) AS DECIMAL(12,9)) AS lx,
+           CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(12,9)) AS ly
+    FROM top),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           CAST(CAST(sum(lx) AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sum(ly) AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sum(lx * ly) AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(sum(lx * lx) AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(ly * ly) AS VARCHAR) AS DOUBLE) AS syy
+    FROM pts)
+  SELECT n_words,
+         (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) AS slope,
+         (sy * sxx - sx * sxy) / (n_words * sxx - sx * sx) AS intercept,
+         (n_words * sxy - sx * sy) * (n_words * sxy - sx * sy)
+           / ((n_words * sxx - sx * sx) * (n_words * syy - sy * sy)) AS r2
+  FROM agg
+"""
+
+# Quadratic NOT-EXISTS dominance -- the oracle's simplicity is the
+# point: it proves the distributed grid-prune/staircase forms lossless.
+ORACLES["customer_skyline"] = """
+  WITH agg AS (
+    SELECT o_custkey AS custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS spend_cents,
+           count(*) AS n_orders,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS last_day
+    FROM orders GROUP BY 1)
+  SELECT p.* FROM agg p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM agg q
+    WHERE q.spend_cents >= p.spend_cents AND q.n_orders >= p.n_orders
+      AND q.last_day >= p.last_day
+      AND (q.spend_cents > p.spend_cents OR q.n_orders > p.n_orders
+           OR q.last_day > p.last_day))
+  ORDER BY spend_cents DESC, custkey
+"""
+
+ORACLES["part_sales_skyline"] = """
+  WITH agg AS (
+    SELECT l_partkey AS partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem GROUP BY 1)
+  SELECT p.* FROM agg p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM agg q
+    WHERE q.total_qty >= p.total_qty AND q.revenue_cents >= p.revenue_cents
+      AND (q.total_qty > p.total_qty OR q.revenue_cents > p.revenue_cents))
+  ORDER BY total_qty DESC, partkey
+"""
+
+# Weighted median: SELECTION by exact integer-cent comparisons --
+# the picked quantity is a value present in the data, so neither
+# engine interpolates. DuckDB's HUGEINT window sums cast back to
+# BIGINT to match Spark's long.
+ORACLES["brand_weighted_median"] = """
+  WITH j AS (
+    SELECT p_brand,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS qty,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                AS BIGINT) AS cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey),
+  grain AS (
+    SELECT p_brand, qty, CAST(sum(cents) AS BIGINT) AS w
+    FROM j GROUP BY 1, 2),
+  cum AS (
+    SELECT p_brand, qty, w,
+           sum(w) OVER (PARTITION BY p_brand ORDER BY qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(w) OVER (PARTITION BY p_brand) AS tw
+    FROM grain)
+  SELECT p_brand, CAST(min(qty) AS BIGINT) AS weighted_median,
+         CAST(max(tw) AS BIGINT) AS total_weight
+  FROM cum WHERE tw > 0 AND 2 * cw >= tw
+  GROUP BY 1 ORDER BY 1
+"""
+
+# Chi-square cells: (o*n - r*c)^2 / (r*c*n) on exact integers,
+# HUGEINT here / DECIMAL(38,0) in Spark, string-routed to double on
+# both sides before the one square-and-divide; terms 9dp-decimal
+# summed exactly, string-routed out.
+ORACLES["segment_nation_chisq"] = """
+  WITH cells AS (
+    SELECT c_mktsegment AS r_cat, n_name AS c_cat,
+           count(*) AS o
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2),
+  tot AS (
+    SELECT r_cat, c_cat, o,
+           CAST(sum(o) OVER (PARTITION BY r_cat) AS HUGEINT) AS r,
+           CAST(sum(o) OVER (PARTITION BY c_cat) AS HUGEINT) AS c,
+           CAST(sum(o) OVER () AS HUGEINT) AS n
+    FROM cells),
+  dims AS (
+    SELECT CAST(count(DISTINCT r_cat) AS BIGINT) AS nr,
+           CAST(count(DISTINCT c_cat) AS BIGINT) AS nc
+    FROM cells),
+  scored AS (
+    SELECT r_cat, c_cat, o, r, c, n, nr, nc,
+           CAST(CAST(CAST(o AS HUGEINT) * n - r * c AS VARCHAR)
+                AS DOUBLE) AS numd,
+           CAST(CAST(r * c * n AS VARCHAR) AS DOUBLE) AS dend,
+           CAST(CAST(r * c AS VARCHAR) AS DOUBLE) AS rcd
+    FROM tot CROSS JOIN dims),
+  t9 AS (
+    SELECT r_cat, c_cat, o, nr, nc,
+           rcd / CAST(n AS DOUBLE) AS expected,
+           CAST(round(numd * numd / dend, 9) AS DECIMAL(20,9)) AS term9
+    FROM scored)
+  SELECT r_cat AS c_mktsegment, c_cat AS n_name,
+         CAST(o AS BIGINT) AS observed, expected,
+         CAST(CAST(term9 AS VARCHAR) AS DOUBLE) AS term,
+         CAST(CAST(sum(term9) OVER () AS VARCHAR) AS DOUBLE) AS chi2,
+         CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+  FROM t9 ORDER BY 1, 2
+"""
+
+# Benford: digit by string head; the transcendental benford_p frozen
+# at 9dp as DECIMAL(10,9) BEFORE expected = n*p (exact decimal
+# product, string-routed), so both engines square/divide identical
+# doubles; 9dp-decimal terms summed exactly into chi2.
+ORACLES["orders_benford"] = """
+  WITH c AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT) AS cents
+    FROM orders),
+  d AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*) AS o
+    FROM c GROUP BY 1),
+  spine AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+  f AS (
+    SELECT s.digit, CAST(COALESCE(o, 0) AS BIGINT) AS observed
+    FROM spine s LEFT JOIN d USING (digit)),
+  t AS (
+    SELECT digit, observed,
+           CAST(sum(observed) OVER () AS BIGINT) AS total_n,
+           CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)
+                AS DECIMAL(10,9)) AS p9
+    FROM f),
+  s2 AS (
+    SELECT digit, observed, total_n, p9,
+           CAST(CAST(CAST(CAST(total_n AS DECIMAL(19,0)) * p9
+                          AS DECIMAL(30,9)) AS VARCHAR) AS DOUBLE) AS e
+    FROM t),
+  s3 AS (
+    SELECT *, CAST(round((CAST(observed AS DOUBLE) - e)
+                         * (CAST(observed AS DOUBLE) - e) / e, 9)
+                   AS DECIMAL(20,9)) AS term9
+    FROM s2)
+  SELECT digit, observed, total_n,
+         CAST(observed AS DOUBLE) / CAST(total_n AS DOUBLE)
+           AS observed_share,
+         CAST(CAST(p9 AS VARCHAR) AS DOUBLE) AS benford_p,
+         e AS expected,
+         CAST(CAST(term9 AS VARCHAR) AS DOUBLE) AS term,
+         CAST(CAST(sum(term9) OVER () AS VARCHAR) AS DOUBLE) AS chi2
+  FROM s3 ORDER BY digit
+"""
+
+# Lorenz deciles: exact integer cents, integer decile boundaries
+# ((rn-1)*10 // n), shares divide exact longs.
+ORACLES["customer_spend_lorenz"] = """
+  WITH spend AS (
+    SELECT o_custkey AS custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1),
+  ranked AS (
+    SELECT custkey, cents,
+           row_number() OVER (ORDER BY cents, custkey) AS rn,
+           count(*) OVER () AS n
+    FROM spend),
+  per AS (
+    SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+           count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM ranked GROUP BY 1)
+  SELECT decile, n_customers, cents,
+         CAST(cents AS DOUBLE)
+           / CAST(CAST(sum(cents) OVER () AS BIGINT) AS DOUBLE)
+           AS share_of_total,
+         CAST(CAST(sum(cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(cents) OVER () AS BIGINT) AS DOUBLE)
+           AS cum_share
+  FROM per ORDER BY decile
+"""
+
+# Trimmed mean: integer rank boundaries (k = n*5 div 100), clamp
+# arithmetic on exact cumulative counts, two final long/long
+# divisions -- no interpolation.
+ORACLES["events_trimmed_mean"] = """
+  WITH grain AS (
+    SELECT event_type AS g,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2),
+  cum AS (
+    SELECT g, v, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+    FROM grain),
+  k AS (
+    SELECT *, (n * 5) // 100 AS k FROM cum),
+  kept AS (
+    SELECT g, v, cnt, n, k,
+           greatest(CAST(0 AS BIGINT),
+                    least(cum, n - k) - greatest(cum - cnt, k)) AS kp
+    FROM k)
+  SELECT g AS event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+         CAST(CAST(sum(kp * v) AS BIGINT) AS DOUBLE)
+           / CAST(max(n) - 2 * max(k) AS DOUBLE) AS trimmed_mean_cents,
+         CAST(CAST(sum(cnt * v) AS BIGINT) AS DOUBLE)
+           / CAST(max(n) AS DOUBLE) AS mean_cents
+  FROM kept GROUP BY 1 ORDER BY 1
+"""
+
+# Duplicate charges: adjacent same-(user, type, cents) repeats
+# within 7 days via lag -- integer cents/microsecond gaps decide
+# everything.
+ORACLES["duplicate_charge_screen"] = """
+  WITH base AS (
+    SELECT user_id, event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           event_id, epoch_us(ts) AS us
+    FROM events),
+  lagged AS (
+    SELECT user_id, event_type, cents,
+           lag(event_id) OVER w AS first_event_id,
+           event_id AS second_event_id,
+           us - lag(us) OVER w AS gap_us
+    FROM base
+    WINDOW w AS (PARTITION BY user_id, event_type, cents
+                 ORDER BY us, event_id))
+  SELECT user_id, event_type, cents, first_event_id, second_event_id,
+         CAST(gap_us AS BIGINT) AS gap_us
+  FROM lagged
+  WHERE first_event_id IS NOT NULL
+    AND gap_us <= CAST(604800 AS BIGINT) * 1000000
+  ORDER BY user_id, event_type, cents, second_event_id
+"""
+
+# Quantile normalization: rank r of m -> global order statistic at
+# ceil(r*N/m); all-integer, selection not interpolation.
+ORACLES["doc_length_quantile_norm"] = """
+  WITH local AS (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY n_chars, doc_id) AS r,
+           count(*) OVER (PARTITION BY lang) AS m
+    FROM documents),
+  gl AS (
+    SELECT n_chars AS norm_n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS k,
+           count(*) OVER () AS total_n
+    FROM documents),
+  keyed AS (
+    SELECT doc_id, lang, n_chars,
+           (r * (SELECT max(total_n) FROM gl) + m - 1) // m AS k
+    FROM local)
+  SELECT keyed.doc_id, lang, n_chars, norm_n_chars
+  FROM keyed JOIN gl USING (k)
+  ORDER BY doc_id
+"""
+
+# Theil T: exact-long ratios, ln 9dp per row, 9dp-decimal term sum.
+ORACLES["customer_spend_theil"] = """
+  WITH spend AS (
+    SELECT o_custkey AS custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1),
+  t AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM spend),
+  terms AS (
+    SELECT n_customers, total_cents,
+           CAST(round(
+             (CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE))
+             * round(ln(CAST(cents AS DOUBLE) * CAST(n_customers AS DOUBLE)
+                        / CAST(total_cents AS DOUBLE)), 9),
+           9) AS DECIMAL(20,9)) AS term9
+    FROM spend, t WHERE cents > 0)
+  SELECT n_customers, total_cents,
+         CAST(CAST(sum(term9) AS VARCHAR) AS DOUBLE) AS theil
+  FROM terms GROUP BY 1, 2
+"""
+
+# Rolling WAU: contribute-forward expansion at the user-day grain
+# (sliding distinct counts don't decompose into window sums).
+ORACLES["events_rolling_wau"] = """
+  WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+  days AS (SELECT DISTINCT d FROM ud),
+  expanded AS (
+    SELECT user_id, d + CAST(t.i AS INTEGER) AS dx
+    FROM ud CROSS JOIN (SELECT range AS i FROM range(0, 7)) t),
+  wau AS (
+    SELECT dx, count(DISTINCT user_id) AS wau
+    FROM expanded JOIN days ON dx = days.d GROUP BY 1),
+  dau AS (
+    SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+  SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau, wau,
+         CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+  FROM dau JOIN wau ON dau.d = wau.dx
+  ORDER BY 1
+"""
+
+# Hamilton-apportioned stratified sample: all-integer quota
+# arithmetic, md5-hex selection order (portable string compare).
+ORACLES["stratified_sample_exact"] = """
+  WITH c AS (SELECT lang AS g, count(*) AS n_h FROM documents
+             GROUP BY 1),
+  t AS (
+    SELECT g, n_h,
+           CAST(sum(n_h) OVER () AS BIGINT) AS tot
+    FROM c),
+  q AS (
+    SELECT g, n_h, tot,
+           (tot // 10 * n_h) // tot AS q0,
+           (tot // 10 * n_h) % tot AS r,
+           tot // 10 AS n_samp
+    FROM t),
+  rk AS (
+    SELECT *, row_number() OVER (ORDER BY r DESC, g) AS rr,
+           n_samp - sum(q0) OVER () AS deficit
+    FROM q),
+  quota AS (
+    SELECT g, n_h,
+           CAST(q0 + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM rk),
+  sel AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM documents)
+  SELECT sel.lang, doc_id, n_h, qt.quota AS quota
+  FROM sel JOIN quota qt ON sel.lang = qt.g
+  WHERE rnk <= qt.quota
+  ORDER BY lang, doc_id
+"""
+
+# Trailing OLS: exact HUGEINT window statistics over the day grain,
+# RANGE frame (gaps shrink n), string-routed num/den, one division.
+ORACLES["events_trailing_slope"] = """
+  WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2),
+  xd AS (
+    SELECT event_type, day,
+           CAST(day - DATE '1970-01-01' AS BIGINT) AS x, cents
+    FROM daily),
+  wsum AS (
+    SELECT event_type, day, cents,
+           CAST(count(*) OVER wnd AS BIGINT) AS n,
+           CAST(sum(x) OVER wnd AS HUGEINT) AS sx,
+           CAST(sum(cents) OVER wnd AS HUGEINT) AS sy,
+           CAST(sum(x * cents) OVER wnd AS HUGEINT) AS sxy,
+           CAST(sum(x * x) OVER wnd AS HUGEINT) AS sxx
+    FROM xd
+    WINDOW wnd AS (PARTITION BY event_type ORDER BY x
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+  SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+         n AS n_points,
+         CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx <> 0 THEN
+           CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+                AS DOUBLE)
+           / CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+                  AS DOUBLE)
+         END AS slope
+  FROM wsum ORDER BY 1, 2
+"""
+
+# Top-N + OTHERS: exact-micros rank with deterministic tie-break,
+# tail rolled into one row so shares sum to 1.
+ORACLES["nation_top_brands_others"] = """
+  WITH base AS (
+    SELECT n_name, p_brand,
+           CAST(sum(CAST(
+             (CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+             * 1000000 AS BIGINT)) AS BIGINT) AS micros
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2),
+  rk AS (
+    SELECT *, row_number() OVER (PARTITION BY n_name
+              ORDER BY micros DESC, p_brand) AS rk
+    FROM base),
+  rolled AS (
+    SELECT n_name,
+           CASE WHEN rk <= 3 THEN p_brand ELSE 'OTHERS' END AS brand,
+           count(*) AS n_brands,
+           CAST(sum(micros) AS BIGINT) AS mi
+    FROM rk GROUP BY 1, 2)
+  SELECT n_name, brand, n_brands,
+         CAST(mi AS DOUBLE) / 1000000.0 AS revenue,
+         CAST(mi AS DOUBLE)
+           / CAST(CAST(sum(mi) OVER (PARTITION BY n_name) AS BIGINT)
+                  AS DOUBLE) AS share
+  FROM rolled ORDER BY 1, 5 DESC, 2
+"""
+
+# z-test: all inputs exact integer counts; identical float
+# expression shape on both sides; sqrt is IEEE-correctly-rounded.
+ORACLES["ab_conversion_ztest"] = """
+  WITH s AS (
+    SELECT user_id, min(ts) AS s0 FROM events
+    WHERE event_type = 'signup' GROUP BY 1),
+  pu AS (
+    SELECT s.user_id,
+           max(CASE WHEN e.event_type = 'purchase'
+                     AND e.ts >= s.s0
+                     AND e.ts < s.s0 + INTERVAL 24 HOURS
+                    THEN 1 ELSE 0 END) AS conv
+    FROM s JOIN events e USING (user_id) GROUP BY 1),
+  v AS (
+    SELECT user_id % 2 AS variant, count(*) AS n,
+           CAST(sum(conv) AS BIGINT) AS c
+    FROM pu GROUP BY 1),
+  w AS (
+    SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+           max(CASE WHEN variant = 0 THEN c END) AS conv_a,
+           max(CASE WHEN variant = 1 THEN n END) AS n_b,
+           max(CASE WHEN variant = 1 THEN c END) AS conv_b
+    FROM v),
+  p AS (
+    SELECT *,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CAST(conv_a + conv_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) AS pool
+    FROM w)
+  SELECT n_a, conv_a, p_a, n_b, conv_b, p_b,
+         (p_a - p_b) / sqrt(pool * (1.0 - pool)
+           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           AS z_score
+  FROM p
+"""
