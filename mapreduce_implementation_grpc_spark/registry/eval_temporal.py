@@ -1096,17 +1096,59 @@ def q_attribution_markov_removal(
             f"{MARKOV_ORACLE_CHANNELS}; regenerate the oracle via "
             "_markov_removal_sql with the new tuple"
         )
-    per_channel = []
-    for ch in channels:
-        p_rm = _absorb_p(tr.filter(F.col("_t2") != ch), states, steps)
-        per_channel.append(
-            reach(p_rm, skip=ch).select(
-                F.lit(ch).alias("channel"), F.col("val").alias("p_removed")
+    # ONE (removed, node)-keyed value iteration instead of the old
+    # one-plan-per-channel Python loop (round 8, VERDICT r7 #5): the
+    # removed channel is a COLUMN, so the 8 unrolled rounds exist
+    # once in the plan regardless of |channels|. tools/markov_probe.py
+    # measured the loop shape superlinear in channels (7.5 s at C=4,
+    # 91 s at C=50) vs the keyed shape flat (5.6 / 9.1 / 22.6 s at
+    # C=4/50/200) with 9dp-identical results; per-step arithmetic is
+    # the same 12dp order-independent decimal chain, so the oracle
+    # hash is unchanged. State stays model-grain: |channels| x
+    # |states| rows.
+    ch_df = spark.createDataFrame([(c,) for c in channels], "removed string")
+    trx = tr.crossJoin(F.broadcast(ch_df)).filter(
+        F.col("_t2") != F.col("removed")
+    )
+    sx = states.crossJoin(F.broadcast(ch_df))
+    absorb_k = F.when(F.col("node") == "purchase", F.lit(1.0))
+    p_k = sx.select(
+        "removed", "node", absorb_k.otherwise(F.lit(0.0)).alias("p")
+    )
+    for _ in range(steps):
+        stepped = (
+            trx.join(
+                p_k,
+                (trx["_t2"] == p_k["node"]) & (trx["removed"] == p_k["removed"]),
+            )
+            .groupBy(trx["removed"].alias("removed"), F.col("_s").alias("node"))
+            .agg(
+                sdbl(
+                    F.sum(
+                        F.round(F.col("_T") * F.col("p"), 12).cast(
+                            "decimal(24,12)"
+                        )
+                    )
+                ).alias("_sm")
             )
         )
-    rem = per_channel[0]
-    for nxt_df in per_channel[1:]:
-        rem = rem.unionByName(nxt_df)
+        p_k = sx.join(stepped, ["removed", "node"], "left").select(
+            "removed",
+            "node",
+            absorb_k.otherwise(F.coalesce("_sm", F.lit(0.0))).alias("p"),
+        )
+    rem = (
+        p_k.join(F.broadcast(pi), "node")
+        .filter(F.col("node") != F.col("removed"))
+        .groupBy(F.col("removed").alias("channel"))
+        .agg(
+            sdbl(
+                F.sum(
+                    F.round(F.col("pi") * F.col("p"), 12).cast("decimal(24,12)")
+                )
+            ).alias("p_removed")
+        )
+    )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

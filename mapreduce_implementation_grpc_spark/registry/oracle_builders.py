@@ -50,6 +50,43 @@ def _bucket_terms_sql(num_planes: int = 8, dim: int = 64) -> str:
     )
 
 
+def _banded_bb_sql(bands: int = 8, rows_per_band: int = 4, dim: int = 64) -> str:
+    """Banded-LSH (band, bucket) rows as a SQL CTE body over the `v`
+    CTE (vec_id, dvec) -- the exact twin of
+    operators.similarity.with_lsh_bands: band b uses planes
+    [b*r, (b+1)*r) of the LCG sequence, bucket = per-band local sign
+    bits (2^0..2^(r-1))."""
+    planes = lsh_planes(bands * rows_per_band, dim)
+    selects = []
+    for b in range(bands):
+        band_planes = planes[b * rows_per_band : (b + 1) * rows_per_band]
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(dvec, [{w}]) >= 0 THEN {p2} ELSE 0 END)".format(
+                w=", ".join(repr(x) for x in plane), p2=2**p
+            )
+            for p, plane in enumerate(band_planes)
+        )
+        selects.append(
+            f"SELECT vec_id, dvec, {b} AS band, CAST({terms} AS BIGINT) AS bucket FROM v"
+        )
+    return "\n      UNION ALL ".join(selects)
+
+
+def _banded_pairs_sql(min_cosine: float = 0.35) -> str:
+    """DISTINCT banded-LSH candidate pairs with rounded cosine -- the
+    oracle body shared by embedding_dup_pairs_lsh and the mutual-NN
+    scale twin."""
+    return f"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      bb AS ({_banded_bb_sql()}),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               round(list_cosine_similarity(a.dvec, c.dvec), 6) AS cosine
+        FROM bb a JOIN bb c USING (band, bucket)
+        WHERE a.vec_id < c.vec_id),
+      pairs AS (SELECT * FROM cand WHERE cosine >= {min_cosine})"""
+
+
 def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int = 5) -> str:
     bucket_terms = _bucket_terms_sql(num_planes, dim)
     return f"""

@@ -19,7 +19,7 @@ from .curation import PAGERANK_ITERS, PPR_SEGMENT
 from .oracle_builders import (
     _ann_ivf_kmeans_sql,
     _ann_lsh_sql,
-    _bucket_terms_sql,
+    _banded_pairs_sql,
     _curate_documents_sql,
     _dedup_clusters_sql,
     _dsir_sql,
@@ -767,16 +767,13 @@ ORACLES: dict[str, str] = {
       SELECT query_id, cell, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5
     """,
-    # LSH-bucketed dup pairs: buckets are the deterministic LCG
-    # planes, so the recall<1 scale path is still exactly-checkable
+    # Banded-LSH dup pairs (round 8: OR-of-ANDs amplification; the
+    # old AND-only single bucket recalled ~5% at cos 0.35): bands are
+    # the deterministic LCG planes, so the recall<1 scale path is
+    # still exactly-checkable
     "embedding_dup_pairs_lsh": f"""
-      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
-      b AS (SELECT vec_id, dvec, CAST({_bucket_terms_sql()} AS BIGINT) AS bucket FROM v),
-      p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.dvec, c.dvec), 6) AS cosine
-            FROM b a JOIN b c USING (bucket)
-            WHERE a.vec_id < c.vec_id)
-      SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35
+      {_banded_pairs_sql()}
+      SELECT vec_a, vec_b, cosine FROM pairs
     """,
     "label_centroids": """
       WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from .shared import _SQL_TOKS, _SQL_WORDCOUNT
-from .oracle_builders import _bucket_terms_sql
+from .oracle_builders import _banded_pairs_sql
 from .eval_temporal import MARKOV_ORACLE_CHANNELS, _absorption_ctes
 from .oracles_core import ORACLES
 from .oracles_ext import _linkage_ctes
@@ -294,19 +294,13 @@ ORACLES["embedding_mutual_nn"] = """
   ORDER BY vec_a
 """
 
-# Mutual-NN over LSH-bucket candidates: identical reciprocity filter,
-# candidate pairs restricted to a hyperplane-sign bucket (the
+# Mutual-NN over BANDED-LSH candidates (round 8): identical
+# reciprocity filter, candidates from the OR-of-ANDs band tables (the
 # embedding_dup_pairs_lsh CTEs with the deterministic LCG planes).
+# NOTE the sym CTE rebinds `v` -- the banded CTE names its vector CTE
+# `v` too, so the pairs body must come first and stand alone.
 ORACLES["embedding_mutual_nn_lsh"] = f"""
-  WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
-  b AS (SELECT vec_id, dvec, CAST({{bucket}} AS BIGINT) AS bucket FROM v),
-  pairs AS (
-    SELECT * FROM (
-      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-             round(list_cosine_similarity(a.dvec, c.dvec), 6) AS cosine
-      FROM b a JOIN b c USING (bucket)
-      WHERE a.vec_id < c.vec_id
-    ) WHERE cosine >= 0.35),
+  {_banded_pairs_sql()},
   sym AS (SELECT vec_a AS v, vec_b AS nb, cosine FROM pairs
           UNION ALL SELECT vec_b, vec_a, cosine FROM pairs),
   best AS (SELECT v, nb, cosine,
@@ -317,7 +311,7 @@ ORACLES["embedding_mutual_nn_lsh"] = f"""
   SELECT a.v AS vec_a, a.nb AS vec_b, a.cosine
   FROM b1 a JOIN b1 b ON a.nb = b.v AND b.nb = a.v AND a.v < a.nb
   ORDER BY vec_a
-""".format(bucket=_bucket_terms_sql())
+"""
 
 # Winsorized mean: the trimmed-mean machinery with the tails CLAMPED
 # to the rank-(k+1)/(n-k) fences instead of dropped; fences selected

@@ -1,0 +1,42 @@
+"""Quality metric for the mutual-NN LSH scale twin (VERDICT r7 #8):
+recall/precision of `embedding_mutual_nn_lsh` against the exact
+`embedding_mutual_nn` oracle-of-record, measured like the ANN
+family's `ann_recall` row.
+
+History: the r7 single-bucket (AND-only, 8-plane) wiring recalled
+only 4.9% of the sf0.1 exact mutual pairs at min_cosine=0.35 --
+collision needs agreement on ALL planes, p_agree^8 ~ 2% at moderate
+cosine. Round 8 switched the candidate generator to banded OR-of-ANDs
+LSH (8 bands x 4 planes, operators/similarity.with_lsh_bands), which
+measured recall 0.587 / precision 0.572 on the same task. The floors
+below are set just under the measured values: a regression in the
+banding (wrong plane slicing, broken dedup, a band dropped) lands
+well below them, while LSH determinism (LCG planes, fixed data) makes
+the measurement itself exactly reproducible."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.mark.slow
+def test_mutual_nn_lsh_recall_floor(spark):
+    from mapreduce_implementation_grpc_spark import registry
+
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["embedding_mutual_nn"](spark, sf).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["embedding_mutual_nn_lsh"](spark, sf).collect()
+    }
+    assert exact, "exact mutual-NN produced no pairs -- fixture drift"
+    recall = len(exact & lsh) / len(exact)
+    precision = len(exact & lsh) / len(lsh)
+    # measured r8: recall 0.587, precision 0.572 (deterministic)
+    assert recall >= 0.55, f"banded-LSH mutual-NN recall collapsed: {recall:.3f}"
+    assert precision >= 0.50, f"precision collapsed: {precision:.3f}"
+    # the r7 single-bucket failure mode recalled 0.049 -- far below
+    # the floor, so this test would have caught it at authoring time

@@ -60,7 +60,9 @@ def test_lsh_pairs_subset_of_bruteforce(emb):
     brute = {(r.vec_a, r.vec_b) for r in embedding_dup_pairs(emb, min_cosine=0.9).collect()}
     lsh = {
         (r.vec_a, r.vec_b)
-        for r in embedding_dup_pairs(emb, min_cosine=0.9, use_lsh=True, num_planes=4).collect()
+        for r in embedding_dup_pairs(
+            emb, min_cosine=0.9, use_lsh=True, bands=1, rows_per_band=4, dim=4
+        ).collect()
     }
     assert lsh <= brute  # LSH may miss pairs but never invents them
 
