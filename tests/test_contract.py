@@ -388,3 +388,25 @@ def test_canary_set_is_pinned_append_only():
     assert registry.CANARY_QUERIES[: len(r8_pin)] == r8_pin
     assert set(registry.CANARY_QUERIES) <= set(registry.BENCH_QUERIES)
     assert len(registry.CANARY_QUERIES) == len(set(registry.CANARY_QUERIES))
+
+
+def test_staleness_ledger_covers_every_query():
+    """VERDICT r7 #7: STALENESS.json is the committed per-query
+    freshness ledger (last driver-green/checked round + last local
+    battery green/checked round). Every registry query must appear,
+    with the expected fields, so freshness is auditable from one
+    artifact."""
+    from mapreduce_implementation_grpc_spark import registry
+
+    with open(os.path.join(REPO, "STALENESS.json")) as fh:
+        doc = json.load(fh)
+    assert set(doc["queries"]) == set(registry.QUERIES)
+    for name, row in doc["queries"].items():
+        assert {
+            "last_driver_green",
+            "last_driver_checked",
+            "last_local_green",
+            "last_local_checked",
+            "new_this_round",
+        } <= set(row), name
+    assert doc["n_queries"] == len(registry.QUERIES)
