@@ -1116,12 +1116,22 @@ def q_attribution_markov_removal(
         "removed", "node", absorb_k.otherwise(F.lit(0.0)).alias("p")
     )
     for _ in range(steps):
+        # rename the state side's keys before the join: both sides'
+        # `removed` descends from the SAME broadcast ch_df lineage,
+        # so an attribute-equality condition is ambiguous (Spark
+        # warns "trivially true equals predicate")
+        p_r = p_k.select(
+            F.col("removed").alias("_rm_p"),
+            F.col("node").alias("_nd_p"),
+            "p",
+        )
         stepped = (
             trx.join(
-                p_k,
-                (trx["_t2"] == p_k["node"]) & (trx["removed"] == p_k["removed"]),
+                p_r,
+                (F.col("_t2") == F.col("_nd_p"))
+                & (F.col("removed") == F.col("_rm_p")),
             )
-            .groupBy(trx["removed"].alias("removed"), F.col("_s").alias("node"))
+            .groupBy("removed", F.col("_s").alias("node"))
             .agg(
                 sdbl(
                     F.sum(
@@ -1149,19 +1159,17 @@ def q_attribution_markov_removal(
             ).alias("p_removed")
         )
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    eff = rem.crossJoin(F.broadcast(base)).withColumn(
+        "_eff",
+        F.round(
+            F.lit(1.0) - F.col("p_removed") / F.col("p_base"), 12
+        ).cast("decimal(24,12)"),
     )
-    out = (
-        rem.crossJoin(F.broadcast(base))
-        .withColumn(
-            "_eff",
-            F.round(
-                F.lit(1.0) - F.col("p_removed") / F.col("p_base"), 12
-            ).cast("decimal(24,12)"),
-        )
-        .withColumn("_te", F.sum("_eff").over(w_all))
-    )
+    # total effect as a 1-row aggregate broadcast back (identical
+    # order-independent decimal sum as the old whole-frame window,
+    # without the SinglePartition window exchange)
+    te = eff.agg(F.sum("_eff").cast("decimal(24,12)").alias("_te"))
+    out = eff.crossJoin(F.broadcast(te))
     return out.select(
         "channel",
         "p_base",

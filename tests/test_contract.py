@@ -306,38 +306,44 @@ def test_registry_has_no_shadowed_bindings():
     mistakes the language won't flag -- so the contract does."""
     import ast
     import collections
+    import glob
 
-    src = open(
-        os.path.join(
-            REPO, "mapreduce_implementation_grpc_spark", "registry.py"
+    # the registry is a package since round 8: scan every part, and
+    # check duplicates ACROSS parts too (a name bound in two parts is
+    # the same silent-shadow bug, realized at __init__ import time)
+    part_paths = sorted(
+        glob.glob(
+            os.path.join(
+                REPO, "mapreduce_implementation_grpc_spark", "registry", "*.py"
+            )
         )
-    ).read()
-    tree = ast.parse(src)
+    )
+    assert part_paths, "registry package parts not found"
     names = []
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            names.append(node.name)
-        elif isinstance(node, ast.Assign):
-            for t in node.targets:
-                if isinstance(t, ast.Name):
-                    names.append(t.id)
-        elif isinstance(node, ast.AnnAssign) and isinstance(
-            node.target, ast.Name
-        ):
-            names.append(node.target.id)
+    dict_nodes = []
+    for path in part_paths:
+        if path.endswith("__init__.py"):
+            continue  # pure re-exports of the parts' own bindings
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                names.append(node.name)
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        names.append(t.id)
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                names.append(node.target.id)
+                if node.target.id in ("QUERIES", "ORACLES") and isinstance(
+                    node.value, ast.Dict
+                ):
+                    dict_nodes.append(node)
     dups = sorted(
         n for n, c in collections.Counter(names).items() if c > 1
     )
-    assert dups == [], f"registry.py binds these names twice: {dups}"
-
-    dict_nodes = [
-        node
-        for node in tree.body
-        if isinstance(node, ast.AnnAssign)
-        and isinstance(node.target, ast.Name)
-        and node.target.id in ("QUERIES", "ORACLES")
-        and isinstance(node.value, ast.Dict)
-    ]
+    assert dups == [], f"registry package binds these names twice: {dups}"
     assert dict_nodes, "QUERIES/ORACLES dict literals not found"
     for node in dict_nodes:
         keys = [

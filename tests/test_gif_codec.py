@@ -194,3 +194,38 @@ def test_spark_gif_phash_dedup_groups_identical_animations(spark, gif_docs):
     assert sizes == [1, 2]
     dup = next(r for r in groups if r.n == 2)
     assert dup.keep == 1
+
+
+def test_gif_interlaced_frame_decodes_in_display_order():
+    """Interlacing stores rows in 4 passes (0,8,16.. / 4,12.. /
+    2,6.. / 1,3..); the decoder must un-shuffle them. Craft a 4x9
+    single-frame GIF whose row content equals its display row index,
+    emit the pixel stream in PASS order with the interlace flag set,
+    and require decode to return rows in display order."""
+    h, w = 9, 4
+    table = np.zeros((16, 3), dtype=np.uint8)
+    for i in range(h):
+        table[i] = (i * 10, 0, 0)
+    pass_order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    indices = np.array(
+        [[row] * w for row in pass_order], dtype=np.uint8
+    ).ravel()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)  # 16-entry table
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(4)  # min code size
+    lzw = _lzw_encode_literals(indices, 4)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    out += b"\x3b"
+
+    (frame,) = gif_decode(bytes(out))
+    for row in range(h):
+        assert tuple(frame[row, 0]) == (row * 10, 0, 0), row
