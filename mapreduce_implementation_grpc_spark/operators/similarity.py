@@ -205,6 +205,69 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    num_planes: int = DEFAULT_NUM_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007): probe the query's
+    own bucket PLUS every bucket at Hamming distance 1 (flip one sign
+    bit) -- num_planes+1 probes per query. Single-bucket LSH recall
+    is bounded by p_agree^planes (all signs must match); probing the
+    1-flip shells recovers the neighbors that disagree on exactly one
+    plane at the cost of probing (planes+1)/2^planes of the corpus in
+    expectation. Candidates never duplicate: a corpus vector lives in
+    exactly one bucket and the probe set is distinct buckets.
+
+    Output schema matches knn_brute_force: [query_id, neighbor_id,
+    cosine, rank]."""
+    planes = lsh_planes(num_planes, dim)
+    corpus = with_lsh_bucket(emb, vec_col, num_planes, dim).select(
+        "vec_id",
+        F.col(vec_col).alias("vec"),
+        "bucket",
+        l2_norm_col(vec_col).alias("vnorm"),
+    )
+    q = queries.withColumn(
+        "qbucket", _bucket_col(F.col("qvec"), planes)
+    ).withColumn("qnorm", l2_norm_col("qvec"))
+    probes = q.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(num_planes)
+                ],
+            )
+        ),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot_col("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_centroids(emb: DataFrame, vec_col: str = "embedding", by: str = "label") -> DataFrame:
     """Coarse-quantizer centroids: element-wise mean per partition key
     (the `label` column stands in for k-means cell ids -- at 100 TB

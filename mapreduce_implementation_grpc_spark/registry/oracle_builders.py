@@ -103,6 +103,31 @@ def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int
     """
 
 
+def _ann_lsh_multiprobe_sql(
+    num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int = 5
+) -> str:
+    """Oracle twin of operators.similarity.ann_lsh_multiprobe_topk:
+    probe masks = 0 (own bucket) + one-bit flips, unrolled as
+    literals so the probe set is byte-for-byte in the SQL."""
+    bucket_terms = _bucket_terms_sql(num_planes, dim)
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(num_planes)])
+    return f"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      b AS (SELECT vec_id, dvec, CAST({bucket_terms} AS BIGINT) AS bucket FROM v),
+      q AS (SELECT vec_id AS query_id, dvec AS qvec, bucket AS qbucket
+            FROM b WHERE vec_id < {n_queries}),
+      p AS (SELECT query_id, qvec, xor(qbucket, m.m) AS bucket
+            FROM q, (SELECT unnest([{masks}]) AS m) m),
+      s AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(p.qvec, e.dvec), 6) AS cosine
+            FROM p JOIN b e USING (bucket) WHERE e.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= {k}
+    """
+
+
 def _projection_sql(k: int = 8, dim: int = 64) -> str:
     """Oracle twin of operators.projection.project_embeddings: the
     identical LCG plane literals, list_dot_product's sequential

@@ -5,7 +5,11 @@ from __future__ import annotations
 from .shared import PII_PATTERNS, _SQL_SHINGLES, _SQL_TOKS, _SQL_WORDCOUNT
 from .curation import PPR_SEGMENT
 from .similarity import _mmr_ctes
-from .oracle_builders import _dsir_sql, _temperature_sql
+from .oracle_builders import (
+    _ann_lsh_multiprobe_sql,
+    _dsir_sql,
+    _temperature_sql,
+)
 from .graph_layout import (
     K_ANON,
     _bfs_ctes,
@@ -120,6 +124,13 @@ def _recall_block(ivf_sql: str) -> str:
 
 
 ORACLES["ann_recall"] = _recall_block(ORACLES["ann_ivf"])
+# LSH-family recall rows (round 8): same composed eval over the
+# single-bucket and multi-probe LSH blocks
+ORACLES["ann_lsh_multiprobe"] = _ann_lsh_multiprobe_sql()
+ORACLES["ann_recall_lsh"] = _recall_block(ORACLES["ann_lsh"])
+ORACLES["ann_recall_lsh_multiprobe"] = _recall_block(
+    ORACLES["ann_lsh_multiprobe"]
+)
 ORACLES["mmr_rerank"] = _mmr_ctes()
 
 # the probe-count sweep re-parameterizes the IVF block's `pr <= N`

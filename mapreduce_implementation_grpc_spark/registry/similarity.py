@@ -43,6 +43,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (round 8): the query's bucket plus all 8
+    Hamming-1 buckets -- the standard recall lever when the sign-LSH
+    bucket is too selective (Lv et al., VLDB 2007). Deterministic LCG
+    planes, so the probe set is embedded in the oracle and the
+    approximate path hash-checks exactly. Recall vs the single-bucket
+    form is measured by the ann_recall_lsh / ann_recall_lsh_multiprobe
+    rows (SCALING.md ladder)."""
+    from ..operators.similarity import ann_lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = ann_lsh_multiprobe_topk(emb, _query_vectors(spark, sf_dir), k=5)
+    return ann.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means cell assignment. Oracle-checked:
     exact decimal-sum means make every round deterministic, and the
@@ -203,6 +218,31 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry, so the whole evaluation is oracle-checkable -- the
     standard way to choose n_probe/cells before shipping an index."""
     ann = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_df(spark, sf_dir, ann)
+
+
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the SINGLE-BUCKET LSH ANN path vs exact kNN -- the
+    honesty row the LSH family lacked (ann_recall covers IVF).
+    Measured mean top-5 recall 0.06 at sf0.01 and 0.00 at sf0.1: all
+    8 sign bits must agree, so the bucket misses nearly every true
+    neighbor at this corpus's moderate-cosine neighborhoods. Kept as
+    the documented lower rung of the probing ladder (multi-probe
+    0.16, IVF 0.28-0.32; SCALING.md)."""
+    ann = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_df(spark, sf_dir, ann)
+
+
+def q_ann_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the multi-probe LSH ANN path vs exact kNN -- the
+    same eval over the Hamming-1 probe set. Measured mean top-5
+    recall 0.16 at both sf0.01 and sf0.1 vs single-bucket's
+    0.06/0.00: the 9 probes buy ~everything the 1-flip shells hold,
+    and the remaining gap to IVF (0.28-0.32) is neighbors that
+    disagree on 2+ sign bits (SCALING.md ladder)."""
+    ann = q_ann_lsh_multiprobe(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
     return _recall_df(spark, sf_dir, ann)
 
 
