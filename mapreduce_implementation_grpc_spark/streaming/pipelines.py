@@ -1559,3 +1559,80 @@ def streaming_ewma_control(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_incremental_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming twin of operators/incremental.incremental_dedup_exact
+    (round 8): dedup an unbounded document stream against EVERYTHING
+    seen so far -- the daily-ingest contract where the corpus
+    fingerprint set persists forever, unlike streaming_dedup's
+    watermark-horizon eviction.
+
+    State: keyed by content fingerprint (md5 of the normalized text),
+    one (first_doc_id, n_seen) row per DISTINCT fingerprint -- the
+    identical ~32-bytes-per-unique-doc ledger the batch operator says
+    you would persist between runs, sharded by the uniform md5 key.
+    First occurrence (smallest doc_id within the batch, arrival order
+    across batches) wins; every arrival emits a verdict row
+    [doc_id, fp_md5, novel, first_doc_id], so the stream output is a
+    keep/drop decision per document, replay-idempotent at the
+    fingerprint grain (a re-delivered duplicate re-emits novel=false
+    with the same first_doc_id).
+
+    At 100 TB: state size is bounded by DISTINCT content, not stream
+    length -- exactly the batch anti-join's corpus side; eviction is
+    deliberately absent because the contract is corpus-lifetime
+    dedup. Output mode 'append' (verdicts are facts, never revised)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.normalize import normalized_col as _norm
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fp_md5", StringType()),
+            StructField("novel", BooleanType()),
+            StructField("first_doc_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_doc_id", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        fp = key[0]
+        first, n_seen = state.get if state.exists else (None, 0)
+        rows = []
+        for pdf in pdfs:
+            # deterministic intra-batch order: smallest doc_id first
+            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+                if first is None:
+                    first = doc_id
+                    rows.append((doc_id, fp, True, doc_id))
+                elif doc_id == first:
+                    # replayed first occurrence: idempotent re-emit
+                    rows.append((doc_id, fp, True, first))
+                else:
+                    rows.append((doc_id, fp, False, first))
+                n_seen += 1
+        state.update((first, n_seen))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "fp_md5", "novel", "first_doc_id"]
+        )
+
+    fp = docs.withColumn("fp_md5", F.md5(_norm(text_col)))
+    return fp.groupBy("fp_md5").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

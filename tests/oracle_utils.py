@@ -31,14 +31,17 @@ import pandas as pd
 from mapreduce_implementation_grpc_spark.sources.catalog import TABLES
 
 
-# Strict float lens (VERDICT r7 #2): SPARK_GRAFT_CANON_BITEXACT=1
-# makes _canon compare raw IEEE bits via float.hex() instead of
-# round(v, 9). The repo's convention is bit-identical cross-engine
-# arithmetic (exact-integer state, 9/12dp-decimal routed sums), so
-# the full battery must pass under this lens too; the 9dp default
-# stays only as the pytest-time lens because it is what seven rounds
-# of driver artifacts were validated against.
-BITEXACT_FLOATS = os.environ.get("SPARK_GRAFT_CANON_BITEXACT", "") == "1"
+# Strict float lens (VERDICT r7 #2): _canon compares raw IEEE bits
+# via float.hex() instead of round(v, 9). STRICT IS THE DEFAULT as of
+# round 8 -- the full 271-oracle battery passes bit-exact at sf0.001
+# AND sf0.01 (the repo's convention is bit-identical cross-engine
+# arithmetic: exact-integer state, 9/12dp-decimal routed sums), and
+# the driver's pandas-repr hash is itself bit-sensitive, so the
+# lenient lens could hide exactly the class of gap r6 shipped.
+# SPARK_GRAFT_CANON_BITEXACT=0 restores the 9dp lens for debugging a
+# divergence (seeing WHICH digits move), never for making a red row
+# green.
+BITEXACT_FLOATS = os.environ.get("SPARK_GRAFT_CANON_BITEXACT", "1") == "1"
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
