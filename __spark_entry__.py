@@ -48,6 +48,21 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # only, never in the driver's correctness rotation (see module doc).
 _NO_ORACLE_BY_DESIGN = frozenset({"approx_distinct_users", "events_quantiles_approx"})
 
+# Queries whose RESULTS or PLAN changed materially this round: their
+# historical driver-green rows describe the old behavior, so they
+# must outrank even long-stale unchanged queries in the next
+# rotation. Maintained per round by the builder; emptied once the
+# next CORRECTNESS artifact contains them.
+# r8: banded LSH changed both _lsh result sets; the Markov removal
+# plan was rewritten (identical results, keyed iteration).
+_RESULTS_CHANGED_THIS_ROUND = frozenset(
+    {
+        "embedding_dup_pairs_lsh",
+        "embedding_mutual_nn_lsh",
+        "attribution_markov_removal",
+    }
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference's end-to-end job (word count +
@@ -85,6 +100,9 @@ def _verification_priority() -> list[str]:
             )
             if ok:
                 passes[name] += 1
+    for name in _RESULTS_CHANGED_THIS_ROUND:
+        if name in passes:
+            passes[name] = -1  # outrank even never-checked queries
     order = {name: i for i, name in enumerate(registry.QUERIES)}
     return sorted(registry.QUERIES, key=lambda n: (passes[n], order[n]))
 
