@@ -53,13 +53,21 @@ _NO_ORACLE_BY_DESIGN = frozenset({"approx_distinct_users", "events_quantiles_app
 # must outrank even long-stale unchanged queries in the next
 # rotation. Maintained per round by the builder; emptied once the
 # next CORRECTNESS artifact contains them.
-# r8: banded LSH changed both _lsh result sets; the Markov removal
-# plan was rewritten (identical results, keyed iteration).
+# r9: the LSH plane generator moved from a correlated LCG to
+# splitmix64 (recall fix) and the banding retuned to 24x5 -- every
+# plane-derived result set changed; ann_lsh_banded /
+# ann_recall_lsh_banded are new.
 _RESULTS_CHANGED_THIS_ROUND = frozenset(
     {
+        "ann_lsh",
+        "ann_lsh_multiprobe",
+        "ann_recall_lsh",
+        "ann_recall_lsh_multiprobe",
+        "ann_lsh_banded",
+        "ann_recall_lsh_banded",
         "embedding_dup_pairs_lsh",
         "embedding_mutual_nn_lsh",
-        "attribution_markov_removal",
+        "embedding_project",
     }
 )
 
@@ -74,17 +82,25 @@ def _verification_priority() -> list[str]:
     """Order registry queries least-driver-verified first.
 
     The driver's per-round CORRECTNESS sweep samples a prefix of
-    ``queries()``; ordering by how often each query has already
-    passed a driver check (ascending, stable on registry order)
-    rotates never-checked and previously-failed queries into the
-    sample automatically each round.
+    ``queries()``; ordering by (pass count, last-green round,
+    registry order) -- all ascending -- rotates never-checked and
+    previously-failed queries in first, and among equal pass counts
+    prefers the STALEST green (VERDICT r8 #5: 56 queries' last green
+    predated the bit-exact canon; pass-count alone let equally-passed
+    newer rows shadow them).
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     passes: dict[str, int] = {name: 0 for name in registry.QUERIES}
+    last_green: dict[str, int] = {name: 0 for name in registry.QUERIES}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:  # stray non-numeric artifact matching the glob
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 report = json.load(fh)
@@ -100,11 +116,14 @@ def _verification_priority() -> list[str]:
             )
             if ok:
                 passes[name] += 1
+                last_green[name] = max(last_green[name], rnd)
     for name in _RESULTS_CHANGED_THIS_ROUND:
         if name in passes:
             passes[name] = -1  # outrank even never-checked queries
     order = {name: i for i, name in enumerate(registry.QUERIES)}
-    return sorted(registry.QUERIES, key=lambda n: (passes[n], order[n]))
+    return sorted(
+        registry.QUERIES, key=lambda n: (passes[n], last_green[n], order[n])
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

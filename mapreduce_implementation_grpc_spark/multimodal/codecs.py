@@ -344,9 +344,19 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
 def gif_decode(payload: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of composed RGB uint8 frames, each of the
     full logical-screen shape (h, w, 3). Raises ValueError on a
-    malformed stream -- loud beats silently-wrong pixels."""
+    malformed stream -- loud beats silently-wrong pixels. (ADVICE
+    r8: truncated payloads used to surface as IndexError/struct.error
+    from the raw reads; they are re-raised as ValueError so callers
+    honoring the contract catch them.)"""
     if sniff(payload) != "gif":
         raise ValueError("not a GIF payload")
+    try:
+        return _gif_decode_blocks(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed GIF stream: {exc!r}") from exc
+
+
+def _gif_decode_blocks(payload: bytes) -> list[np.ndarray]:
     w, h = struct.unpack("<HH", payload[6:10])
     packed, bg_idx, _aspect = struct.unpack("<BBB", payload[10:13])
     pos = 13

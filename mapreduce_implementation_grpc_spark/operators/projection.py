@@ -8,12 +8,14 @@ real-valued coordinates, the cheap dense representation used for
 coarse clustering, visualization, or as the input to an exact search
 over a smaller dimension.
 
-Projection directions come from the same LCG scheme as
-similarity.lsh_planes -- pure integer arithmetic on the flat index,
-reproducible in any engine -- so the query is DuckDB-oracle-checkable
-(list_dot_product over the identical literals) even though it is a
-"random" projection. A distinct seed offset keeps these planes
-different from the LSH ones.
+Projection directions come from the same splitmix64 scheme as
+similarity.lsh_planes (round 9: the previous LCG's low-order
+structure correlated consecutive coordinates, the same defect that
+collapsed banded-LSH recall) -- pure integer arithmetic on the flat
+index, reproducible in any engine -- so the query is
+DuckDB-oracle-checkable (list_dot_product over the identical
+literals) even though it is a "random" projection. A distinct seed
+offset keeps these planes different from the LSH ones.
 
 Scale: per-row map work only -- k fused zip_with/aggregate folds in
 one codegen stage, no shuffle, no Python. The projection matrix is
@@ -25,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import LCG_A, LCG_C, LCG_M
+from .similarity import _mix64
 
 # offset the flat index so projection planes differ from LSH planes
 PROJ_SEED = 7_777_777
@@ -34,10 +36,7 @@ PROJ_SEED = 7_777_777
 def projection_planes(k: int = 8, dim: int = 64) -> list[list[float]]:
     """k deterministic pseudo-random directions in [-0.5, 0.5)."""
     return [
-        [
-            ((LCG_A * (PROJ_SEED + p * dim + d) + LCG_C) % LCG_M) / LCG_M - 0.5
-            for d in range(dim)
-        ]
+        [_mix64(PROJ_SEED + p * dim + d) / 2.0**64 - 0.5 for d in range(dim)]
         for p in range(k)
     ]
 

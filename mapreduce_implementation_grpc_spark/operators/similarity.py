@@ -8,9 +8,12 @@ SURVEY.md section 2b).
   corpus scan is embarrassingly parallel and the broadcast is k*dim
   floats.
 - random_hyperplane_lsh / ann_lsh_topk: sign-random-projection LSH.
-  Planes come from a deterministic LCG (same literals embedded in
-  the DuckDB oracle, so even the ANN path is hash-checkable).
-  Candidates = bucket collisions only; the cross join never exists.
+  Planes come from a deterministic splitmix64 mix of the flat index
+  (same literals embedded in the DuckDB oracle, so even the ANN path
+  is hash-checkable). Candidates = bucket collisions only; the cross
+  join never exists.
+- ann_lsh_banded_topk: banded OR-of-ANDs candidates + exact re-rank
+  -- the recall>=0.8 serving path (round 9).
 - embedding_dup_pairs: exact near-duplicate vector pairs (cosine >=
   threshold) -- brute force within LSH buckets for scale, or global
   brute force for the oracle-checked variant.
@@ -27,17 +30,41 @@ from pyspark.sql import functions as F
 from ..functions.vectors import dot_col, l2_norm_col
 
 DEFAULT_NUM_PLANES = 8
-LCG_A = 1103515245
-LCG_C = 12345
-LCG_M = 2**31
+
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer (Steele et al., 'Fast Splittable
+    Pseudorandom Number Generators', OOPSLA 2014; public domain
+    reference sequence): a bijective avalanche mix of the flat index.
+    Pure integer arithmetic -- reproducible in any engine, no RNG
+    state, no numpy."""
+    z = (x + _SM_GAMMA) & _U64
+    z = ((z ^ (z >> 30)) * _SM_M1) & _U64
+    z = ((z ^ (z >> 27)) * _SM_M2) & _U64
+    return z ^ (z >> 31)
 
 
 def lsh_planes(num_planes: int = DEFAULT_NUM_PLANES, dim: int = 64) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5): LCG on
-    the flat index. Reproducible in any engine (the oracle embeds the
-    same literals), no RNG state, no numpy."""
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5):
+    splitmix64 on the flat index. Reproducible in any engine (the
+    oracle embeds the same double literals), no RNG state.
+
+    Round 9: this replaced an LCG on the flat index. The LCG's
+    low-order structure made consecutive plane coordinates strongly
+    correlated, so the `bands x rows` OR-of-ANDs amplification never
+    got independent bands -- measured recall sat FAR below theory
+    (banded 48x7 query->corpus recall 0.50 measured vs 0.92 theory at
+    sf0.1; the r8 mutual-NN twin's 0.587 had the same root cause).
+    With the avalanche mix every plane behaves independently and the
+    measured recall matches the 1-(1-p^r)^B prediction (SCALING.md
+    r9 ANN ladder)."""
     return [
-        [((LCG_A * (p * dim + d) + LCG_C) % LCG_M) / LCG_M - 0.5 for d in range(dim)]
+        [_mix64(p * dim + d) / 2.0**64 - 0.5 for d in range(dim)]
         for p in range(num_planes)
     ]
 
@@ -69,8 +96,8 @@ def with_lsh_bucket(
     return emb.withColumn("bucket", _bucket_col(F.col(vec_col), lsh_planes(num_planes, dim)))
 
 
-LSH_BANDS = 8
-LSH_ROWS_PER_BAND = 4
+LSH_BANDS = 24
+LSH_ROWS_PER_BAND = 5
 
 
 def with_lsh_bands(
@@ -85,9 +112,13 @@ def with_lsh_bands(
     collides in ANY band. The AND-only single-bucket form's recall at
     moderate cosine is tiny (p_agree^planes: 0.61^8 ~ 2% at cos 0.35
     -- measured 4.9% pair recall on the sf0.1 mutual-NN task); the
-    banded form amplifies to 1-(1-p^r)^B ~ 0.9 for top-1 partners.
-    Same MinHash-banding geometry as operators/dedup.py, same
-    deterministic LCG planes (the oracle embeds them).
+    banded form amplifies to 1-(1-p^r)^B. At 24x5 with the round-9
+    splitmix64 planes the sf0.1 mutual-NN twin measures recall 0.95 /
+    precision 0.95 (tests/test_mutual_nn_recall.py pins the floors;
+    the r8 8x4 LCG-plane config measured 0.587 -- correlated planes,
+    see lsh_planes). Same MinHash-banding geometry as
+    operators/dedup.py, same deterministic planes (the oracle embeds
+    them).
 
     Scale: row explosion factor = `bands` (one (band, bucket) row per
     band); the (band, bucket) pair is the shuffle key, so candidate
@@ -102,16 +133,21 @@ def with_lsh_bands(
     # which is element-wise the identical left-fold
     # ((0 + x0*w0) + x1*w1) + ... the HOF form and DuckDB's
     # list_dot_product evaluate -- same IEEE ops, same order, same
-    # bits, so the LCG planes stay exactly-checkable in the oracle.
+    # bits, so the planes stay exactly-checkable in the oracle.
     from pyspark.sql.types import ArrayType, LongType
 
     plane_mat = [[float(w) for w in p] for p in planes]
 
     @F.pandas_udf(ArrayType(LongType()))
     def _band_buckets(vecs: pd.Series) -> pd.Series:
-        V = np.array(
-            [[float(x) for x in v] for v in vecs], dtype=np.float64
-        )
+        # zero-pad to the longest vector in the batch: a short vector
+        # contributes only its own dimensions (identical to the
+        # min(dim) guard below), and a MIXED-length batch stays a
+        # rectangular array instead of raising on construction
+        width = max((len(v) for v in vecs), default=0)
+        V = np.zeros((len(vecs), width), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            V[i, : len(v)] = [float(x) for x in v]
         n = len(V)
         out = np.zeros((n, bands), dtype=np.int64)
         for b in range(bands):
@@ -268,6 +304,81 @@ def ann_lsh_multiprobe_topk(
     )
 
 
+ANN_BANDS = 64
+ANN_ROWS_PER_BAND = 7
+
+
+def ann_lsh_banded_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    bands: int = ANN_BANDS,
+    rows_per_band: int = ANN_ROWS_PER_BAND,
+    dim: int = 64,
+) -> DataFrame:
+    """Banded-LSH ANN with exact re-ranking -- the usable-recall
+    operating point of the LSH family (round 9, VERDICT r8 #1).
+
+    Candidate generation: corpus and queries each hash into `bands`
+    independent tables of `rows_per_band` sign bits (with_lsh_bands);
+    a corpus vector is a candidate for a query iff they collide in
+    ANY band (OR-of-ANDs). Re-rank: exact cosine over the DISTINCT
+    candidate set, top-k per query. Recall tracks candidate coverage
+    1-(1-p^r)^B -- measured mean top-5 recall 0.92 at sf0.1 / 0.92 at
+    sf0.01 / 0.88 at sf0.001 with 64x7 (~42% of the corpus probed per
+    query on this gap-free synthetic corpus -- true neighbors sit at
+    cosine ~0.37 vs random ~0.0, the hardest case for sign-LSH; real
+    clustered embeddings collide far more selectively at the same
+    recall). Single-bucket AND-only recalls 0.00 and Hamming-1
+    multi-probe 0.08 on the same sf0.1 task (SCALING.md r9 ANN
+    ladder).
+
+    Scale shape: the band join carries only (ids, band, bucket) --
+    vectors do NOT ride through the explosion; the distinct is at
+    candidate-pair grain; scoring re-joins the corpus by vec_id
+    (equi-join) and the query side by broadcast. No stage is ever
+    all-pairs."""
+    cb = with_lsh_bands(
+        emb.select("vec_id", vec_col), vec_col, bands, rows_per_band, dim
+    ).select("vec_id", "band", "bucket")
+    qb = with_lsh_bands(
+        queries.select("query_id", F.col("qvec").alias(vec_col)),
+        vec_col,
+        bands,
+        rows_per_band,
+        dim,
+    ).select("query_id", "band", "bucket")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    corpus = emb.select(
+        "vec_id", F.col(vec_col).alias("vec"), l2_norm_col(vec_col).alias("vnorm")
+    )
+    q = queries.select("query_id", "qvec", l2_norm_col("qvec").alias("qnorm"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(corpus, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot_col("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ivf_centroids(emb: DataFrame, vec_col: str = "embedding", by: str = "label") -> DataFrame:
     """Coarse-quantizer centroids: element-wise mean per partition key
     (the `label` column stands in for k-means cell ids -- at 100 TB
@@ -357,14 +468,16 @@ def embedding_dup_pairs(
 
     use_lsh=False: full O(n^2) pair scan -- the oracle-checkable
     ground truth, fine up to ~10^4 vectors per partition-side.
-    use_lsh=True: BANDED LSH (round 8) -- pairs form if they collide
-    in ANY of the `with_lsh_bands` (band, bucket) tables, the 100 TB
-    path. The old AND-only single-bucket form recalled only ~5% of
-    the sf0.1 mutual-NN pairs at min_cosine=0.35; banding recovers
-    ~90% of top-1 partners (tests/test_mutual_nn_recall.py pins the
-    measured number). Duplicate candidates across bands collapse via
-    one distinct() at candidate grain (cosine is deterministically
-    rounded, so duplicates are exact)."""
+    use_lsh=True: BANDED LSH (round 8; re-tuned round 9) -- pairs
+    form if they collide in ANY of the `with_lsh_bands` (band,
+    bucket) tables, the 100 TB path. The old AND-only single-bucket
+    form recalled only ~5% of the sf0.1 mutual-NN pairs at
+    min_cosine=0.35; the 24x5 splitmix64-plane banding measures pair
+    recall 0.92 and mutual-NN recall 0.95 on the same task
+    (tests/test_mutual_nn_recall.py pins the floors). Duplicate
+    candidates across bands collapse via one distinct() at candidate
+    grain (cosine is deterministically rounded, so duplicates are
+    exact)."""
     base = (
         with_lsh_bands(emb, vec_col, bands, rows_per_band, dim)
         if use_lsh

@@ -38,7 +38,7 @@ def _lang_hits_sql() -> str:
 
 
 def _bucket_terms_sql(num_planes: int = 8, dim: int = 64) -> str:
-    """The deterministic-LCG LSH bucket id as a SQL expression over a
+    """The deterministic LSH bucket id as a SQL expression over a
     DOUBLE[] column named dvec -- the exact twin of
     operators.similarity._bucket_col."""
     planes = lsh_planes(num_planes, dim)
@@ -50,12 +50,13 @@ def _bucket_terms_sql(num_planes: int = 8, dim: int = 64) -> str:
     )
 
 
-def _banded_bb_sql(bands: int = 8, rows_per_band: int = 4, dim: int = 64) -> str:
+def _banded_bb_sql(bands: int = 24, rows_per_band: int = 5, dim: int = 64) -> str:
     """Banded-LSH (band, bucket) rows as a SQL CTE body over the `v`
     CTE (vec_id, dvec) -- the exact twin of
     operators.similarity.with_lsh_bands: band b uses planes
-    [b*r, (b+1)*r) of the LCG sequence, bucket = per-band local sign
-    bits (2^0..2^(r-1))."""
+    [b*r, (b+1)*r) of the splitmix64 sequence, bucket = per-band
+    local sign bits (2^0..2^(r-1)). Defaults track with_lsh_bands
+    (24x5 as of round 9)."""
     planes = lsh_planes(bands * rows_per_band, dim)
     selects = []
     for b in range(bands):
@@ -85,6 +86,35 @@ def _banded_pairs_sql(min_cosine: float = 0.35) -> str:
         FROM bb a JOIN bb c USING (band, bucket)
         WHERE a.vec_id < c.vec_id),
       pairs AS (SELECT * FROM cand WHERE cosine >= {min_cosine})"""
+
+
+def _ann_lsh_banded_sql(
+    bands: int = 64,
+    rows_per_band: int = 7,
+    dim: int = 64,
+    n_queries: int = 10,
+    k: int = 5,
+) -> str:
+    """Oracle twin of operators.similarity.ann_lsh_banded_topk:
+    OR-of-ANDs banded candidates (collide in ANY band), DISTINCT at
+    candidate grain, exact-cosine re-rank top-k. Defaults track
+    ANN_BANDS x ANN_ROWS_PER_BAND (64x7 as of round 9)."""
+    return f"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      bb AS ({_banded_bb_sql(bands, rows_per_band, dim)}),
+      qb AS (SELECT vec_id AS query_id, band, bucket FROM bb WHERE vec_id < {n_queries}),
+      cand AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
+               FROM qb q JOIN bb e USING (band, bucket)
+               WHERE e.vec_id <> q.query_id),
+      s AS (SELECT c.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(qv.dvec, ev.dvec), 6) AS cosine
+            FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+                        JOIN v ev ON ev.vec_id = c.neighbor_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= {k}
+    """
 
 
 def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, n_queries: int = 10, k: int = 5) -> str:

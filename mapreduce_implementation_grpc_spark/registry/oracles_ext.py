@@ -6,6 +6,7 @@ from .shared import PII_PATTERNS, _SQL_SHINGLES, _SQL_TOKS, _SQL_WORDCOUNT
 from .curation import PPR_SEGMENT
 from .similarity import _mmr_ctes
 from .oracle_builders import (
+    _ann_lsh_banded_sql,
     _ann_lsh_multiprobe_sql,
     _dsir_sql,
     _temperature_sql,
@@ -131,6 +132,9 @@ ORACLES["ann_recall_lsh"] = _recall_block(ORACLES["ann_lsh"])
 ORACLES["ann_recall_lsh_multiprobe"] = _recall_block(
     ORACLES["ann_lsh_multiprobe"]
 )
+# r9: the banded+re-ranked serving path and its measured-recall row
+ORACLES["ann_lsh_banded"] = _ann_lsh_banded_sql()
+ORACLES["ann_recall_lsh_banded"] = _recall_block(ORACLES["ann_lsh_banded"])
 ORACLES["mmr_rerank"] = _mmr_ctes()
 
 # the probe-count sweep re-parameterizes the IVF block's `pr <= N`

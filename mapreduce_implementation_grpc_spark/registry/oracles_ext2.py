@@ -296,7 +296,7 @@ ORACLES["embedding_mutual_nn"] = """
 
 # Mutual-NN over BANDED-LSH candidates (round 8): identical
 # reciprocity filter, candidates from the OR-of-ANDs band tables (the
-# embedding_dup_pairs_lsh CTEs with the deterministic LCG planes).
+# embedding_dup_pairs_lsh CTEs with the deterministic splitmix64 planes).
 # NOTE the sym CTE rebinds `v` -- the banded CTE names its vector CTE
 # `v` too, so the pairs body must come first and stand alone.
 ORACLES["embedding_mutual_nn_lsh"] = f"""

@@ -1615,18 +1615,26 @@ def streaming_incremental_dedup(docs: DataFrame, text_col: str = "text") -> Data
         fp = key[0]
         first, n_seen = state.get if state.exists else (None, 0)
         rows = []
-        for pdf in pdfs:
-            # deterministic intra-batch order: smallest doc_id first
-            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-                if first is None:
-                    first = doc_id
-                    rows.append((doc_id, fp, True, doc_id))
-                elif doc_id == first:
-                    # replayed first occurrence: idempotent re-emit
-                    rows.append((doc_id, fp, True, first))
-                else:
-                    rows.append((doc_id, fp, False, first))
-                n_seen += 1
+        # ADVICE r8: `pdfs` is an ITERATOR of Arrow chunks; sorting
+        # per chunk would pick the first CHUNK's min, not the batch
+        # min, whenever a fingerprint group spans chunks in one
+        # trigger. Drain all chunks first so "smallest doc_id within
+        # the batch" is batch-wide (state stays O(1) per key; the
+        # drained ids are one group's worth of a single trigger).
+        ids = sorted(
+            int(d) for pdf in pdfs for d in pdf["doc_id"]
+        )
+        # deterministic intra-batch order: smallest doc_id first
+        for doc_id in ids:
+            if first is None:
+                first = doc_id
+                rows.append((doc_id, fp, True, doc_id))
+            elif doc_id == first:
+                # replayed first occurrence: idempotent re-emit
+                rows.append((doc_id, fp, True, first))
+            else:
+                rows.append((doc_id, fp, False, first))
+            n_seen += 1
         state.update((first, n_seen))
         yield pd.DataFrame(
             rows, columns=["doc_id", "fp_md5", "novel", "first_doc_id"]

@@ -7,12 +7,17 @@ History: the r7 single-bucket (AND-only, 8-plane) wiring recalled
 only 4.9% of the sf0.1 exact mutual pairs at min_cosine=0.35 --
 collision needs agreement on ALL planes, p_agree^8 ~ 2% at moderate
 cosine. Round 8 switched the candidate generator to banded OR-of-ANDs
-LSH (8 bands x 4 planes, operators/similarity.with_lsh_bands), which
-measured recall 0.587 / precision 0.572 on the same task. The floors
-below are set just under the measured values: a regression in the
-banding (wrong plane slicing, broken dedup, a band dropped) lands
-well below them, while LSH determinism (LCG planes, fixed data) makes
-the measurement itself exactly reproducible."""
+LSH (8 bands x 4 planes), which measured recall 0.587 / precision
+0.572 -- still far below the 1-(1-p^r)^B theory (~0.93), because the
+LCG plane generator produced CORRELATED planes, so the bands were
+never independent. Round 9 replaced the generator with a splitmix64
+avalanche mix and retuned the banding to 24x5; measured recall /
+precision on the same sf0.1 task: 0.951 / 0.955. The floors below are
+set just under the measured values: a regression in the banding
+(wrong plane slicing, broken dedup, a dropped band, a correlated
+generator) lands well below them, while LSH determinism (fixed
+planes, fixed data) makes the measurement itself exactly
+reproducible."""
 
 from __future__ import annotations
 
@@ -35,8 +40,8 @@ def test_mutual_nn_lsh_recall_floor(spark):
     assert exact, "exact mutual-NN produced no pairs -- fixture drift"
     recall = len(exact & lsh) / len(exact)
     precision = len(exact & lsh) / len(lsh)
-    # measured r8: recall 0.587, precision 0.572 (deterministic)
-    assert recall >= 0.55, f"banded-LSH mutual-NN recall collapsed: {recall:.3f}"
-    assert precision >= 0.50, f"precision collapsed: {precision:.3f}"
-    # the r7 single-bucket failure mode recalled 0.049 -- far below
-    # the floor, so this test would have caught it at authoring time
+    # measured r9 (24x5 splitmix64 bands): recall 0.951, precision
+    # 0.955 (deterministic); r8's correlated-plane 8x4 measured 0.587
+    # and would fail these floors loudly
+    assert recall >= 0.90, f"banded-LSH mutual-NN recall collapsed: {recall:.3f}"
+    assert precision >= 0.90, f"precision collapsed: {precision:.3f}"

@@ -49,13 +49,15 @@ def _current_round() -> int:
         return int(os.environ["SPARK_GRAFT_ROUND"])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
-        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        int(m.group(1))
         for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p)) is not None
     ]
     return max(rounds, default=0) + 1
 
 
-def record_local_battery(green: list[str], red: list[str], sf_dir: str) -> None:
+def record_local_battery(green: list[str], red: list[str], sf_dir: str,
+                         rows_only: list[str] = ()) -> None:
     """Merge this run into LOCAL_BATTERY.json: per-query last round the
     LOCAL replica saw it green / checked it at all. Feeds the
     committed STALENESS.json ledger (VERDICT r7 #7) so per-query
@@ -74,6 +76,14 @@ def record_local_battery(green: list[str], red: list[str], sf_dir: str) -> None:
     for name in green:
         row = qs.setdefault(name, {})
         row["last_green_round"] = max(row.get("last_green_round", 0), rnd)
+        row["last_checked_round"] = max(row.get("last_checked_round", 0), rnd)
+        row["sf_dir"] = sf_dir
+    for name in rows_only:
+        # ADVICE r8: a rows-only run is weaker than oracle-green;
+        # track it under its own key so the freshness ledger can tell
+        # verification strength apart
+        row = qs.setdefault(name, {})
+        row["last_rows_only_round"] = max(row.get("last_rows_only_round", 0), rnd)
         row["last_checked_round"] = max(row.get("last_checked_round", 0), rnd)
         row["sf_dir"] = sf_dir
     for name in red:
@@ -97,13 +107,14 @@ def main() -> None:
     failures = 0
     green: list[str] = []
     red: list[str] = []
+    rows_only: list[str] = []
     for name in names:
         try:
             sdf = registry.QUERIES[name](spark, sf_dir)
             spdf = sdf.toPandas()
             if name not in registry.ORACLES:
                 print(f"  {name}: rows-only rows={len(spdf)} (no oracle)")
-                green.append(name)  # rows-only IS its strongest check
+                rows_only.append(name)  # weaker than green; own ledger key
                 continue
             opdf = con.execute(registry.ORACLES[name]).fetchdf()
             schema_ok = sorted(spdf.columns) == sorted(opdf.columns)
@@ -121,7 +132,7 @@ def main() -> None:
             failures += 1
             red.append(name)
             print(f"  {name}: ERROR\n{traceback.format_exc()}")
-    record_local_battery(green, red, sf_dir)
+    record_local_battery(green, red, sf_dir, rows_only)
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'} on {sf_dir}")
     sys.exit(1 if failures else 0)
 
