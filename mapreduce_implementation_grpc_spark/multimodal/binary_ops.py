@@ -178,13 +178,21 @@ def resize_images(payload_df: DataFrame, width: int = 8, height: int = 8,
             png_decode,
             png_encode,
             png_resize_nearest,
+            sniff,
+        )
+        from mapreduce_implementation_grpc_spark.multimodal.jpeg import (
+            jpeg_decode,
         )
 
         def _resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 thumbs = []
                 for raw in pdf["payload"]:
-                    img = png_decode(bytes(raw))
+                    b = bytes(raw)
+                    # r9: photos arrive as JPEG; thumbs re-encode as
+                    # PNG (lossless at thumb size, single downstream
+                    # format)
+                    img = jpeg_decode(b) if sniff(b) == "jpeg" else png_decode(b)
                     thumbs.append(
                         png_encode(png_resize_nearest(img, width, height)).hex()
                     )

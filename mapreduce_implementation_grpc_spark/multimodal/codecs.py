@@ -38,13 +38,15 @@ _CHANNELS_COLOR = {1: 0, 3: 2, 4: 6}
 
 def sniff(payload: bytes) -> str:
     """Cheap magic-byte modality sniff: 'png' | 'wav' | 'gif' |
-    'unknown'."""
+    'jpeg' | 'unknown'."""
     if payload[:8] == _PNG_MAGIC:
         return "png"
     if payload[:4] == _WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 
@@ -531,11 +533,19 @@ def real_decode_features(payload: bytes) -> list[float]:
     ``binary_ops.fake_decode_batch`` so the two codec paths are
     drop-in interchangeable in ``decode_features``.
 
-    png -> [width, height, channels, mean_pixel]
-    wav -> [n_samples, rate, channels, rms_amplitude]
-    gif -> [width, height, n_frames, mean_pixel over all frames]
+    png  -> [width, height, channels, mean_pixel]
+    jpeg -> [width, height, channels, mean_pixel]
+    wav  -> [n_samples, rate, channels, rms_amplitude]
+    gif  -> [width, height, n_frames, mean_pixel over all frames]
     """
     kind = sniff(payload)
+    if kind == "jpeg":
+        from .jpeg import jpeg_decode
+
+        img = jpeg_decode(payload)
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        return [float(img.shape[1]), float(img.shape[0]), float(ch),
+                float(img.mean())]
     if kind == "gif":
         frames = gif_decode(payload)
         stack = np.stack(frames)
@@ -551,4 +561,4 @@ def real_decode_features(payload: bytes) -> list[float]:
         rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
         return [float(samples.shape[0]), float(rate),
                 float(samples.shape[1]), rms]
-    raise ValueError("unknown payload format (expected PNG or WAV)")
+    raise ValueError("unknown payload format (expected PNG/JPEG/GIF/WAV)")
