@@ -65,6 +65,7 @@ _RESULTS_CHANGED_THIS_ROUND = frozenset(
         "ann_recall_lsh_multiprobe",
         "ann_lsh_banded",
         "ann_recall_lsh_banded",
+        "ann_recall_lsh_banded_sweep",
         "embedding_dup_pairs_lsh",
         "embedding_mutual_nn_lsh",
         "embedding_project",

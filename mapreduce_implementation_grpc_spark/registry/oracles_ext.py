@@ -135,6 +135,15 @@ ORACLES["ann_recall_lsh_multiprobe"] = _recall_block(
 # r9: the banded+re-ranked serving path and its measured-recall row
 ORACLES["ann_lsh_banded"] = _ann_lsh_banded_sql()
 ORACLES["ann_recall_lsh_banded"] = _recall_block(ORACLES["ann_lsh_banded"])
+# the bands tuning curve: each config re-derives the banded block at
+# its own width (smaller configs' planes are a prefix of larger ones,
+# so the candidate sets nest and recall is monotone in bands)
+ORACLES["ann_recall_lsh_banded_sweep"] = "\nUNION ALL\n".join(
+    f"SELECT CAST({b} AS BIGINT) AS bands, r.* FROM ("
+    + _recall_block(_ann_lsh_banded_sql(bands=b))
+    + ") r"
+    for b in (16, 32, 64)
+)
 ORACLES["mmr_rerank"] = _mmr_ctes()
 
 # the probe-count sweep re-parameterizes the IVF block's `pr <= N`

@@ -265,6 +265,33 @@ def q_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_banded_topk(emb, _query_vectors(spark, sf_dir), k=5)
 
 
+ANN_BANDED_SWEEP = (16, 32, 64)
+
+
+def q_ann_recall_lsh_banded_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-bands TUNING CURVE for the banded+re-ranked ANN
+    path (mirror of ann_recall_sweep for IVF): per-query recall at
+    bands in {16, 32, 64}, rows_per_band=7. Because plane p depends
+    only on its flat index, a smaller sweep config's planes are a
+    PREFIX of a larger one's -- so the candidate sets are nested and
+    recall is provably monotone non-decreasing in bands
+    (pytest-pinned). This is the table an operator reads to trade
+    probe volume against recall before shipping; measured sf0.1 means:
+    0.50 / 0.84 / 0.92."""
+    from ..operators.similarity import ann_lsh_banded_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for bands in ANN_BANDED_SWEEP:
+        ann = ann_lsh_banded_topk(
+            emb, _query_vectors(spark, sf_dir), k=5, bands=bands
+        )
+        r = _recall_df(spark, sf_dir, ann.select("query_id", "neighbor_id"))
+        r = r.select(F.lit(bands).cast("long").alias("bands"), "*")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def q_ann_recall_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the banded+re-ranked LSH ANN path vs exact kNN: the
     measured proof that the r9 candidate widening reached a usable

@@ -33,6 +33,25 @@ def test_ann_lsh_banded_recall_floor(spark):
     )
 
 
+def test_banded_sweep_recall_monotone_in_bands(spark, sf_check):
+    """Plane p depends only on its flat index, so a smaller sweep
+    config's planes are a prefix of a larger one's: candidate sets
+    nest, and recall must be monotone non-decreasing in bands for
+    EVERY query."""
+    from mapreduce_implementation_grpc_spark import registry
+
+    rows = registry.QUERIES["ann_recall_lsh_banded_sweep"](
+        spark, sf_check
+    ).collect()
+    by_query: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, {})[r.bands] = r.recall
+    assert by_query
+    for qid, curve in by_query.items():
+        vals = [curve[b] for b in sorted(curve)]
+        assert vals == sorted(vals), (qid, curve)
+
+
 @pytest.mark.slow
 def test_ann_ladder_ordering(spark):
     """The probing ladder must stay ordered: banded+re-rank beats
