@@ -162,8 +162,18 @@ def with_lsh_bands(
                 out[:, b] += (acc >= 0).astype(np.int64) << p
         return pd.Series(list(out))
 
+    # asNondeterministic: the function is PURE (oracle-checked bit-
+    # exact), but Catalyst's InferFiltersFromGenerate derives a
+    # `size(_bks) > 0 AND isnotnull(_bks)` filter BELOW the
+    # posexplode and, since _bks is a Python-UDF output, re-evaluates
+    # the whole 448-dot Arrow batch a second time per row (measured:
+    # 2 ArrowEvalPython nodes -> 1 with the marking; r9). The
+    # explode itself already skips null/empty arrays, so the inferred
+    # pre-filter buys nothing here.
     return (
-        emb.withColumn("_bks", _band_buckets(F.col(vec_col)))
+        emb.withColumn(
+            "_bks", _band_buckets.asNondeterministic()(F.col(vec_col))
+        )
         .select(
             "*", F.posexplode(F.col("_bks")).alias("band", "bucket")
         )

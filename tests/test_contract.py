@@ -391,7 +391,12 @@ def test_canary_set_is_pinned_append_only():
         "heaps_law_fit",
         "zorder_skipping_summary",
     ]
+    r9_appends = ["ann_lsh_banded"]
     assert registry.CANARY_QUERIES[: len(r8_pin)] == r8_pin
+    assert (
+        registry.CANARY_QUERIES[len(r8_pin) : len(r8_pin) + len(r9_appends)]
+        == r9_appends
+    )
     assert set(registry.CANARY_QUERIES) <= set(registry.BENCH_QUERIES)
     assert len(registry.CANARY_QUERIES) == len(set(registry.CANARY_QUERIES))
 
