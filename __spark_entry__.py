@@ -66,6 +66,7 @@ _RESULTS_CHANGED_THIS_ROUND = frozenset(
         "ann_lsh_banded",
         "ann_recall_lsh_banded",
         "ann_recall_lsh_banded_sweep",
+        "ann_banded_candidates_sweep",
         "embedding_dup_pairs_lsh",
         "embedding_mutual_nn_lsh",
         "embedding_project",

@@ -5,6 +5,9 @@ from __future__ import annotations
 from .eval_temporal import (
     MARKOV_ORACLE_CHANNELS,
 )
+from .oracle_builders import (
+    _banded_bb_sql,
+)
 from .oracles_core import (
     ORACLES,
 )
@@ -1016,3 +1019,30 @@ ORACLES["ab_conversion_ztest"] = """
            AS z_score
   FROM p
 """
+
+
+# r9: the cost half of the banded-ANN tuning table -- per-query
+# candidate volume at each sweep width (the recall half is
+# ann_recall_lsh_banded_sweep; same (bands, query_id) keys)
+def _banded_candidates_sql(bands: int, rows_per_band: int = 7,
+                           n_queries: int = 10) -> str:
+    return f"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      bb AS ({_banded_bb_sql(bands, rows_per_band)}),
+      qb AS (SELECT vec_id AS query_id, band, bucket FROM bb WHERE vec_id < {n_queries}),
+      cand AS (SELECT DISTINCT q.query_id, e.vec_id
+               FROM qb q JOIN bb e USING (band, bucket)
+               WHERE e.vec_id <> q.query_id),
+      t AS (SELECT count(*) AS _n FROM embeddings)
+      SELECT CAST({bands} AS BIGINT) AS bands, query_id,
+             count(*) AS n_candidates,
+             round(count(*) / CAST(t._n - 1 AS DOUBLE), 6) AS cand_frac
+      FROM cand, t GROUP BY query_id, t._n
+    """
+
+
+# each arm's WITH must live inside a subquery for the top-level UNION
+ORACLES["ann_banded_candidates_sweep"] = "\nUNION ALL\n".join(
+    "SELECT * FROM (" + _banded_candidates_sql(b) + ") c" + str(b)
+    for b in (16, 32, 64)
+)

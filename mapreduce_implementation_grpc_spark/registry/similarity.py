@@ -292,6 +292,60 @@ def q_ann_recall_lsh_banded_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def q_ann_banded_candidates_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COST half of the banded-ANN tuning table (recall half:
+    ann_recall_lsh_banded_sweep, same (bands, query_id) keys): per
+    query, how many distinct corpus vectors the banded candidate
+    generator actually probes at bands in {16, 32, 64}, and the
+    fraction of the corpus that is. Join the two rows and you have
+    measured recall-vs-probe-volume -- the curve SCALING.md's r9
+    ladder quotes (e.g. 0.92 recall at ~0.42 fraction for 64x7 on
+    this corpus). Candidate counts are deterministic (splitmix64
+    planes), so the whole cost surface is oracle-checkable.
+
+    Plan shape: identical ids-only banded join as the serving path;
+    the count is a per-query aggregate of the distinct candidate set;
+    the corpus size joins in as one broadcast scalar."""
+    from ..operators.similarity import ANN_ROWS_PER_BAND, with_lsh_bands
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = emb.agg((F.count("*")).alias("_n"))
+    out = None
+    for bands in ANN_BANDED_SWEEP:
+        cb = with_lsh_bands(
+            emb.select("vec_id", "embedding"), "embedding",
+            bands, ANN_ROWS_PER_BAND,
+        ).select("vec_id", "band", "bucket")
+        qb = with_lsh_bands(
+            _query_vectors(spark, sf_dir).select(
+                "query_id", F.col("qvec").alias("embedding")
+            ),
+            "embedding",
+            bands,
+            ANN_ROWS_PER_BAND,
+        ).select("query_id", "band", "bucket")
+        cand = (
+            F.broadcast(qb)
+            .join(cb, ["band", "bucket"])
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "vec_id")
+            .distinct()
+        )
+        per_q = cand.groupBy("query_id").agg(
+            F.count("*").alias("n_candidates")
+        )
+        r = per_q.crossJoin(F.broadcast(total)).select(
+            F.lit(bands).cast("long").alias("bands"),
+            "query_id",
+            "n_candidates",
+            F.round(
+                F.col("n_candidates") / (F.col("_n") - F.lit(1)).cast("double"), 6
+            ).alias("cand_frac"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def q_ann_recall_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the banded+re-ranked LSH ANN path vs exact kNN: the
     measured proof that the r9 candidate widening reached a usable
