@@ -185,6 +185,13 @@ class _BitReader:
         self.marker: int | None = None
 
     def _fill(self) -> None:
+        if self.marker is not None:
+            # A real marker was already reached on a previous fill:
+            # any further bit demand means the entropy segment ended
+            # before the last MCU.  Without this check, the zero bits
+            # below decode as valid Annex-K symbols (DC size 0 / EOB)
+            # and the remaining MCUs silently repeat the DC predictor.
+            raise ValueError("JPEG entropy data ended before last MCU")
         if self.pos >= len(self.data):
             raise ValueError("JPEG entropy stream truncated")
         b = self.data[self.pos]
@@ -357,10 +364,25 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # A scan carrying fewer components than the frame is a
+                # non-interleaved (multi-scan) baseline JPEG; decoding
+                # it with the frame-wide MCU geometry below would
+                # produce scrambled pixels, so fail loudly like SOF2.
+                raise ValueError(
+                    "unsupported non-interleaved JPEG scan "
+                    f"({ns} of {len(frame['comps'])} components)"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG SOS references unknown component id {cs}"
+                    )
                 scan.append((comp, tt >> 4, tt & 0x0F))
             return _decode_scan(
                 payload, pos + seg_len, frame, scan, qts, dc_tables,

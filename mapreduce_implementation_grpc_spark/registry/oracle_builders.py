@@ -160,8 +160,9 @@ def _ann_lsh_multiprobe_sql(
 
 def _projection_sql(k: int = 8, dim: int = 64) -> str:
     """Oracle twin of operators.projection.project_embeddings: the
-    identical LCG plane literals, list_dot_product's sequential
-    double fold == Spark's zip_with/aggregate fold."""
+    identical splitmix64-mixed plane literals (round 9 randomness
+    fix), list_dot_product's sequential double fold == Spark's
+    zip_with/aggregate fold."""
     from ..operators.projection import projection_planes
 
     cols = ",\n             ".join(

@@ -94,6 +94,53 @@ def test_progressive_rejected_with_clear_message():
         jpeg_decode(bytes(payload))
 
 
+def test_non_interleaved_scan_rejected():
+    """A baseline multi-scan (non-interleaved) JPEG -- SOS carrying
+    fewer components than the frame -- must fail loudly (ADVICE r9):
+    decoding it with frame-wide MCU geometry would silently produce
+    scrambled pixels. Patch the 3-component SOS down to ns=1."""
+    payload = bytearray(jpeg_encode(_smooth_rgb(16, 16), quality=80))
+    i = payload.find(b"\xff\xda")
+    assert payload[i + 4] == 3  # ns
+    patched = (
+        bytes(payload[:i])
+        + bytes([0xFF, 0xDA, 0x00, 0x08, 0x01])  # len=8, ns=1
+        + bytes(payload[i + 5 : i + 7])   # first (cs, td/ta) pair
+        + bytes(payload[i + 11 :])        # Ss Se AhAl + entropy
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg_decode(patched)
+
+
+def test_unknown_scan_component_id_rejected():
+    """SOS referencing a component id absent from SOF must raise
+    ValueError (not StopIteration escaping the malformed-stream
+    wrapper; ADVICE r9)."""
+    g = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    payload = bytearray(jpeg_encode(g, quality=80))
+    i = payload.find(b"\xff\xda")
+    assert payload[i + 4] == 1  # grayscale: ns=1 matches the frame
+    payload[i + 5] = 0x99  # bogus component id
+    with pytest.raises(ValueError, match="unknown component"):
+        jpeg_decode(bytes(payload))
+
+
+def test_truncated_entropy_with_eoi_raises():
+    """Entropy segment cut short but EOI kept: before the r10 fix the
+    bit reader synthesized zero bits forever and the remaining MCUs
+    silently decoded as DC-repeat blocks (all-zero bit strings are
+    valid Annex-K symbols). Must now raise, not return wrong
+    pixels."""
+    payload = jpeg_encode(_smooth_rgb(48, 48), quality=90)
+    assert payload[-2:] == b"\xff\xd9"
+    i = payload.find(b"\xff\xda")
+    entropy_len = len(payload) - 2 - (i + 14)
+    # drop the second half of the entropy bytes, keep EOI
+    patched = payload[: len(payload) - 2 - entropy_len // 2] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg_decode(patched)
+
+
 def test_quality_monotone_size():
     img = _smooth_rgb()
     sizes = [len(jpeg_encode(img, quality=q)) for q in (30, 60, 90)]

@@ -30,6 +30,8 @@ EAGER_ITERATIVE = {
     "curate_documents",
     "kmeans_cells",
     "ann_ivf_kmeans",
+    "ann_recall_ivf_kmeans",
+    "ann_clustered_ivf_kmeans_recall",
     "cluster_topics",
 }
 LINTABLE = sorted(set(registry.QUERIES) - EAGER_ITERATIVE)
@@ -309,3 +311,29 @@ def test_no_bare_local_checkpoint_outside_materialize():
                     if ".localCheckpoint(" in line:
                         offenders.append(f"{path}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+# Pin for the asNondeterministic() optimizer workaround
+# (operators/similarity.py band_buckets, round 9): Catalyst's
+# InferFiltersFromGenerate would otherwise derive a size(_bks)>0
+# filter below the posexplode and re-evaluate the pure band UDF a
+# second time per side (2x the Arrow-batched dot products). Nothing
+# but this test pins the marking -- a Spark upgrade or refactor that
+# reintroduces the duplicate evaluation doubles these node counts.
+_ARROW_EVAL_CEILING = {
+    "ann_lsh_banded": 2,          # corpus side + query side
+    "embedding_dup_pairs_lsh": 2,
+    "embedding_mutual_nn_lsh": 8,  # two directions x (corpus+query) x 2 stages
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ARROW_EVAL_CEILING))
+def test_banded_plans_evaluate_band_udf_once_per_side(spark, sf_check, name):
+    plan = _plan(spark, sf_check, name)
+    n = plan.count("ArrowEvalPython")
+    assert n <= _ARROW_EVAL_CEILING[name], (
+        f"{name}: {n} ArrowEvalPython nodes (ceiling "
+        f"{_ARROW_EVAL_CEILING[name]}) -- the InferFiltersFromGenerate "
+        "double-evaluation is back; check band_buckets' "
+        ".asNondeterministic() marking (operators/similarity.py)"
+    )

@@ -3,8 +3,10 @@ current BENCH.json canary tier against a prior round's BENCH_r{N}
 artifact query-by-query. The canary tier is the only surface whose
 environment is pinned across rounds (fresh JVM, warmup, bounded
 pinned prefix), so these deltas are attributable: anything outside
-the measured noise floor (~6% per query, 2% total; SCALING.md r8)
-needs a code diff to explain.
+the measured noise band (±10% per query, 2% total; SCALING.md r8/r9
+-- sub-second rows can jitter up to ~1.3x, so trust the TOTAL and
+treat sub-second per-query swings as noise) needs a code diff to
+explain.
 
 Usage: python tools/canary_compare.py [BENCH_r08.json] [BENCH.json]
 Prints the markdown table for SCALING.md.
@@ -17,7 +19,7 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-NOISE = 1.1  # per-query noise ceiling from the r8 A/B probe
+NOISE = 1.1  # per-query ±10% noise band (r8 A/B probe, r9 refinement)
 
 
 def main() -> None:
