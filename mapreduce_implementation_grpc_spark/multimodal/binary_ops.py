@@ -270,3 +270,73 @@ def decode_features(payload_df: DataFrame, real_codec: bool = False) -> DataFram
             )
 
     return payload_df.mapInPandas(_decode, DECODED_FEATURE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_tracks", LongType()),
+        StructField("video_codec", StringType()),
+        StructField("width", DoubleType()),
+        StructField("height", DoubleType()),
+        StructField("n_video_samples", LongType()),
+        StructField("video_bytes", LongType()),
+        StructField("audio_codec", StringType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def video_metadata(payload_df: DataFrame) -> DataFrame:
+    """Container metadata for MP4/ISO-BMFF payloads (round 10): the
+    triage/routing scan a video-bearing corpus runs before any codec
+    work -- duration/resolution/codec filters, bitrate stats, corrupt
+    file detection. Arrow mapInPandas over payload batches (same
+    plumbing as decode_features); mp4.mp4_probe does the box-tree
+    walk, frame DECODE stays the documented codec boundary
+    (mp4.mp4_decode_frames raises). Non-MP4 or malformed payloads
+    land in `err` rather than killing the batch -- at corpus scale a
+    triage scan must classify bad files, not crash on them."""
+    from mapreduce_implementation_grpc_spark.multimodal.mp4 import mp4_probe
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in VIDEO_META_SCHEMA.fields}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    d = mp4_probe(bytes(raw) if raw is not None else b"")
+                except ValueError as exc:
+                    for k in ("brand", "video_codec", "audio_codec"):
+                        rows[k].append(None)
+                    for k in ("duration_s", "width", "height"):
+                        rows[k].append(None)
+                    for k in ("n_tracks", "n_video_samples", "video_bytes"):
+                        rows[k].append(None)
+                    rows["err"].append(str(exc))
+                    continue
+                vid = next(
+                    (t for t in d["tracks"] if t["type"] == "video"), None
+                )
+                aud = next(
+                    (t for t in d["tracks"] if t["type"] == "audio"), None
+                )
+                rows["brand"].append(d["brand"])
+                rows["duration_s"].append(d["duration_s"])
+                rows["n_tracks"].append(d["n_tracks"])
+                rows["video_codec"].append(vid["codec"] if vid else None)
+                rows["width"].append(vid["width"] if vid else None)
+                rows["height"].append(vid["height"] if vid else None)
+                rows["n_video_samples"].append(
+                    vid["n_samples"] if vid else None
+                )
+                rows["video_bytes"].append(
+                    vid["sample_bytes"] if vid else None
+                )
+                rows["audio_codec"].append(aud["codec"] if aud else None)
+                rows["err"].append(None)
+            yield pd.DataFrame(rows)
+
+    return payload_df.mapInPandas(_meta, VIDEO_META_SCHEMA)

@@ -38,7 +38,7 @@ _CHANNELS_COLOR = {1: 0, 3: 2, 4: 6}
 
 def sniff(payload: bytes) -> str:
     """Cheap magic-byte modality sniff: 'png' | 'wav' | 'gif' |
-    'jpeg' | 'unknown'."""
+    'jpeg' | 'mp4' | 'unknown'."""
     if payload[:8] == _PNG_MAGIC:
         return "png"
     if payload[:4] == _WAV_MAGIC and payload[8:12] == b"WAVE":
@@ -47,6 +47,8 @@ def sniff(payload: bytes) -> str:
         return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
