@@ -13,6 +13,7 @@ until the driver acts on it; enforced by
 tests/test_contract.py::test_lazy_queries_build_cheaply). The
 iterative algorithms -- ``dedup_clusters``, ``dedup_clusters_jaccard``,
 ``curate_documents``, ``kmeans_cells``, ``ann_ivf_kmeans``,
+``ann_recall_ivf_kmeans``, ``ann_clustered_ivf_kmeans_recall``,
 ``pq_codes``, ``pq_search``, ``ann_ivfpq``, ``ann_ivfpq_residual``,
 ``semantic_dedup``, ``bpe_merges``, ``bpe_encode``,
 ``cluster_topics`` --
@@ -53,25 +54,11 @@ _NO_ORACLE_BY_DESIGN = frozenset({"approx_distinct_users", "events_quantiles_app
 # must outrank even long-stale unchanged queries in the next
 # rotation. Maintained per round by the builder; emptied once the
 # next CORRECTNESS artifact contains them.
-# r9: the LSH plane generator moved from a correlated LCG to
-# splitmix64 (recall fix) and the banding retuned to 24x5 -- every
-# plane-derived result set changed; ann_lsh_banded /
-# ann_recall_lsh_banded are new.
-_RESULTS_CHANGED_THIS_ROUND = frozenset(
-    {
-        "ann_lsh",
-        "ann_lsh_multiprobe",
-        "ann_recall_lsh",
-        "ann_recall_lsh_multiprobe",
-        "ann_lsh_banded",
-        "ann_recall_lsh_banded",
-        "ann_recall_lsh_banded_sweep",
-        "ann_banded_candidates_sweep",
-        "embedding_dup_pairs_lsh",
-        "embedding_mutual_nn_lsh",
-        "embedding_project",
-    }
-)
+# r10: no existing query's results changed (the round adds NEW
+# clustered-corpus/IVF-recall rows, which outrank everything anyway
+# at pass count 0); the r9 plane-change cohort all went green in
+# CORRECTNESS_r09, so the override empties per its contract.
+_RESULTS_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def entry(spark: SparkSession) -> DataFrame:

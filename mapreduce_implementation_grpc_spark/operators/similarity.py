@@ -69,6 +69,82 @@ def lsh_planes(num_planes: int = DEFAULT_NUM_PLANES, dim: int = 64) -> list[list
     ]
 
 
+# Seed offset for the clustered-fixture centers: keeps the center
+# index domain disjoint from the plane index domain (planes use flat
+# indices < bands*rows*dim ~ 3e4; this starts at 2^32).
+_CLUSTERED_SEED = 1 << 32
+
+
+def clustered_centers(n_clusters: int = 25, dim: int = 64) -> list[list[float]]:
+    """Deterministic cluster centers in [-0.5, 0.5)^dim via the same
+    splitmix64 mix as lsh_planes (disjoint seed domain). Embedded as
+    literals in both the Spark plan and the DuckDB oracle, so every
+    clustered-fixture result stays hash-checkable."""
+    return [
+        [
+            _mix64(_CLUSTERED_SEED + c * dim + d) / 2.0**64 - 0.5
+            for d in range(dim)
+        ]
+        for c in range(n_clusters)
+    ]
+
+
+def synthetic_clustered_embeddings(
+    ids: DataFrame,
+    n_clusters: int = 25,
+    sigma: float = 0.5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DataFrame[vec_id, cluster, embedding(array<double>)]: a
+    deterministic corpus WITH real neighborhood structure, derived
+    from ids alone (VERDICT r9 #1: the driver's embeddings table is
+    near-orthogonal -- sign-LSH's worst case -- so ANN selectivity
+    there says nothing about clustered real embeddings).
+
+    vector = center[vec_id % n_clusters] + sigma * noise, where
+    noise_d = md5(vec_id ':' d) first-8-hex / 2^32 - 0.5 (the repo's
+    standard cross-engine randomness source) and centers are
+    splitmix64 literals. Every arithmetic step is exact in double
+    (integer/2^32, -0.5, *0.5 are all exact; one rounding at the
+    final add), so the generated doubles are bit-identical to the
+    DuckDB twin. At n_clusters=25, sigma=0.5 the corpus measures
+    within-cluster cosine ~0.80 vs cross ~0.00 -- a realistic
+    topical-cluster geometry (clustered_corpus_structure is the
+    measured row).
+
+    All JVM-side expression work (md5 + element_at over a folded
+    center literal): no Python crossing, codegen-friendly, and at
+    100 TB the generation is a narrow map over the id column."""
+    centers = clustered_centers(n_clusters, dim)
+    flat = F.array(*[F.lit(float(x)) for row in centers for x in row])
+    vid = F.col(id_col)
+
+    def _dim_val(d):
+        hx = F.substring(
+            F.md5(F.concat_ws(":", vid.cast("string"), d.cast("string"))), 1, 8
+        )
+        u = (
+            F.conv(hx, 16, 10).cast("long") / F.lit(4294967296.0)
+            - F.lit(0.5)
+        )
+        return (
+            F.element_at(
+                flat, (F.col("cluster") * dim + d + 1).cast("int")
+            )
+            + F.lit(float(sigma)) * u
+        )
+
+    return (
+        ids.select(id_col)
+        .withColumn("cluster", (vid % n_clusters).cast("long"))
+        .withColumn(
+            "embedding",
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _dim_val),
+        )
+    )
+
+
 def _bucket_col(vec, planes: list[list[float]]):
     """LSH bucket id = integer of sign bits of plane dot products.
 
@@ -349,6 +425,23 @@ def ann_lsh_banded_topk(
     candidate-pair grain; scoring re-joins the corpus by vec_id
     (equi-join) and the query side by broadcast. No stage is ever
     all-pairs."""
+    cand = banded_candidates(emb, queries, vec_col, bands, rows_per_band, dim)
+    return rerank_topk(cand, emb, queries, k, vec_col)
+
+
+def banded_candidates(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    bands: int = ANN_BANDS,
+    rows_per_band: int = ANN_ROWS_PER_BAND,
+    dim: int = 64,
+) -> DataFrame:
+    """DataFrame[query_id, vec_id]: the DISTINCT banded OR-of-ANDs
+    candidate set (collide in ANY band). Factored out of
+    ann_lsh_banded_topk (round 10) so a caller that needs BOTH the
+    re-ranked top-k and the candidate volume (the selectivity rows)
+    hashes the corpus once, not twice."""
     cb = with_lsh_bands(
         emb.select("vec_id", vec_col), vec_col, bands, rows_per_band, dim
     ).select("vec_id", "band", "bucket")
@@ -359,13 +452,34 @@ def ann_lsh_banded_topk(
         rows_per_band,
         dim,
     ).select("query_id", "band", "bucket")
-    cand = (
+    return (
         F.broadcast(qb)
         .join(cb, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
         .distinct()
     )
+
+
+def rerank_topk(
+    cand: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, vec_id) candidate set:
+    top-k per query with deterministic tie-break. Scoring re-joins
+    the corpus by vec_id (equi-join) and broadcasts the query side --
+    vectors never ride through candidate generation.
+
+    count_col: also emit the per-query candidate-set size under this
+    name, computed as a whole-partition window count in the SAME
+    shuffle as the ranking -- a selectivity caller gets recall AND
+    probe volume from ONE evaluation of the candidate pipeline
+    (referencing cand twice would re-run the band hashing: Spark
+    expands shared lazy subplans per consumer)."""
     corpus = emb.select(
         "vec_id", F.col(vec_col).alias("vec"), l2_norm_col(vec_col).alias("vnorm")
     )
@@ -382,10 +496,17 @@ def ann_lsh_banded_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out_cols = ["query_id", "neighbor_id", "cosine"]
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if count_col is not None:
+        ranked = ranked.withColumn(
+            count_col,
+            F.count("*").over(Window.partitionBy("query_id")).cast("long"),
+        )
+        out_cols.append(count_col)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+        ranked.filter(F.col("rank") <= k)
+        .select(*out_cols, F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -413,6 +534,78 @@ def ivf_centroids(emb: DataFrame, vec_col: str = "embedding", by: str = "label")
     )
 
 
+def _ivf_probes(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    by: str = "label",
+) -> DataFrame:
+    """Per-query probed cells: route each query to its n_probe
+    nearest centroids (queries x centroids is tiny -- both sides
+    broadcast). Shared by ann_ivf_topk (serve) and
+    ann_ivf_candidate_counts (cost accounting)."""
+    cents = ivf_centroids(emb, vec_col, by)
+    q = queries.select("query_id", "qvec", l2_norm_col("qvec").alias("qnorm"))
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qvec", "qnorm", "cell",
+            (dot_col("qvec", "cvec") / (F.col("qnorm") * l2_norm_col("cvec"))).alias("csim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell")
+    )
+
+
+def ann_ivf_candidate_counts(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    by: str = "label",
+) -> DataFrame:
+    """DataFrame[query_id, n_candidates]: how many corpus vectors the
+    IVF serve path actually scans per query (rows in the probed
+    cells, excluding the query itself) -- the cost half of the
+    recall-vs-probe-volume tradeoff. Same probe routing as
+    ann_ivf_topk; the count is a per-(query, cell) aggregate joined
+    to broadcast probes, never a row-level fan-out."""
+    probes = _ivf_probes(emb, queries, n_probe, vec_col, by).select(
+        "query_id", "cell"
+    )
+    cell_sizes = emb.groupBy(F.col(by).alias("cell")).agg(
+        F.count("*").alias("_cn")
+    )
+    # self-exclusion: the query's own row sits in exactly one cell,
+    # and that cell is always probed first (it contains the query)
+    self_cell = emb.select(
+        F.col("vec_id").alias("query_id"), F.col(by).alias("_self_cell")
+    )
+    return (
+        F.broadcast(probes)
+        .join(cell_sizes, "cell")
+        .join(F.broadcast(self_cell), "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum("_cn")
+                - F.max(
+                    F.coalesce(
+                        (F.col("cell") == F.col("_self_cell")).cast("long"),
+                        F.lit(0),
+                    )
+                )
+            ).alias("n_candidates")
+        )
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -427,21 +620,7 @@ def ann_ivf_topk(
     semi-filter on `cell`), never cross-joined; recall is tuned by
     n_probe. Complements ann_lsh_topk: IVF wins when vectors cluster,
     LSH when they don't."""
-    cents = ivf_centroids(emb, vec_col, by)
-    q = queries.select("query_id", "qvec", l2_norm_col("qvec").alias("qnorm"))
-    # assign queries to cells: queries x centroids is (|Q| x #cells) -- tiny
-    qc = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "query_id", "qvec", "qnorm", "cell",
-            (dot_col("qvec", "cvec") / (F.col("qnorm") * l2_norm_col("cvec"))).alias("csim"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
-    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= n_probe).select(
-        "query_id", "qvec", "qnorm", "cell"
-    )
+    probes = _ivf_probes(emb, queries, n_probe, vec_col, by)
     corpus = emb.select(
         F.col("vec_id"), F.col(by).alias("cell"), F.col(vec_col).alias("vec"),
         l2_norm_col(vec_col).alias("vnorm"),

@@ -96,3 +96,61 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 q_pricing_summary = analytics.pricing_summary
+
+
+# deterministic per-doc MP4 parameterization for the video-metadata
+# row (round 10): every parameter is arithmetic in doc_id, so the
+# DuckDB twin recomputes the expected metadata directly while the
+# Spark path goes WriterStub -> real ISO-BMFF bytes -> box-tree
+# parser -- a hash match proves writer-compose-parser is the
+# identity on the whole parameter grid. fps values all divide 10^6,
+# so duration_s = n_frames/fps is exact at 6 decimals (no rounding-
+# convention hazard between engines).
+VIDEO_FPS_CHOICES = (10, 16, 20, 25)
+
+
+def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container triage over a deterministic MP4 corpus: one
+    conformant stub MP4 per document (dimensions / frame count /
+    fps / audio-track presence / box-format version all derived from
+    doc_id), parsed back by the real ISO-BMFF metadata scan
+    (multimodal/binary_ops.video_metadata -> mp4.mp4_probe). Covers
+    both 32-bit and 64-bit box variants and audio-bearing files
+    across the corpus. Oracle: the parameter arithmetic in SQL --
+    bytes in the middle, identical metadata out."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..multimodal.binary_ops import video_metadata
+    from ..multimodal.mp4 import mp4_write_stub
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payloads.append(
+                    mp4_write_stub(
+                        width=16 + (d % 32) * 2,
+                        height=9 + (d % 16) * 3,
+                        n_frames=4 + d % 40,
+                        fps=VIDEO_FPS_CHOICES[d % 4],
+                        with_audio=d % 3 == 0,
+                        version=d % 2,
+                        largesize_mdat=d % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_df = docs.mapInPandas(_payloads, "doc_id long, payload binary")
+    meta = video_metadata(payload_df)
+    return meta.select(
+        "doc_id", "brand", "duration_s", "n_tracks", "video_codec",
+        "width", "height", "n_video_samples", "video_bytes",
+        "audio_codec",
+    )

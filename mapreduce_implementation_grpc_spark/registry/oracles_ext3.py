@@ -1046,3 +1046,193 @@ ORACLES["ann_banded_candidates_sweep"] = "\nUNION ALL\n".join(
     "SELECT * FROM (" + _banded_candidates_sql(b) + ") c" + str(b)
     for b in (16, 32, 64)
 )
+
+
+# ---------------------------------------------------------------------------
+# r10: clustered-corpus ANN selectivity (VERDICT r9 #1/#3)
+# ---------------------------------------------------------------------------
+
+def _dlit(x: float) -> str:
+    """Double literal for DuckDB: repr plus an explicit exponent so
+    the parser types it DOUBLE directly. A bare decimal literal
+    routes through DECIMAL and the DECIMAL->DOUBLE conversion can
+    land 1 ulp off the Python/Spark double (measured on the
+    clustered-center literals) -- the same class of drift the
+    decimal-vs-double string-routing convention exists to prevent."""
+    s = repr(float(x))
+    return s if "e" in s or "E" in s else s + "e0"
+
+
+def _clustered_v_ctes(n_clusters: int = 25, sigma: float = 0.5,
+                      dim: int = 64) -> str:
+    """CTE chain (cent, v): the deterministic clustered corpus --
+    exact twin of operators.similarity.synthetic_clustered_embeddings
+    (same splitmix64 center literals, same md5-prefix noise; every
+    arithmetic step exact in double except the one final add, so the
+    generated vectors are bit-identical cross-engine)."""
+    from ..operators.similarity import clustered_centers
+
+    cents = clustered_centers(n_clusters, dim)
+    vals = ",\n        ".join(
+        "({c}, [{w}])".format(
+            c=c, w=", ".join(_dlit(x) for x in cents[c])
+        )
+        for c in range(n_clusters)
+    )
+    return f"""
+      cent AS (SELECT * FROM (VALUES {vals}) AS t(cluster, cvec)),
+      v AS (SELECT e.vec_id, CAST(e.vec_id % {n_clusters} AS BIGINT) AS cluster,
+                   list_transform(range(0, {dim}),
+                     d -> c.cvec[CAST(d + 1 AS INT)]
+                          + {_dlit(sigma)} * (CAST(concat('0x', substr(md5(e.vec_id || ':' || d), 1, 8)) AS BIGINT)
+                                              / 4294967296.0 - 0.5)) AS dvec
+            FROM embeddings e JOIN cent c ON c.cluster = e.vec_id % {n_clusters})"""
+
+
+ORACLES["clustered_corpus_structure"] = f"""
+  WITH {_clustered_v_ctes()},
+  q AS (SELECT vec_id AS query_id, cluster AS qcluster, dvec AS qvec
+        FROM v WHERE vec_id < 10),
+  s AS (SELECT CAST(e.cluster = q.qcluster AS BIGINT) AS same_cluster,
+               round(list_cosine_similarity(q.qvec, e.dvec), 6) AS cosine
+        FROM q, v e WHERE e.vec_id <> q.query_id)
+  SELECT same_cluster, count(*) AS n_pairs,
+         round(CAST(CAST(sum(CAST(cosine AS DECIMAL(16,6))) AS VARCHAR) AS DOUBLE)
+               / count(*), 6) AS mean_cos,
+         min(cosine) AS min_cos, max(cosine) AS max_cos
+  FROM s GROUP BY same_cluster
+"""
+
+
+def _clustered_selectivity_sql(bands: int, rows_per_band: int = 7,
+                               n_queries: int = 10, k: int = 5) -> str:
+    """One sweep arm of ann_clustered_selectivity: banded candidates
+    + exact re-rank + exact kNN + per-query recall and candidate
+    fraction, all over the clustered CTE (the banded block is the
+    verbatim _banded_bb_sql -- it only references `v`)."""
+    return f"""
+      WITH {_clustered_v_ctes()},
+      bb AS ({_banded_bb_sql(bands, rows_per_band)}),
+      qb AS (SELECT vec_id AS query_id, band, bucket FROM bb WHERE vec_id < {n_queries}),
+      cand AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
+               FROM qb q JOIN bb e USING (band, bucket)
+               WHERE e.vec_id <> q.query_id),
+      q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < {n_queries}),
+      xs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                    round(list_cosine_similarity(q.qvec, e.dvec), 6) AS cosine
+             FROM q, v e WHERE e.vec_id <> q.query_id),
+      xr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM xs),
+      exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= {k}),
+      asq AS (SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(qv.qvec, ev.dvec), 6) AS cosine
+              FROM cand c JOIN q qv ON qv.query_id = c.query_id
+                          JOIN v ev ON ev.vec_id = c.neighbor_id),
+      ar AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM asq),
+      ann AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= {k}),
+      h AS (SELECT e.query_id, count(*) AS n_hits FROM exact e
+            JOIN ann a ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id GROUP BY 1),
+      nc AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+      base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+      t AS (SELECT count(*) AS _n FROM v)
+      SELECT CAST({bands} AS BIGINT) AS bands, base.query_id,
+             coalesce(h.n_hits, 0) AS n_hits,
+             round(coalesce(h.n_hits, 0) / CAST(base.n_exact AS DOUBLE), 6) AS recall,
+             CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+             round(coalesce(nc.n_candidates, 0) / CAST(t._n - 1 AS DOUBLE), 6) AS cand_frac
+      FROM base LEFT JOIN h USING (query_id) LEFT JOIN nc USING (query_id), t
+    """
+
+
+ORACLES["ann_clustered_selectivity"] = "\nUNION ALL\n".join(
+    "SELECT * FROM (" + _clustered_selectivity_sql(b) + ") s" + str(b)
+    for b in (4, 8, 16, 64)
+)
+
+
+def _clustered_ivf_kmeans_sql(k_cells: int = 25, n_iter: int = 3,
+                              n_probe: int = 2, n_queries: int = 10,
+                              topk: int = 5) -> str:
+    """ann_clustered_ivf_kmeans_recall twin: the unrolled Lloyd fit
+    (oracle_builders._kmeans_ctes) over the clustered CTE, the
+    standard probe/serve plan, then recall vs exact kNN plus the
+    candidate count (rows in probed cells, self excluded)."""
+    from .oracle_builders import _kmeans_ctes, _kmeans_means_cte
+
+    return f"""
+      WITH {_clustered_v_ctes()},{_kmeans_ctes(k_cells, n_iter)},{_kmeans_means_cte("sc", "fin")},
+      q AS (SELECT vec_id AS query_id, dvec AS qvec FROM v WHERE vec_id < {n_queries}),
+      qc AS (SELECT q.query_id, q.qvec, c.cell,
+                    list_cosine_similarity(q.qvec, c.cvec) AS csim
+             FROM q CROSS JOIN sc c),
+      probes AS (SELECT query_id, qvec, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY csim DESC, cell ASC) AS pr FROM qc) WHERE pr <= {n_probe}),
+      s AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(p.qvec, e.dvec), 6) AS cosine
+            FROM probes p JOIN fin e ON e.cell = p.cell
+            WHERE e.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s),
+      ann AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {topk}),
+      nc AS (SELECT p.query_id, count(*) AS n_candidates
+             FROM probes p JOIN fin e ON e.cell = p.cell
+             WHERE e.vec_id <> p.query_id GROUP BY 1),
+      xs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                    round(list_cosine_similarity(q.qvec, e.dvec), 6) AS cosine
+             FROM q, v e WHERE e.vec_id <> q.query_id),
+      xr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM xs),
+      exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= {topk}),
+      h AS (SELECT e.query_id, count(*) AS n_hits FROM exact e
+            JOIN ann a ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id GROUP BY 1),
+      base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+      t AS (SELECT count(*) AS _n FROM v)
+      SELECT base.query_id,
+             coalesce(h.n_hits, 0) AS n_hits,
+             round(coalesce(h.n_hits, 0) / CAST(base.n_exact AS DOUBLE), 6) AS recall,
+             CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+             round(coalesce(nc.n_candidates, 0) / CAST(t._n - 1 AS DOUBLE), 6) AS cand_frac
+      FROM base LEFT JOIN h USING (query_id) LEFT JOIN nc USING (query_id), t
+    """
+
+
+ORACLES["ann_clustered_ivf_kmeans_recall"] = _clustered_ivf_kmeans_sql()
+
+# the standard-corpus recall rung for the learned-cell IVF path:
+# composed from the existing unrolled-Lloyd serve block (VERDICT r9
+# #3 -- the ladder's missing row)
+from .oracle_builders import _ann_ivf_kmeans_sql as _aiks  # noqa: E402
+from .oracles_ext import _recall_block as _rb  # noqa: E402
+
+ORACLES["ann_recall_ivf_kmeans"] = _rb(_aiks())
+
+
+# r10: video-container metadata twin -- the Spark side goes
+# stub-writer -> real ISO-BMFF bytes -> box-tree parser; this twin
+# recomputes the expected metadata from the SAME doc_id parameter
+# arithmetic (registry/multimodal_q.q_multimodal_video_meta), so a
+# hash match proves writer-compose-parser is the identity across the
+# corpus's parameter grid (both box versions, largesize, audio).
+# fps choices all divide 10^6 => duration_s exact at 6 decimals.
+ORACLES["multimodal_video_meta"] = """
+  WITH p AS (SELECT doc_id,
+                    4 + doc_id % 40 AS n_frames,
+                    [10, 16, 20, 25][CAST(doc_id % 4 AS INT) + 1] AS fps,
+                    doc_id % 3 = 0 AS has_audio
+             FROM documents)
+  SELECT doc_id,
+         'isom' AS brand,
+         round(CAST(n_frames AS DOUBLE) / fps, 6) AS duration_s,
+         CAST(1 + CASE WHEN has_audio THEN 1 ELSE 0 END AS BIGINT) AS n_tracks,
+         'avc1' AS video_codec,
+         CAST(16 + (doc_id % 32) * 2 AS DOUBLE) AS width,
+         CAST(9 + (doc_id % 16) * 3 AS DOUBLE) AS height,
+         CAST(n_frames AS BIGINT) AS n_video_samples,
+         CAST(512 * n_frames AS BIGINT) AS video_bytes,
+         CASE WHEN has_audio THEN 'mp4a' END AS audio_codec
+  FROM p
+"""

@@ -46,8 +46,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (round 8): the query's bucket plus all 8
     Hamming-1 buckets -- the standard recall lever when the sign-LSH
-    bucket is too selective (Lv et al., VLDB 2007). Deterministic LCG
-    planes, so the probe set is embedded in the oracle and the
+    bucket is too selective (Lv et al., VLDB 2007). Deterministic
+    splitmix64-mixed planes (round 9 randomness fix), so the probe
+    set is embedded in the oracle and the
     approximate path hash-checks exactly. Recall vs the single-bucket
     form is measured by the ann_recall_lsh / ann_recall_lsh_multiprobe
     rows (SCALING.md ladder)."""
@@ -670,3 +671,223 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"), min_cosine=0.35)
+
+
+# ---------------------------------------------------------------------------
+# clustered-corpus ANN selectivity (round 10, VERDICT r9 #1/#3)
+# ---------------------------------------------------------------------------
+# The driver's embeddings table is deliberately near-orthogonal (true
+# neighbors at cosine ~0.37 vs random ~0.0) -- sign-LSH's worst case,
+# where 0.92 recall costs a ~42% candidate fraction and no sublinear
+# ANN can exist. These rows measure the SAME banded/IVF serving paths
+# on a deterministic corpus WITH neighborhood structure
+# (within-cluster cosine ~0.80, cross ~0.00 -- see
+# clustered_corpus_structure), turning SCALING.md's "clustered real
+# embeddings collide far more selectively" from an assertion into a
+# measured, oracle-checked curve.
+
+CLUSTERED_N_CLUSTERS = 25
+CLUSTERED_SIGMA = 0.5
+ANN_CLUSTERED_SWEEP = (4, 8, 16, 64)
+
+
+def _clustered_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import synthetic_clustered_embeddings
+
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return synthetic_clustered_embeddings(
+        ids, CLUSTERED_N_CLUSTERS, CLUSTERED_SIGMA
+    )
+
+
+def _clustered_query_vecs(cv: DataFrame, n: int = 10) -> DataFrame:
+    return cv.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("cluster").alias("qcluster"),
+    )
+
+
+def q_clustered_corpus_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered fixture's measured geometry: cosine of the 10
+    query vectors against the whole corpus, aggregated by whether the
+    pair shares a cluster. Documents that the fixture actually has
+    neighborhood structure (within ~0.80, cross ~0.00) AND pins the
+    generator cross-engine (any drift in a single generated double
+    shifts a rounded cosine and flips the hash). Mean is the
+    decimal-sum of 6dp-rounded cosines -- order-independent."""
+    cv = _clustered_vecs(spark, sf_dir)
+    q = _clustered_query_vecs(cv)
+    from ..functions.vectors import dot_col, l2_norm_col
+
+    corpus = cv.select(
+        "vec_id", F.col("cluster"), F.col("embedding").alias("vec"),
+        l2_norm_col("embedding").alias("vnorm"),
+    )
+    pairs = (
+        corpus.crossJoin(
+            F.broadcast(
+                q.select(
+                    "query_id", "qcluster", "qvec",
+                    l2_norm_col("qvec").alias("qnorm"),
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            (F.col("cluster") == F.col("qcluster")).cast("long").alias("same_cluster"),
+            F.round(
+                dot_col("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 6
+            ).alias("cosine"),
+        )
+    )
+    csum = F.sum(F.col("cosine").cast("decimal(16,6)"))
+    return pairs.groupBy("same_cluster").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            csum.cast("string").cast("double") / F.count("*"), 6
+        ).alias("mean_cos"),
+        F.min("cosine").alias("min_cos"),
+        F.max("cosine").alias("max_cos"),
+    )
+
+
+def q_ann_clustered_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE recall-vs-candidate-fraction curve on data with real
+    neighborhood structure (VERDICT r9 #1): for bands in {4, 8, 16,
+    64} x rows_per_band=7, per query: top-5 recall of the banded+
+    re-ranked ANN path AND the candidate fraction it probed, on the
+    clustered corpus. Measured means (sf0.01 / sf0.1): recall 0.64 /
+    0.72 at ~6% of the corpus (4 bands), 0.94 / 0.96 at ~10%
+    (8 bands), 0.98 / 1.00 at ~18% (16 bands), 1.00 at ~44%
+    (64 bands) -- versus 0.92 recall at ~42% for the SAME 64x7
+    serving config on the near-orthogonal driver corpus
+    (ann_recall_lsh_banded + ann_banded_candidates_sweep). I.e. on
+    clustered data the operator reaches the orthogonal fixture's
+    recall at ~a quarter of its probe volume, and the tuned operating
+    point (8-16 bands) is 3-7x cheaper still -- sign-LSH selectivity
+    is a property of the data's neighborhood structure, now measured
+    rather than asserted (SCALING.md r10). Candidate sets nest across
+    sweep widths (plane-prefix property), so recall is provably
+    monotone in bands (pytest-pinned)."""
+    from ..operators.similarity import banded_candidates, rerank_topk
+
+    cv = _clustered_vecs(spark, sf_dir)
+    corpus = cv.select("vec_id", "embedding")
+    q = _clustered_query_vecs(cv).select("query_id", "qvec")
+    exact = knn_brute_force(corpus, q, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    total = corpus.agg(F.count("*").alias("_n"))
+    out = None
+    for bands in ANN_CLUSTERED_SWEEP:
+        # ONE evaluation of the banded pipeline per arm: the top-k
+        # rows carry the candidate-set size as a window count
+        # (count_col), so recall and probe volume come out of the
+        # same pass -- a second consumer of the candidate set would
+        # re-run the band hashing (Spark expands shared lazy
+        # subplans per consumer; no exchange reuse here, measured)
+        topk = rerank_topk(
+            banded_candidates(corpus, q, bands=bands),
+            corpus, q, k=5, count_col="n_candidates",
+        )
+        per_q = (
+            topk.join(
+                exact.withColumn("_hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+                F.max("n_candidates").alias("n_candidates"),
+            )
+        )
+        nh = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+        ncand = F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long")
+        r = (
+            n_exact.join(per_q, "query_id", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                "query_id",
+                nh.alias("n_hits"),
+                F.round(nh / F.col("n_exact").cast("double"), 6).alias("recall"),
+                ncand.alias("n_candidates"),
+                F.round(
+                    ncand / (F.col("_n") - F.lit(1)).cast("double"), 6
+                ).alias("cand_frac"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def q_ann_clustered_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND cost of the LEARNED-cell IVF path on the clustered
+    corpus (VERDICT r9 #3: the one IVF variant that could be
+    selective on clustered data had no quality number). k-means
+    (k=25, 3 Lloyd rounds, smallest-id seeds) learns the inverted
+    lists, the standard 2-probe serve runs, and the row reports
+    per-query top-5 recall vs exact kNN plus the candidate fraction
+    actually scanned (rows in the probed cells). On this corpus the
+    learned cells align with the true clusters, so IVF reaches
+    recall ~1.0 at ~8% of the corpus (2 of 25 cells) -- versus
+    0.28-0.32 recall for the same plan on the near-orthogonal driver
+    corpus (ann_recall ladder), the measured statement of WHEN IVF
+    is the right index. EAGER: trains the cells at build time.
+    Oracle: the unrolled Lloyd fit over the clustered CTE."""
+    from ..operators.kmeans import kmeans_cells
+    from ..operators.similarity import ann_ivf_candidate_counts
+
+    cv = _clustered_vecs(spark, sf_dir)
+    corpus = cv.select("vec_id", "embedding")
+    cells = kmeans_cells(
+        corpus, k=CLUSTERED_N_CLUSTERS, n_iter=3
+    ).select("vec_id", "cell")
+    emb_cells = corpus.join(cells, "vec_id")
+    q = _clustered_query_vecs(cv).select("query_id", "qvec")
+    ann = ann_ivf_topk(emb_cells, q, k=5, by="cell").select(
+        "query_id", "neighbor_id"
+    )
+    exact = knn_brute_force(corpus, q, k=5).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_cand = ann_ivf_candidate_counts(emb_cells, q, n_probe=2, by="cell")
+    total = corpus.agg(F.count("*").alias("_n"))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    ncand = F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long")
+    return (
+        n_exact.join(hits, "query_id", "left")
+        .join(n_cand, "query_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "query_id",
+            nh.alias("n_hits"),
+            F.round(nh / F.col("n_exact").cast("double"), 6).alias("recall"),
+            ncand.alias("n_candidates"),
+            F.round(
+                ncand / (F.col("_n") - F.lit(1)).cast("double"), 6
+            ).alias("cand_frac"),
+        )
+    )
+
+
+def q_ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the learned-cell (k-means) IVF path vs exact kNN on
+    the standard corpus -- the missing rung of the recall ladder
+    (VERDICT r9 #3: ann_ivf_kmeans was oracle-green but absent from
+    the ladder). Measured mean top-5 recall 0.86 at sf0.01 / 0.80 at
+    sf0.1 at a ~24-25% candidate fraction (2 of 8 learned cells) --
+    far above label-cell IVF's 0.28-0.32 (labels are uncorrelated
+    with neighborhoods by construction; even weak learned structure
+    routes better) and cheaper per recall point than banded-64x7
+    LSH's 0.92 at ~42% on this near-orthogonal corpus. Its clustered
+    twin (ann_clustered_ivf_kmeans_recall) measures 1.0 at ~8%
+    probed -- together they bound WHEN the IVF family applies.
+    EAGER: trains the cells at build time."""
+    ann = q_ann_ivf_kmeans(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_df(spark, sf_dir, ann)

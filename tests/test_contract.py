@@ -127,7 +127,8 @@ def test_lazy_queries_build_cheaply(spark, sf_smoke):
         # by nature, and kmeans seeds / centroid rows live driver-side
         "dedup_clusters", "dedup_clusters_jaccard", "curate_documents",
         "leakage_safe_split",
-        "kmeans_cells", "ann_ivf_kmeans", "cluster_topics",
+        "kmeans_cells", "ann_ivf_kmeans", "ann_recall_ivf_kmeans",
+        "ann_clustered_ivf_kmeans_recall", "cluster_topics",
         # product quantization: per-subspace Lloyd fits at build time
         "pq_codes", "pq_search", "ann_ivfpq",
         # semantic dedup: the cell fit trains at build time

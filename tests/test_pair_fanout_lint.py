@@ -55,6 +55,8 @@ EAGER_ITERATIVE = {
     "curate_documents",
     "kmeans_cells",
     "ann_ivf_kmeans",
+    "ann_recall_ivf_kmeans",
+    "ann_clustered_ivf_kmeans_recall",
     "cluster_topics",
 }
 LINTABLE = sorted(set(registry.QUERIES) - EAGER_ITERATIVE)

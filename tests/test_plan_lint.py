@@ -324,6 +324,9 @@ _ARROW_EVAL_CEILING = {
     "ann_lsh_banded": 2,          # corpus side + query side
     "embedding_dup_pairs_lsh": 2,
     "embedding_mutual_nn_lsh": 8,  # two directions x (corpus+query) x 2 stages
+    # 4 sweep arms x (corpus+query); the one-pass window-count shape
+    # (r10) -- a second consumer of the candidate set doubles this
+    "ann_clustered_selectivity": 8,
 }
 
 
