@@ -174,7 +174,7 @@ def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64 -> 8 dims with
-    deterministic LCG directions (operators/projection.py): per-row
+    deterministic splitmix64 directions (operators/projection.py): per-row
     map work only, oracle-checkable because the 'random' matrix is
     reproducible integer arithmetic in both engines."""
     from ..operators.projection import project_embeddings

@@ -769,8 +769,8 @@ ORACLES: dict[str, str] = {
     """,
     # Banded-LSH dup pairs (round 8: OR-of-ANDs amplification; the
     # old AND-only single bucket recalled ~5% at cos 0.35): bands are
-    # the deterministic LCG planes, so the recall<1 scale path is
-    # still exactly-checkable
+    # the deterministic splitmix64 planes (round 9 randomness fix), so
+    # the recall<1 scale path is still exactly-checkable
     "embedding_dup_pairs_lsh": f"""
       {_banded_pairs_sql()}
       SELECT vec_a, vec_b, cosine FROM pairs

@@ -557,8 +557,8 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: pair search restricted to LSH buckets (recall<1,
-    but deterministic -- the LCG planes are embedded in the oracle, so
-    even the approximate path hash-checks)."""
+    but deterministic -- the splitmix64 planes are embedded in the
+    oracle, so even the approximate path hash-checks)."""
     return embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), min_cosine=0.35, use_lsh=True
     )
