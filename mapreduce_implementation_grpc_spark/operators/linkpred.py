@@ -70,22 +70,44 @@ def link_prediction(
     und = edges.select(
         F.col("s1").alias("w"), F.col("s2").alias("x")
     ).unionByName(edges.select(F.col("s2").alias("w"), F.col("s1").alias("x")))
-    deg = und.groupBy("w").agg(F.count("*").alias("d"))
+    # ONE shuffle builds the per-center sorted neighbor array (the
+    # edge list is duplicate-free, so collect_set == the neighbor
+    # set and size(xs) == the old count-based degree); wedges are
+    # then exploded shuffle-LOCALLY from the array instead of
+    # re-shuffling both sides of a self-join on w. r10: replaces the
+    # degree groupBy + centers join + join-side exchanges (4
+    # Exchanges, 1 SortMergeJoin) with one groupBy exchange; the
+    # C(deg, 2) fan-out and its per-center placement are identical
+    # to the join form (all wedges of center w were already
+    # co-partitioned by w), and per-group memory is deg longs --
+    # strictly smaller than the C(deg, 2) rows any form emits.
+    # `nb` is pinned: it feeds the wedge explosion AND both endpoint
+    # degree lookups of the jaccard.
+    nb = materialize(
+        und.groupBy("w").agg(F.sort_array(F.collect_set("x")).alias("xs")),
+        reliable=reliable,
+    )
+    deg = nb.select("w", F.size("xs").alias("d"))
     # a degree-1 center cannot host a wedge, and dropping it keeps
     # ln(d) > 0 under ANSI mode (ln(1) = 0 would raise in the term
-    # expression even on rows the wedge join later filters)
-    centers = und.join(deg, "w").filter(F.col("d") >= 2)
+    # expression even on rows the explosion below never emits)
+    centers = nb.filter(F.size("xs") >= 2)
     if max_degree is not None:
-        centers = centers.filter(F.col("d") <= max_degree)
-    # per-wedge Adamic-Adar term, 9dp decimal for order-independent sums
-    term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9).cast(
-        "decimal(12,9)"
-    )
-    a = centers.select("w", F.col("x").alias("x1"), term.alias("t"))
-    b = centers.select("w", F.col("x").alias("x2"))
+        centers = centers.filter(F.size("xs") <= max_degree)
+    # per-wedge Adamic-Adar term, 9dp decimal for order-independent
+    # sums; computed once per CENTER row, before the explosion
+    term = F.round(
+        F.lit(1.0) / F.log(F.size("xs").cast("double")), 9
+    ).cast("decimal(12,9)")
     pairs = (
-        a.join(b, "w")
-        .filter(F.col("x1") < F.col("x2"))
+        centers.select(
+            term.alias("t"),
+            F.expr(
+                "inline(flatten(transform(xs, (a, i) -> "
+                "transform(slice(xs, i + 2, size(xs)), "
+                "b -> struct(a AS x1, b AS x2)))))"
+            ),
+        )
         .groupBy("x1", "x2")
         .agg(F.count("*").alias("cn"), F.sum("t").alias("aa"))
     )

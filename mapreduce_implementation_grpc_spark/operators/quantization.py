@@ -113,20 +113,32 @@ def pq_fit(
     seeds from the smallest vec_ids and uses exact decimal-sum means
     -- so codes and ADC distances are DuckDB-oracle-checkable, which
     is rare for a lossy ANN compression operator."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .kmeans import kmeans_fit
 
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     w = dim // m
-    return [
-        kmeans_fit(
-            emb.select("vec_id", F.slice(F.col(vec_col), j * w + 1, w).alias("subvec")),
+
+    def fit(j: int):
+        return kmeans_fit(
+            emb.select(
+                "vec_id", F.slice(F.col(vec_col), j * w + 1, w).alias("subvec")
+            ),
             k=k,
             n_iter=n_iter,
             vec_col="subvec",
         )
-        for j in range(m)
-    ]
+
+    # the m subspace fits are INDEPENDENT deterministic jobs --
+    # overlap them from a small driver thread pool (guide 2.6) so one
+    # fit's aggregation tail back-fills the others' executors. Each
+    # fit is unchanged (same seeds, same exact decimal means), and
+    # the list stays indexed by j, so the codebooks -- and everything
+    # downstream -- are bit-identical to the sequential form.
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(fit, range(m)))
 
 
 def pq_codes(
@@ -137,6 +149,7 @@ def pq_codes(
     dim: int = 64,
     vec_col: str = "embedding",
     codebooks: list[list[tuple[int, list[float], float]]] | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """DataFrame[vec_id, codes: array<long>, recon_err: double]:
     per-subspace nearest-codeword ids plus the total squared
@@ -149,12 +162,18 @@ def pq_codes(
     k-means assign). All m best-structs are packed behind a single
     explode(array(...)) Generate barrier so reading .cell and .obj
     does not duplicate the argmin trees (the CollapseProject
-    double-eval trap)."""
+    double-eval trap).
+
+    `carry_cols` names input columns to pass through unchanged
+    (r10: lets IVF-PQ serve paths keep the coarse `cell` on the code
+    rows instead of re-joining the corpus to its own assignment by
+    vec_id — a corpus-wide shuffle at scale)."""
     from .kmeans import _centroid_literal
 
     if codebooks is None:
         codebooks = pq_fit(emb, m, k, n_iter, dim, vec_col)
     w = dim // m
+    carry = [F.col(c) for c in carry_cols]
 
     def best(j: int):
         sub = F.slice(F.col("v"), j * w + 1, w)
@@ -171,8 +190,8 @@ def pq_codes(
         return F.array_min(F.transform(cents, score))
 
     packed = F.struct(*[best(j).alias(f"b{j}") for j in range(m)])
-    rows = emb.select("vec_id", F.col(vec_col).alias("v")).select(
-        "vec_id", "v", F.explode(F.array(packed)).alias("b")
+    rows = emb.select("vec_id", *carry, F.col(vec_col).alias("v")).select(
+        "vec_id", *carry, "v", F.explode(F.array(packed)).alias("b")
     )
 
     def subnorm(j: int):
@@ -188,6 +207,7 @@ def pq_codes(
         err = term if err is None else err + term
     return rows.select(
         "vec_id",
+        *carry,
         F.array(*[F.col(f"b.b{j}.cell") for j in range(m)]).alias("codes"),
         F.round(err, 6).alias("recon_err"),
     )
@@ -295,9 +315,14 @@ def ivfpq_topk(
     from .kmeans import _assign, kmeans_fit
 
     coarse = kmeans_fit(emb, coarse_k, coarse_iter, vec_col)
-    cells = _assign(emb, coarse, vec_col).select("vec_id", "cell")
+    # thread the coarse cell through the encode instead of joining
+    # the code rows back to a separate assignment table by vec_id
+    # (r10: the old `codes JOIN cells` was a corpus-wide shuffle the
+    # narrow assign expression makes unnecessary)
+    emb_cells = _assign(emb, coarse, vec_col).select("vec_id", vec_col, "cell")
     codebooks = pq_fit(emb, m, k, n_iter, dim, vec_col)
-    codes = pq_codes(emb, m, k, n_iter, dim, vec_col, codebooks=codebooks)
+    codes = pq_codes(emb_cells, m, k, n_iter, dim, vec_col,
+                     codebooks=codebooks, carry_cols=("cell",))
     w = dim // m
 
     spark = emb.sparkSession
@@ -342,8 +367,8 @@ def ivfpq_topk(
         .select("query_id", "j", "code", d2.alias("d2"))
     )
 
-    ce = codes.select("vec_id", F.posexplode("codes").alias("j", "code")).join(
-        cells, "vec_id"
+    ce = codes.select(
+        "vec_id", "cell", F.posexplode("codes").alias("j", "code")
     )
     dsum = F.sum(F.col("d2").cast("decimal(27,12)"))
     scored = (
@@ -411,23 +436,24 @@ def ivfpq_residual_topk(
 
     coarse = kmeans_fit(emb, coarse_k, coarse_iter, vec_col)
     lookup = _coarse_lookup_literal(coarse, dim)
-    cells = _assign(emb, coarse, vec_col).select("vec_id", "cell")
 
-    res = (
-        emb.select("vec_id", vec_col)
-        .join(cells, "vec_id")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with(
-                F.col(vec_col),
-                F.element_at(lookup, (F.col("cell") + 1).cast("int")),
-                lambda x, y: x.cast("double") - y,
-            ).alias("res"),
-        )
+    # the assign expression is narrow and already carries the vector,
+    # so the residual is one more per-row expression -- no join of
+    # the corpus back to its own assignment by vec_id (r10: the old
+    # emb JOIN cells + codes JOIN cells were two corpus-wide shuffles
+    # the carried `cell` column makes unnecessary)
+    res = _assign(emb, coarse, vec_col).select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(lookup, (F.col("cell") + 1).cast("int")),
+            lambda x, y: x.cast("double") - y,
+        ).alias("res"),
     )
     codebooks = pq_fit(res, m, k, n_iter, dim, vec_col="res")
-    codes = pq_codes(res, m, k, n_iter, dim, vec_col="res", codebooks=codebooks)
+    codes = pq_codes(res, m, k, n_iter, dim, vec_col="res",
+                     codebooks=codebooks, carry_cols=("cell",))
     w = dim // m
 
     spark = emb.sparkSession
@@ -477,8 +503,8 @@ def ivfpq_residual_topk(
         .select("query_id", "cell", "j", "code", d2.alias("d2"))
     )
 
-    ce = codes.select("vec_id", F.posexplode("codes").alias("j", "code")).join(
-        cells, "vec_id"
+    ce = codes.select(
+        "vec_id", "cell", F.posexplode("codes").alias("j", "code")
     )
     dsum = F.sum(F.col("d2").cast("decimal(27,12)"))
     scored = (

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_col, l2_norm_col
+from ..materialize import materialize
 
 DEFAULT_NUM_PLANES = 8
 
@@ -797,7 +798,15 @@ def mutual_nearest_pairs(pairs: DataFrame) -> DataFrame:
     and a self-equi-join of the two argmax directions. All shapes are
     node- or candidate-sized.
 
-    Output: [vec_a, vec_b, cosine] with vec_a < vec_b."""
+    Output: [vec_a, vec_b, cosine] with vec_a < vec_b.
+
+    r10 pinning: `pairs` is the EXPENSIVE upstream (an all-pairs or
+    LSH-bucketed cosine scan); unpinned, the symmetrizing union
+    evaluated it once per branch and the reciprocity self-join then
+    doubled the whole window subtree again -- up to 4 evaluations of
+    the candidate generation per run (4 unions / 13 Exchanges in the
+    r9 plan). Pinning `pairs` and `best` makes each stage run once."""
+    pairs = materialize(pairs)
     sym = pairs.select(
         F.col("vec_a").alias("v"), F.col("vec_b").alias("nb"), "cosine"
     ).unionByName(
@@ -806,7 +815,7 @@ def mutual_nearest_pairs(pairs: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy("v").orderBy(F.desc("cosine"), F.asc("nb"))
-    best = (
+    best = materialize(
         sym.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")

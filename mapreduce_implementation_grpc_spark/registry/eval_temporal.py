@@ -945,12 +945,22 @@ def _markov_transitions(spark: SparkSession, sf_dir: str):
     )
     c = nxt.groupBy("event_type", "next_type").agg(F.count("*").alias("_n"))
     tot = c.groupBy("event_type").agg(F.sum("_n").alias("_t"))
-    tr = c.join(tot, "event_type").select(
-        F.col("event_type").alias("_s"),
-        F.col("next_type").alias("_t2"),
-        (F.col("_n") / F.col("_t")).alias("_T"),
+    # PIN the k x k matrix (and the k-row state list): every unrolled
+    # value-iteration round references tr once and states once, so an
+    # unpinned tr re-plans (and re-executes) the corpus-scale lead()
+    # window per reference -- measured r10: the 8-step absorption
+    # plan carried ~130 Exchanges / 308 HashAggregates before the pin
+    # (one transition-build subtree per round) and collapses to one
+    # corpus pass + k-grain iteration after. Lazy pin (localCheckpoint
+    # eager=False), so query construction stays job-free.
+    tr = materialize(
+        c.join(tot, "event_type").select(
+            F.col("event_type").alias("_s"),
+            F.col("next_type").alias("_t2"),
+            (F.col("_n") / F.col("_t")).alias("_T"),
+        )
     )
-    states = (
+    states = materialize(
         tr.select(F.col("_s").alias("node"))
         .unionByName(tr.select(F.col("_t2").alias("node")))
         .distinct()
