@@ -805,7 +805,12 @@ def mutual_nearest_pairs(pairs: DataFrame) -> DataFrame:
     evaluated it once per branch and the reciprocity self-join then
     doubled the whole window subtree again -- up to 4 evaluations of
     the candidate generation per run (4 unions / 13 Exchanges in the
-    r9 plan). Pinning `pairs` and `best` makes each stage run once."""
+    r9 plan). Measured A/B (r10, sf0.1, both variants): pinning
+    `pairs` alone is the winner (exact 5.7 -> 3.3 s, LSH 4.1 -> 3.6
+    s); ALSO pinning `best` was slower than pinning nothing on the
+    LSH path (the window output re-derives cheaply from the pinned
+    pairs, and the extra checkpoint is a barrier + serialization),
+    so `best` stays unpinned."""
     pairs = materialize(pairs)
     sym = pairs.select(
         F.col("vec_a").alias("v"), F.col("vec_b").alias("nb"), "cosine"
@@ -815,7 +820,7 @@ def mutual_nearest_pairs(pairs: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy("v").orderBy(F.desc("cosine"), F.asc("nb"))
-    best = materialize(
+    best = (
         sym.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
