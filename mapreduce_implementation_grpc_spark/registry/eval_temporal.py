@@ -294,6 +294,11 @@ def q_nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev_micros).cast("decimal(25,0)").alias("y"))
     )
+    # NOT pinned (r10): both pair-join sides read `monthly`, but the
+    # two subtrees are identical up to aliases, so ReuseExchange
+    # already dedups the fact-scale work at runtime -- a
+    # localCheckpoint pin measured ~12% SLOWER (barrier +
+    # serialization for nothing)
     lhs = monthly.select(
         "nation", F.col("x").alias("x1"), F.col("y").alias("y1")
     )
@@ -1068,9 +1073,16 @@ def q_attribution_markov_removal(
         .groupBy(F.col("event_type").alias("node"))
         .agg(F.count("*").alias("_c"))
     )
+    # pin first/pi (k rows): the base reach plus one reach per
+    # channel each read pi, and unpinned every reach re-ran the
+    # corpus-scale first-event window (8 events scans in the r10
+    # plan audit, now 1)
+    first = materialize(first)
     users = first.agg(F.sum("_c").alias("_u"))
-    pi = first.crossJoin(F.broadcast(users)).select(
-        "node", (F.col("_c") / F.col("_u")).alias("pi")
+    pi = materialize(
+        first.crossJoin(F.broadcast(users)).select(
+            "node", (F.col("_c") / F.col("_u")).alias("pi")
+        )
     )
 
     def reach(p: DataFrame, skip: str | None = None) -> DataFrame:

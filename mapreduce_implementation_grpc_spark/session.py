@@ -50,6 +50,17 @@ def get_spark(
         # failing the scan
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # scale-dependent overrides stay configuration, never code: a
+    # JSON dict of spark confs (e.g. '{"spark.sql.shuffle.partitions":
+    # "2000"}' on a real cluster) merged last so deployments can
+    # retune without touching plans. Local defaults above are the
+    # bench-comparable baseline.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF_JSON")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
