@@ -1000,7 +1000,9 @@ def _absorb_p(
                 ).alias("_sm")
             )
         )
-        p = states.join(stepped, "node", "left").select(
+        # stepped is a k-row aggregate: broadcast it so the per-round
+        # left join never plans a sort-merge over the pinned states
+        p = states.join(F.broadcast(stepped), "node", "left").select(
             "node",
             absorb.otherwise(F.coalesce("_sm", F.lit(0.0))).alias("p"),
         )
