@@ -18,10 +18,14 @@ DuckDB. No rounding anywhere.
 
 Distributed shape: the series is an aggregate (e.g. day-grain counts
 per event type), so it is tiny relative to the fact table no matter
-the fact scale; the lag alignment is ONE equi-join on
-(group, t + k = t') after exploding the 1..max_lag lag list --
-max_lag copies of a day-grain table, never of facts. Group count x
-series length x max_lag bounds all downstream work.
+the fact scale; lag alignment is lead(z, k) inside ONE window pass
+over the series (r11 -- the r9 shape exploded the 1..max_lag lag
+list and equi-joined the series against itself, re-evaluating the
+unpinned series subtree once per consumer: 4+ upstream scans plus a
+max_lag-times-multiplied join input; now the group stats, every
+lagged product and the denominator all ride a single shuffle on the
+group key, and the series subtree is evaluated exactly once).
+Group count x series length x max_lag bounds all downstream work.
 
 Magnitude headroom: |z| <= n * max|y|; with day counts up to 1e10
 and n up to ~4000 days, z^2 sums stay ~1e29 << 1e38, and ANSI
@@ -53,58 +57,73 @@ def autocorrelation(
 ) -> DataFrame:
     """series[group, t (0..n-1 dense), y (integral)] ->
     [group, lag, n_points, acf] for lag 1..max_lag, constant groups
-    dropped."""
-    stats = series.groupBy(group_col).agg(
-        F.count("*").alias("_n"), F.sum(y_col).alias("_s")
-    )
-    z = series.join(stats, group_col).select(
+    dropped.
+
+    One window pass: per-group n and S are whole-partition window
+    aggregates and the k-step alignment is lead(z, k) over the same
+    partitioning, so the series subtree is scanned once and the only
+    exchange is the group-key window shuffle (the groupBy that
+    follows reuses that partitioning). Every decimal cast is the
+    identical expression of the r9 join form -- the numerator term
+    for lag k is z_t (decimal(18,0)) times z_{t+k} (decimal(19,0)),
+    summed and cast decimal(38,0) -- so the result is bit-identical;
+    a (group, lag) with no aligned pair produced no join row before
+    and produces a NULL sum now, dropped by the same contract."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy(group_col)
+    wo = Window.partitionBy(group_col).orderBy(F.asc("_t"))
+    z = series.select(
         group_col,
-        F.col(t_col).alias("_t"),
-        (F.col("_n") * F.col(y_col) - F.col("_s"))
+        F.count("*").over(wp).alias("_n"),
+        (
+            F.count("*").over(wp) * F.col(y_col) - F.sum(y_col).over(wp)
+        )
         .cast("decimal(19,0)")
         .alias("_z"),
+        F.col(t_col).alias("_t"),
+    ).select(
+        group_col,
         "_n",
+        "_z",
+        *[
+            F.lead("_z", k).over(wo).alias(f"_z{k}")
+            for k in range(1, max_lag + 1)
+        ],
     )
-    den = z.groupBy(group_col).agg(
-        F.sum(F.col("_z").cast("decimal(18,0)") * F.col("_z").cast("decimal(19,0)"))
+    agg = z.groupBy(group_col).agg(
+        F.max("_n").alias("n_points"),
+        F.sum(
+            F.col("_z").cast("decimal(18,0)") * F.col("_z").cast("decimal(19,0)")
+        )
         .cast("decimal(38,0)")
         .alias("_den"),
-        F.max("_n").alias("n_points"),
-    )
-    lags = z.select(
-        group_col,
-        "_t",
-        "_z",
-        F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias(
-            "lag"
-        ),
-    )
-    lead = z.select(
-        F.col(group_col).alias("_g2"),
-        F.col("_t").alias("_t2"),
-        F.col("_z").alias("_z2"),
-    )
-    num = (
-        lags.join(
-            lead,
-            (F.col(group_col) == F.col("_g2"))
-            & (F.col("_t") + F.col("lag") == F.col("_t2")),
-        )
-        .groupBy(group_col, "lag")
-        .agg(
+        *[
             F.sum(
-                F.col("_z").cast("decimal(18,0)") * F.col("_z2").cast("decimal(19,0)")
+                F.col("_z").cast("decimal(18,0)")
+                * F.col(f"_z{k}").cast("decimal(19,0)")
             )
             .cast("decimal(38,0)")
-            .alias("_num")
-        )
+            .alias(f"_num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = agg.filter(F.col("_den") != 0).selectExpr(
+        group_col,
+        "n_points",
+        "_den",
+        "stack({n}, {parts}) AS (lag, _num)".format(
+            n=max_lag,
+            parts=", ".join(
+                f"CAST({k} AS BIGINT), _num{k}" for k in range(1, max_lag + 1)
+            ),
+        ),
     )
     return (
-        num.join(den, group_col)
-        .filter(F.col("_den") != 0)
+        stacked.filter(F.col("_num").isNotNull())
         .select(
             group_col,
-            F.col("lag").cast("long").alias("lag"),
+            "lag",
             "n_points",
             (
                 F.col("_num").cast("string").cast("double")

@@ -73,26 +73,43 @@ def cms_screened_wordcount(tokens: DataFrame, denom: int = 500) -> DataFrame:
     counters = (
         cells.groupBy("j", "b")
         .agg(F.count("*").alias("c"))
-        .transform(materialize)  # 5 consumers, one tiny table
+        .transform(materialize)  # 2 consumers (map + threshold)
     )
-    sketches = [
-        counters.filter(F.col("j") == j).select(
-            F.col("b").alias(f"b{j}"), F.col("c").alias(f"c{j}")
-        )
-        for j in range(CMS_D)
-    ]
+    # r11 (guide section 3/2.4): the probe pass previously attached
+    # the 4 sketch rows via FOUR BroadcastHashJoins (plus the
+    # threshold's cross join) -- five broadcast builds and five join
+    # operators the whole token stream streamed through. The 4x1024
+    # counters are ONE 4096-entry map; the probe is now a single
+    # 1-row broadcast cross join and est is 4 map lookups. Lookup
+    # keys j*W + b are exactly the old per-row (j, bucket) pairs;
+    # both passes hash the identical token stream, so every probed
+    # bucket exists in the map and element_at never returns null --
+    # the same totality the old inner joins had.
+    cmap = counters.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("j").cast("long") * CMS_W + F.col("b")).alias("k"),
+                    F.col("c").alias("v"),
+                )
+            )
+        ).alias("_m")
+    )
     thr = (
         counters.filter(F.col("j") == 0)
         .agg(F.expr(f"sum(c) div {denom}").alias("thr"))
     )
-    probed = tokens
-    for j in range(CMS_D):
-        probed = probed.withColumn(f"b{j}", _bucket(F.col("word"), j)).join(
-            F.broadcast(sketches[j]), f"b{j}"
-        )
-    est = F.least(*[F.col(f"c{j}") for j in range(CMS_D)])
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("_m"), F.lit(j).cast("long") * CMS_W + _bucket(F.col("word"), j)
+            )
+            for j in range(CMS_D)
+        ]
+    )
     return (
-        probed.withColumn("est", est)
+        tokens.crossJoin(F.broadcast(cmap))
+        .withColumn("est", est)
         .crossJoin(F.broadcast(thr))
         .filter(F.col("est") >= F.col("thr"))
         .groupBy("word")

@@ -22,12 +22,23 @@ Scale design:
 - iteration count is a constant (power iteration converges
   geometrically; rank ORDER stabilizes long before values), so the
   whole loop is a fixed-depth plan -- no driver-side collects at all;
+- r11 (guide section 2.3, narrower shuffle keys): every shuffle of
+  the build and of the iterations moves a single LONG node key
+  (2*custkey for customers, 2*suppkey + 1 for suppliers -- an
+  injective encoding, so distinct/groupBy/join semantics are
+  unchanged) instead of the presentation string 'c<id>'/'s<id>'.
+  The strings are rebuilt ONCE, on the |V|-row result, after the
+  last iteration. A UTF8 key costs 8 bytes of offset + data per row
+  in every Exchange and every sort; the long halves-or-better that
+  on every edge-grain shuffle, which is what the per-iteration cost
+  is made of at 100 TB.
 - cross-engine exactness uses the lm_score recipe: each edge
   contribution is rounded to 9 decimals and summed as DECIMAL
   (associative, partitioning-independent), then string-routed back
   to double -- so every iteration is bit-identical in Spark and
   DuckDB and the unrolled-SQL oracle (registry._pagerank_ctes)
-  hash-matches exactly.
+  hash-matches exactly. The key encoding never touches the rank
+  arithmetic: per-node values are identical under the bijection.
 """
 
 from __future__ import annotations
@@ -42,10 +53,28 @@ DAMPING = 0.85
 TELEPORT = 0.15
 
 
-def purchase_graph(
+def _label(key: F.Column) -> F.Column:
+    """Rebuild the presentation node label from the internal long key
+    (even = customer 'c<id>', odd = supplier 's<id>')."""
+    return F.concat(
+        F.when(key % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(key, 1).cast("string"),
+    )
+
+
+def _node_key(node: F.Column) -> F.Column:
+    """Parse a presentation label ('c<id>' / 's<id>') into the
+    internal long key -- the seed-set entry point for PPR."""
+    return (
+        F.substring(node, 2, 1_000_000).cast("long") * 2
+        + F.when(F.substring(node, 1, 1) == "s", F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+
+
+def _purchase_graph_keys(
     spark: SparkSession, sf_dir: str, broadcast_small: bool = True
 ) -> DataFrame:
-    """Symmetrized edge list [src, dst, d(egree of src)].
+    """Symmetrized edge list [src, dst, d] on LONG node keys.
 
     `broadcast_small` is the same |V|-scale gate as `broadcast_ranks`
     below: the degree table is exactly |V| rows, so at web scale
@@ -58,8 +87,8 @@ def purchase_graph(
     e0 = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -72,6 +101,19 @@ def purchase_graph(
         e.join(dside, F.col("src") == F.col("dsrc"))
         .select("src", "dst", "d")
         .transform(materialize)
+    )
+
+
+def purchase_graph(
+    spark: SparkSession, sf_dir: str, broadcast_small: bool = True
+) -> DataFrame:
+    """Symmetrized edge list [src, dst, d(egree of src)] with the
+    presentation string labels -- a relabeled view over the long-keyed
+    builder the iterations actually shuffle (see module docstring)."""
+    return _purchase_graph_keys(spark, sf_dir, broadcast_small).select(
+        _label(F.col("src")).alias("src"),
+        _label(F.col("dst")).alias("dst"),
+        "d",
     )
 
 
@@ -93,7 +135,7 @@ def pagerank(
     same loop plans a plain key join (edge list shuffles per
     iteration, the vanilla Pregel cost) with no driver-side rank
     materialization."""
-    ewd = purchase_graph(spark, sf_dir, broadcast_small=broadcast_ranks)
+    ewd = _purchase_graph_keys(spark, sf_dir, broadcast_small=broadcast_ranks)
     return _power_iterate(ewd, None, iters, broadcast_ranks)
 
 
@@ -105,19 +147,29 @@ def personalized_pagerank(
     broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass lands only on the `seeds`
-    node set (DataFrame[node]) instead of uniformly -- the standard
-    graph-proximity recommendation primitive ('which suppliers are
-    close to THIS customer segment'). Same exactness recipe and scale
-    gate as `pagerank`; the per-node teleport indicator is a 0/1
-    double joined once (the SEED side is broadcast -- seed sets are
-    small by nature; the |V|-row indicator itself goes through the
-    broadcast_ranks gate inside the iteration), so non-seed nodes
-    earn rank only through incoming walk mass."""
-    ewd = purchase_graph(spark, sf_dir, broadcast_small=broadcast_ranks)
+    node set (DataFrame[node], presentation labels) instead of
+    uniformly -- the standard graph-proximity recommendation primitive
+    ('which suppliers are close to THIS customer segment'). Same
+    exactness recipe and scale gate as `pagerank`; the per-node
+    teleport indicator is a 0/1 double joined once (the SEED side is
+    broadcast -- seed sets are small by nature; the |V|-row indicator
+    itself goes through the broadcast_ranks gate inside the
+    iteration), so non-seed nodes earn rank only through incoming
+    walk mass. Seed labels are parsed to the internal long keys once,
+    seed-set-sized work."""
+    ewd = _purchase_graph_keys(spark, sf_dir, broadcast_small=broadcast_ranks)
     ind = (
         ewd.select("src").distinct()
-        .join(F.broadcast(seeds.select(F.col("node"), F.lit(1.0).alias("i1"))),
-              F.col("src") == F.col("node"), "left")
+        .join(
+            F.broadcast(
+                seeds.select(
+                    _node_key(F.col("node")).alias("node"),
+                    F.lit(1.0).alias("i1"),
+                )
+            ),
+            F.col("src") == F.col("node"),
+            "left",
+        )
         .select(F.col("src").alias("inode"),
                 F.coalesce(F.col("i1"), F.lit(0.0)).alias("ind"))
         .transform(materialize)
@@ -132,7 +184,9 @@ def _power_iterate(
     broadcast_ranks: bool,
 ) -> DataFrame:
     """Shared damped power iteration; `ind` is the per-node teleport
-    indicator (None = uniform 1.0, classic PageRank)."""
+    indicator (None = uniform 1.0, classic PageRank). Iterates on the
+    long node keys; the presentation label is rebuilt once on the
+    final |V|-row rank table."""
     if ind is None:
         ranks = ewd.select("src").distinct().select(
             F.col("src").alias("node"), F.lit(1.0).alias("r")
@@ -158,4 +212,4 @@ def _power_iterate(
                 sums.join(iside, F.col("node") == F.col("inode"))
                 .select("node", (F.lit(TELEPORT) * F.col("ind") + walk).alias("r"))
             )
-    return ranks
+    return ranks.select(_label(F.col("node")).alias("node"), "r")

@@ -46,6 +46,16 @@ PROBE_QUERIES = [
     "simhash",
     "wordcount",
     "dedup_exact",
+    # r11 (VERDICT r10 #8): the rewritten paths -- confirm the removed
+    # exchanges/scans grow the win with data, not just at sf0.1
+    "cosupply_clustering",
+    "copurchase_butterflies",
+    "cosupply_link_prediction_capped",
+    "event_conversion_absorption",
+    "dq_audit",
+    "events_acf",
+    "embedding_mutual_nn_lsh",
+    "cms_screened_wordcount",
 ]
 
 
