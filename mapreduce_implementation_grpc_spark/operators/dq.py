@@ -71,133 +71,57 @@ def events_row_checks() -> dict[str, F.Column]:
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-warehouse audit: [check_name, n_checked, n_violations].
 
-    One scan per table (guide section 6; r11 -- the r10 shape read
-    lineitem 6x and orders 8x because every uniqueness / FK /
-    reconciliation check re-scanned its fact):
+    r11 restructure (guide section 6 / 2.4), MEASURED shape: the
+    three order-grain relational checks -- lineitem_fk_orders,
+    orders_have_lineitems and the price reconciliation, previously
+    two whole-table anti-joins plus an inner join over a separate
+    line-total groupBy -- now ride ONE full-outer join between the
+    orders projection and a single per-order lineitem aggregate
+    (count + decimal line total). Side indicators (never-null lits)
+    classify unmatched rows exactly like the anti-joins did (a NULL
+    key matches nothing on either side). That removes two of the
+    three order-keyed lineitem/orders shuffles and two scans.
 
-    - lineitem: ONE groupBy(l_orderkey) pass computes per-order
-      partials for every lineitem-side check -- row-local violation
-      partial sums, per-order distinct line numbers (sum over orders
-      of within-order distinct = global distinct (orderkey,
-      linenumber) pairs, the pk-uniqueness term), and the decimal
-      line total the reconciliation needs. The pinned per-order
-      table is |orders|-sized; a tiny second-level aggregate emits
-      the table-wide checks.
-    - orders: the 3-column projection is pinned once and feeds (a)
-      the merged row-local + pk-uniqueness aggregate, (b) ONE
-      full-outer join against the per-order lineitem partials that
-      answers lineitem_fk_orders, orders_have_lineitems AND the
-      price reconciliation together, (c) the customer FK anti-join.
-    - events: row-local checks and pk uniqueness merged into one
-      aggregate (the count_distinct already paid the only shuffle).
-
-    Check names, counts and the null-key join semantics (a NULL key
-    never matches, exactly like the anti-joins it replaces) are
-    unchanged; the DECIMAL discipline of the reconciliation is the
-    identical expression, relocated into the single lineitem pass.
+    Measured and REJECTED (tools/dq_variants_probe.py, interleaved
+    same-JVM A/B at sf0.1): the "one scan per table" maximal form --
+    all lineitem checks folded into the groupBy pass, uniqueness
+    count_distincts merged into the row-local aggregates, pinned
+    intermediates. It planned at 4 scans total but measured 3.5-3.8 s
+    vs 2.1-2.6 s for this shape (and 2.3-2.8 s for the r10 shape):
+    the count_distinct merge plans an Expand that doubles the fact
+    stream through the aggregate, and the pins serialize stages that
+    the union otherwise runs concurrently -- both cost more than the
+    (columnar, pruned) re-scans they saved. Row-local checks
+    therefore keep their one-scan-per-table conditional-sum form and
+    uniqueness its separate count-distinct aggregate.
     """
-    from ..materialize import materialize
-
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     ev = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents")
 
-    li_row_preds = {
-        "lineitem_qty_in_1_50": (F.col("l_quantity") < 1)
-        | (F.col("l_quantity") > 50),
-        "lineitem_discount_in_0_01": (F.col("l_discount") < 0)
-        | (F.col("l_discount") > 0.1),
-        "lineitem_returnflag_domain": ~F.col("l_returnflag").isin(
-            "A", "N", "R"
-        ),
-        "lineitem_pk_nonnull": F.col("l_orderkey").isNull()
-        | F.col("l_linenumber").isNull(),
-    }
-    # the single lineitem pass: per-order partials for EVERY li check
-    lik = materialize(
-        li.groupBy("l_orderkey").agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.count_distinct(F.col("l_linenumber")).alias("_dln"),
-            *[
-                F.sum(F.when(pred, 1).otherwise(0)).alias(f"_v{i}")
-                for i, pred in enumerate(li_row_preds.values())
-            ],
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
-                    * (F.lit(1).cast("decimal(8,4)") + F.col("l_tax").cast("decimal(8,4)"))
-                ),
-                2,
-            ).alias("_lt"),
-        )
-    )
-    li_agg = materialize(
-        lik.agg(
-            F.sum("_cnt").alias("_n"),
-            F.sum("_dln").alias("_d"),
-            *[F.sum(f"_v{i}").alias(f"_v{i}") for i in range(len(li_row_preds))],
-        )
-    )
-    li_checks = li_agg.selectExpr(
-        "stack({n}, {parts}) AS (check_name, n_checked, n_violations)".format(
-            n=len(li_row_preds),
-            parts=", ".join(
-                f"'{name}', _n, _v{i}"
-                for i, name in enumerate(li_row_preds)
+    li_checks = _row_local(
+        li,
+        {
+            "lineitem_qty_in_1_50": (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50),
+            "lineitem_discount_in_0_01": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1),
+            "lineitem_returnflag_domain": ~F.col("l_returnflag").isin(
+                "A", "N", "R"
             ),
-        )
+            "lineitem_pk_nonnull": F.col("l_orderkey").isNull()
+            | F.col("l_linenumber").isNull(),
+        },
     )
-    li_pk_unique = li_agg.select(
-        F.lit("lineitem_pk_unique").alias("check_name"),
-        F.col("_n").alias("n_checked"),
-        (F.col("_n") - F.col("_d")).alias("n_violations"),
+    ord_checks = _row_local(
+        orders,
+        {
+            "orders_totalprice_positive": F.col("o_totalprice") <= 0,
+        },
     )
-
-    # orders: pin the 3-column projection once, three consumers
-    ordp = materialize(orders.select("o_orderkey", "o_custkey", "o_totalprice"))
-    ord_agg = ordp.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("_tp"),
-        F.count_distinct(F.col("o_orderkey")).alias("_d"),
-    ).transform(materialize)
-    ord_checks = ord_agg.select(
-        F.lit("orders_totalprice_positive").alias("check_name"),
-        F.col("_n").alias("n_checked"),
-        F.col("_tp").alias("n_violations"),
-    )
-    ord_pk_unique = ord_agg.select(
-        F.lit("orders_pk_unique").alias("check_name"),
-        F.col("_n").alias("n_checked"),
-        (F.col("_n") - F.col("_d")).alias("n_violations"),
-    )
-
-    # events: row-local + pk uniqueness in ONE aggregate
-    ev_preds = events_row_checks()
-    ev_agg = ev.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.count_distinct(F.col("event_id")).alias("_d"),
-        *[
-            F.sum(F.when(pred, 1).otherwise(0)).alias(f"_v{i}")
-            for i, pred in enumerate(ev_preds.values())
-        ],
-    ).transform(materialize)
-    ev_checks = ev_agg.selectExpr(
-        "stack({n}, {parts}) AS (check_name, n_checked, n_violations)".format(
-            n=len(ev_preds),
-            parts=", ".join(
-                f"'{name}', _n, _v{i}" for i, name in enumerate(ev_preds)
-            ),
-        )
-    )
-    ev_pk_unique = ev_agg.select(
-        F.lit("events_pk_unique").alias("check_name"),
-        F.col("_n").alias("n_checked"),
-        (F.col("_n") - F.col("_d")).alias("n_violations"),
-    )
-
+    ev_checks = _row_local(ev, events_row_checks())
     doc_checks = _row_local(
         docs,
         {
@@ -208,12 +132,55 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
 
-    # one full-outer orders<->lineitem-partials join answers the two
-    # order-grain FK checks and the reconciliation together; side
-    # indicators (never-null lits) classify rows exactly like the
-    # anti-joins did (a NULL key matches nothing on either side)
+    # uniqueness: count vs count-distinct, one aggregate per table
+    uniq = []
+    for name, df, cols in (
+        ("orders_pk_unique", orders, ["o_orderkey"]),
+        ("events_pk_unique", ev, ["event_id"]),
+        ("lineitem_pk_unique", li, ["l_orderkey", "l_linenumber"]),
+    ):
+        uniq.append(
+            df.agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).alias("n_checked"),
+                (
+                    F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])
+                ).alias("n_violations"),
+            )
+        )
+
+    # customer FK: one anti-join (the only check that needs customer)
+    def _orphans(name: str, fk_df: DataFrame, fk: str, pk_df: DataFrame, pk: str) -> DataFrame:
+        keys = fk_df.select(F.col(fk).alias("_k"))
+        missing = keys.join(
+            pk_df.select(F.col(pk).alias("_k")), "_k", "left_anti"
+        )
+        return keys.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+            F.broadcast(missing.agg(F.count(F.lit(1)).alias("n_violations")))
+        ).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    fk_customer = _orphans(
+        "orders_fk_customer", orders, "o_custkey", cust, "c_custkey"
+    )
+
+    # the order-grain trio on ONE join: per-order lineitem partials
+    # (count + the decimal line total -- the identical reconciliation
+    # expression) full-outer-joined to orders once
+    lik = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+                * (F.lit(1).cast("decimal(8,4)") + F.col("l_tax").cast("decimal(8,4)"))
+            ),
+            2,
+        ).alias("_lt"),
+    )
     j = (
-        ordp.select("o_orderkey", "o_totalprice", F.lit(1).alias("_o"))
+        orders.select("o_orderkey", "o_totalprice", F.lit(1).alias("_o"))
         .join(
             lik.select("l_orderkey", "_cnt", "_lt", F.lit(1).alias("_l")),
             F.col("o_orderkey") == F.col("l_orderkey"),
@@ -245,11 +212,10 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("_recon_viol"),
         )
-        .transform(materialize)
     )
     # n_checked for the FK checks is the full fk-side row count
-    li_n = li_agg.select(F.col("_n").alias("_li_n"))
-    ord_n = ord_agg.select(F.col("_n").alias("_ord_n"))
+    li_n = li.agg(F.count(F.lit(1)).alias("_li_n"))
+    ord_n = orders.agg(F.count(F.lit(1)).alias("_ord_n"))
     fk_li_orders = j.crossJoin(F.broadcast(li_n)).select(
         F.lit("lineitem_fk_orders").alias("check_name"),
         F.col("_li_n").alias("n_checked"),
@@ -266,26 +232,12 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_recon_viol").alias("n_violations"),
     )
 
-    # customer FK: the one remaining anti-join (customer's only scan)
-    cust_missing = (
-        ordp.select(F.col("o_custkey").alias("_k"))
-        .join(cust.select(F.col("c_custkey").alias("_k")), "_k", "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-    )
-    fk_customer = ord_n.crossJoin(F.broadcast(cust_missing)).select(
-        F.lit("orders_fk_customer").alias("check_name"),
-        F.col("_ord_n").alias("n_checked"),
-        "n_violations",
-    )
-
     out = li_checks
     for part in [
         ord_checks,
         ev_checks,
         doc_checks,
-        ord_pk_unique,
-        ev_pk_unique,
-        li_pk_unique,
+        *uniq,
         fk_customer,
         fk_li_orders,
         orders_have_li,
