@@ -784,7 +784,7 @@ def semantic_dedup(
     ).select("vec_id", "cell", F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"))
 
 
-def mutual_nearest_pairs(pairs: DataFrame) -> DataFrame:
+def mutual_nearest_pairs(pairs: DataFrame, pin: bool = True) -> DataFrame:
     """Reciprocal nearest-neighbor pairs from a candidate pair list
     [vec_a, vec_b, cosine] (vec_a < vec_b): keep (a, b) iff b is a's
     single best partner AND a is b's -- the high-precision match
@@ -810,8 +810,20 @@ def mutual_nearest_pairs(pairs: DataFrame) -> DataFrame:
     s); ALSO pinning `best` was slower than pinning nothing on the
     LSH path (the window output re-derives cheaply from the pinned
     pairs, and the extra checkpoint is a barrier + serialization),
-    so `best` stays unpinned."""
-    pairs = materialize(pairs)
+    so `best` stays unpinned.
+
+    r11 `pin` parameter (VERDICT r10 #4): interleaved same-JVM A/B
+    (tools/mutual_nn_ab_probe.py, sf0.1, two rounds) measured the
+    pin a clear win on the exact path (1.75-1.98 s vs 2.76-2.97 s
+    unpinned) but EXACTLY NEUTRAL on the LSH path (2.15/2.40 vs
+    2.15/2.21) -- there, runtime exchange reuse already dedups the
+    bucketed candidate scan, so the pin only adds executor
+    block-store state (corpus-scale at 100 TB, and lineage-cut
+    executor-loss exposure on the biggest intermediate). Callers on
+    bucketed/LSH candidate paths pass pin=False; the exact all-pairs
+    path keeps the default."""
+    if pin:
+        pairs = materialize(pairs)
     sym = pairs.select(
         F.col("vec_a").alias("v"), F.col("vec_b").alias("nb"), "cosine"
     ).unionByName(

@@ -934,7 +934,11 @@ def q_embedding_mutual_nn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), min_cosine=0.35, use_lsh=True
     )
-    return mutual_nearest_pairs(pairs)
+    # pin=False: measured neutral on the bucketed path (exchange
+    # reuse already dedups the candidate scan) and avoids pinning
+    # corpus-scale candidate blocks at 100 TB -- see
+    # mutual_nearest_pairs docstring / tools/mutual_nn_ab_probe.py
+    return mutual_nearest_pairs(pairs, pin=False)
 
 
 def _markov_transitions(spark: SparkSession, sf_dir: str):
