@@ -60,7 +60,18 @@ def get_spark(
         import json
 
         for k, v in json.loads(env_conf).items():
-            builder = builder.config(k, str(v))
+            # scalars pass as their JSON text (json.dumps keeps
+            # true/false lowercase, which Spark parses; str() would
+            # yield Python 'True'); nested values are rejected loudly
+            # instead of being set as Python reprs (ADVICE r10)
+            if isinstance(v, (dict, list)):
+                raise ValueError(
+                    f"SPARK_GRAFT_CONF_JSON[{k!r}]: conf values must be "
+                    f"scalars, got {type(v).__name__}"
+                )
+            builder = builder.config(
+                k, v if isinstance(v, str) else json.dumps(v)
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -33,6 +33,7 @@ def test_queries_and_oracles_consistent():
     assert all(sql.strip() for sql in os_.values())
 
 
+@pytest.mark.slow  # registry-wide meta-sweep: full sweep only (r11, VERDICT r10 #7)
 def test_every_query_returns_lazy_dataframe(spark, sf_smoke):
     # construction must not throw for any registered query (eager
     # iterative ones may run jobs, but must still hand back a DF)
@@ -42,6 +43,7 @@ def test_every_query_returns_lazy_dataframe(spark, sf_smoke):
         assert len(df.columns) > 0, name
 
 
+@pytest.mark.slow  # registry-wide meta-sweep: full sweep only (r11, VERDICT r10 #7)
 def test_all_query_outputs_are_scalar_columns(spark, sf_smoke):
     """The driver's canonicalizer pandas-sorts every output column;
     array/map/struct columns crash it (unhashable type -- the one red
@@ -62,6 +64,7 @@ def test_all_query_outputs_are_scalar_columns(spark, sf_smoke):
     assert not offenders, f"non-scalar gate outputs: {offenders}"
 
 
+@pytest.mark.slow  # registry-wide meta-sweep: full sweep only (r11, VERDICT r10 #7)
 def test_no_wide_integer_dtypes_reach_the_driver(spark, sf_smoke):
     """VERDICT r6 #3: the two r6 driver-reds (`score_auc`,
     `user_wallet_balance`) were oracle-side dtype widening -- DuckDB
@@ -111,6 +114,7 @@ def test_no_wide_integer_dtypes_reach_the_driver(spark, sf_smoke):
     assert not bad_spark, f"DecimalType gate outputs: {bad_spark}"
 
 
+@pytest.mark.slow  # registry-wide meta-sweep: full sweep only (r11, VERDICT r10 #7)
 def test_lazy_queries_build_cheaply(spark, sf_smoke):
     """The driver's pattern is 'build the DataFrame, then act on it'.
     Every non-eager registry query must construct its plan cheaply --

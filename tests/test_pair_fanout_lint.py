@@ -217,6 +217,7 @@ def self_join_violations(df) -> list[str]:
     return bad
 
 
+@pytest.mark.slow  # registry-wide sweep: full sweep only (r11, VERDICT r10 #7)
 @pytest.mark.parametrize("name", LINTABLE)
 def test_self_joins_are_fanout_bounded(spark, sf_check, name):
     if name in EXACT_TWIN_ALLOWLIST:

@@ -89,6 +89,7 @@ def single_partition_violations(plan: str) -> list[str]:
     return bad
 
 
+@pytest.mark.slow  # registry-wide sweep: full sweep only (r11, VERDICT r10 #7)
 @pytest.mark.parametrize("name", LINTABLE)
 def test_no_shuffled_cartesian_and_no_single_partition(spark, sf_check, name):
     plan = _plan(spark, sf_check, name)
@@ -119,6 +120,7 @@ def test_single_partition_rule_catches_global_fact_sort(spark, sf_check):
     assert single_partition_violations(plan), "lint no longer catches the O15 shape"
 
 
+@pytest.mark.slow  # registry-wide sweep: full sweep only (r11, VERDICT r10 #7)
 @pytest.mark.parametrize("name", LINTABLE)
 def test_parquet_scans_are_column_pruned(spark, sf_check, name):
     plan = _plan(spark, sf_check, name)

@@ -70,9 +70,16 @@ def new_this_round() -> set[str]:
     CORRECTNESS row yet -- and because __spark_entry__ orders its
     queries least-verified-first, they are guaranteed front slots in
     the NEXT driver rotation."""
+    # the driver also commits side artifacts like BENCH_r10_c8.json
+    # (the low-core scaling run) -- only plain BENCH_r<N>.json names
+    # are round artifacts
     paths = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        (
+            p
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if re.search(r"BENCH_r(\d+)\.json$", p)
+        ),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
     )
     if not paths:
         return set()
